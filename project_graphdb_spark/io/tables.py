@@ -1,0 +1,65 @@
+"""Parquet table catalog for the test datasets.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` (stream
+surface), ``documents`` and ``embeddings`` (LLM-data-pipeline surface) as
+one parquet file per table under ``/root/testdata/sf*/``.
+
+Scale notes: reads are plain ``spark.read.parquet`` so Catalyst performs
+column pruning + predicate pushdown into the scan; at 100 TB the same
+code reads a partitioned directory tree and partition pruning applies
+unchanged. No ``inferSchema``-style work happens here — parquet carries
+its own schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. ``name`` must be in ``TABLE_NAMES``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet file, which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it surfaces as a nanosecond bigint, which we convert to a proper
+    microsecond timestamp (truncation — same as DuckDB's nanos→micros
+    read) so downstream operators see TimestampType.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load several tables as a dict of DataFrames (lazy — no I/O yet)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
