@@ -1,0 +1,218 @@
+"""Graph query surface over the PropertyGraph (SURVEY.md §2.C).
+
+Each query runs through the graph layer (label scans, pattern matches,
+edge-property aggregation) and is oracle-checked against the equivalent
+relational SQL — which is exactly the point: the graph build is
+FK-resolving joins + dedup, so graph-query results must agree with the
+base tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.graph.builder import tpch_graph
+from project_graphdb_spark.operators.exact import SQL_REVENUE, dec
+from project_graphdb_spark.workload import register
+
+# per-type endpoint-validity count subqueries (the oracle mirror of the
+# builder's null-drop + semi-join + MERGE-dedup pipeline)
+_EDGE_COUNT_SQL = {
+    "IN_REGION": """
+      SELECT COUNT(*) FROM (
+        SELECT DISTINCT n_nationkey, n_regionkey FROM nation
+        WHERE n_nationkey IS NOT NULL AND n_regionkey IS NOT NULL
+          AND n_regionkey IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL))
+    """,
+    "FROM_NATION": """
+      SELECT COUNT(*) FROM (
+        SELECT DISTINCT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+    """,
+    "LOCATED_IN": """
+      SELECT COUNT(*) FROM (
+        SELECT DISTINCT s_suppkey, s_nationkey FROM supplier
+        WHERE s_suppkey IS NOT NULL AND s_nationkey IS NOT NULL
+          AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+    """,
+    "PLACED_BY": """
+      SELECT COUNT(*) FROM (
+        SELECT DISTINCT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+    """,
+    "CONTAINS_ITEM": """
+      SELECT COUNT(*) FROM (
+        SELECT DISTINCT * FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))
+    """,
+}
+
+_NODE_COUNT_SQL = {
+    "Region": "SELECT COUNT(DISTINCT r_regionkey) FROM region WHERE r_regionkey IS NOT NULL",
+    "Nation": "SELECT COUNT(DISTINCT n_nationkey) FROM nation WHERE n_nationkey IS NOT NULL",
+    "Customer": "SELECT COUNT(DISTINCT c_custkey) FROM customer WHERE c_custkey IS NOT NULL",
+    "Supplier": "SELECT COUNT(DISTINCT s_suppkey) FROM supplier WHERE s_suppkey IS NOT NULL",
+    "Part": "SELECT COUNT(DISTINCT p_partkey) FROM part WHERE p_partkey IS NOT NULL",
+    "Orders": "SELECT COUNT(DISTINCT o_orderkey) FROM orders WHERE o_orderkey IS NOT NULL",
+}
+
+
+@register(
+    "g_node_counts_by_label",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{label}' AS label, ({sql}) AS n" for label, sql in _NODE_COUNT_SQL.items()
+    )
+    + " ORDER BY n DESC, label",
+    description="MATCH (n) RETURN labels(n)[0], count ORDER BY count DESC "
+    "(C3; ref inject_relationship.py:945)",
+)
+def g_node_counts_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_graph(spark, sf_dir).node_counts()
+
+
+@register(
+    "g_total_node_count",
+    oracle="SELECT CAST("
+    + " + ".join(f"({sql})" for sql in _NODE_COUNT_SQL.values())
+    + " AS BIGINT) AS n_nodes",
+    description="MATCH (n) RETURN count(n) (C2; ref inject_relationship.py:932)",
+)
+def g_total_node_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_graph(spark, sf_dir).total_node_count()
+
+
+@register(
+    "g_edge_counts_by_type",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS rel_type, ({sql.strip()}) AS n"
+        for t, sql in _EDGE_COUNT_SQL.items()
+    )
+    + " ORDER BY n DESC, rel_type",
+    description="MATCH ()-[r]->() RETURN type(r), count(r) "
+    "(C4; ref inject_relationship.py:952)",
+)
+def g_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_graph(spark, sf_dir).edge_counts()
+
+
+@register(
+    "g_machinery_big_orders",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY' AND o_totalprice >= 300000
+    ORDER BY o_orderkey
+    """,
+    description="1-hop MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) "
+    "WHERE ... (C5, C7)",
+)
+def g_machinery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return (
+        g.match("Orders", "PLACED_BY", "Customer")
+        .filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            & (F.col("o_totalprice") >= 300000)
+        )
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "g_revenue_by_brand",
+    oracle=f"""
+    SELECT p_brand, CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN part   ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+    description="edge-property aggregation over CONTAINS_ITEM "
+    "(C9; the flagship's graph form, ref notebook1.ipynb:844)",
+    headline=True,
+)
+def g_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    one = F.lit(1).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        g.match("Orders", "CONTAINS_ITEM", "Part")
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "g_customer_degree_stats",
+    oracle="""
+    WITH deg AS (
+      SELECT o_custkey, COUNT(*) AS d FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+      GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_customers,
+           MAX(d) AS max_degree,
+           CAST(SUM(d) AS DOUBLE) / COUNT(*) AS mean_degree,
+           sqrt((CAST(SUM(d*d) AS DOUBLE)
+                 - CAST(SUM(d) AS DOUBLE) * SUM(d) / COUNT(*))
+                / (COUNT(*) - 1)) AS std_degree
+    FROM deg
+    """,
+    description="degree distribution stats (B10/B11; ref "
+    "inject_relationship.py:154-180) via exact integer sums",
+)
+def g_customer_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    deg = g.edge("PLACED_BY").groupBy("dst").agg(F.count("*").alias("d"))
+    return deg.agg(
+        F.count("*").alias("n_customers"),
+        F.max("d").alias("max_degree"),
+        (F.sum("d").cast("double") / F.count("*")).alias("mean_degree"),
+        F.sqrt(
+            (
+                F.sum(F.col("d") * F.col("d")).cast("double")
+                - F.sum("d").cast("double") * F.sum("d") / F.count("*")
+            )
+            / (F.count("*") - 1)
+        ).alias("std_degree"),
+    )
+
+
+@register(
+    "g_top_degree_customers",
+    oracle="""
+    WITH deg AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS degree FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT custkey, degree,
+             ROW_NUMBER() OVER (ORDER BY degree DESC, custkey) AS rnk
+      FROM deg
+    )
+    SELECT custkey, degree, rnk FROM ranked WHERE rnk <= 5 ORDER BY rnk
+    """,
+    description="hot-key (high-degree) identification "
+    "(B13; ref inject_relationship.py:240-246)",
+)
+def g_top_degree_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    deg = (
+        g.edge("PLACED_BY")
+        .groupBy(F.col("dst").alias("custkey"))
+        .agg(F.count("*").alias("degree"))
+    )
+    w = W.orderBy(F.col("degree").desc(), F.col("custkey"))
+    return (
+        deg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("rnk")
+    )

@@ -1,0 +1,90 @@
+"""Unit tests for schema inference and graph construction semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.graph.builder import build_graph, tpch_graph
+from project_graphdb_spark.schema.inference import (
+    TPCH_REL_NAMES,
+    infer_graph_schema,
+    node_label,
+)
+from project_graphdb_spark.schema.relational import TPCH_SCHEMA, erd_text
+
+
+def test_inference_rules():
+    g = infer_graph_schema(TPCH_SCHEMA, rel_names=TPCH_REL_NAMES)
+    labels = {n.name for n in g.nodes}
+    assert labels == {"Region", "Nation", "Customer", "Supplier", "Part", "Orders"}
+    rels = {r.label: r for r in g.relationships}
+    # lineitem is an association table -> CONTAINS_ITEM edge with props
+    ci = rels["CONTAINS_ITEM"]
+    assert (ci.source, ci.target) == ("Orders", "Part")
+    assert "l_quantity" in ci.properties and "l_orderkey" not in ci.properties
+    # FK columns -> FK-owner → FK-target edges
+    pb = rels["PLACED_BY"]
+    assert (pb.source, pb.target) == ("Orders", "Customer")
+    assert pb.key_s == "o_orderkey" and pb.key_t == "o_custkey"
+    assert node_label("order_items") == "OrderItems"
+    assert "FK -> customer.c_custkey" in erd_text(TPCH_SCHEMA)
+
+
+def test_graph_build_semantics(spark):
+    """Null keys dropped, dangling FKs dropped, MERGE-dedup applied."""
+    rows = [
+        (1, "a", 10),
+        (1, "a-dup", 10),  # duplicate node key -> dedup to one
+        (None, "nullkey", 10),  # null key -> dropped
+        (3, "c", 99),  # dangling FK -> edge dropped, node kept
+    ]
+    src = spark.createDataFrame(rows, "id bigint, name string, ref bigint")
+    dim = spark.createDataFrame([(10, "x")], "d_id bigint, d_name string")
+
+    from project_graphdb_spark.schema.relational import (
+        ForeignKey,
+        RelationalSchema,
+        TableInfo,
+    )
+
+    rschema = RelationalSchema(
+        tables={
+            "src": TableInfo(
+                "src",
+                [("id", "BIGINT"), ("name", "TEXT"), ("ref", "BIGINT")],
+                primary_keys=["id"],
+                foreign_keys=[ForeignKey("ref", "dim", "d_id")],
+            ),
+            "dim": TableInfo(
+                "dim",
+                [("d_id", "BIGINT"), ("d_name", "TEXT")],
+                primary_keys=["d_id"],
+            ),
+        }
+    )
+    gschema = infer_graph_schema(rschema)
+    g = build_graph(spark, {"src": src, "dim": dim}, gschema)
+
+    assert g.node("Src").count() == 2  # 1 and 3; dup and null dropped
+    (edge_type,) = [r.label for r in gschema.relationships]
+    edges = g.edge(edge_type)
+    # node 1 -> dim 10 resolves; node 3 -> 99 dangles (silently dropped)
+    assert [(r.src, r.dst) for r in edges.collect()] == [(1, 10)]
+
+
+def test_match_shape(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = g.match("Orders", "PLACED_BY", "Customer")
+    assert {"o_orderkey", "c_custkey", "c_name"} <= set(df.columns)
+    # direction mismatch raises (feeds the validate/correct lifecycle)
+    import pytest
+
+    with pytest.raises(ValueError):
+        g.match("Customer", "PLACED_BY", "Orders")
+
+
+def test_schema_describe(spark):
+    g = infer_graph_schema(TPCH_SCHEMA, rel_names=TPCH_REL_NAMES)
+    s = g.describe()
+    assert "(:Orders)-[:PLACED_BY]->(:Customer)" in s
+    assert "(:Customer {c_custkey" in s
