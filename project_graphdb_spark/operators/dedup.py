@@ -1,0 +1,323 @@
+"""Deduplication operators over the ``documents`` table.
+
+Training-data-pipeline surface (SURVEY.md §2.E): exact dedup, exact
+n-gram Jaccard near-dup, MinHash+LSH, and SimHash. The reference's only
+dedup is keyed ``drop_duplicates`` during graph load (B4, reference:
+final/inject_node.py:406-411); these are the corpus-level operators a
+100 TB text pipeline needs.
+
+Scale story:
+
+* **exact** — hash + groupBy: one shuffle on the fingerprint, linear.
+* **ngram_jaccard** — exact pairwise verification via a shingle
+  self-join. Correct but quadratic in hot shingles; it is the *oracle
+  path* used to verify the approximate operators at test SF.
+* **minhash_lsh** — the 100 TB path: per-doc signatures (one narrow
+  shuffle), banding, bucket join (only collisions materialize), then
+  exact verification on the (tiny) candidate set.
+* **simhash** — 64-bit signatures; pigeonhole banding on 16-bit chunks
+  turns hamming<=k search into 4 equi-joins.
+
+Everything is built-in expressions (xxhash64, bit ops, array ops) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+from project_graphdb_spark.operators.text import tokens
+from project_graphdb_spark.workload import register
+
+SHINGLE_K = 3  # word n-gram size
+NUM_PERM = 64  # minhash permutations
+LSH_BANDS = 16  # bands of NUM_PERM // LSH_BANDS rows each
+JACCARD_THRESHOLD = 0.5
+
+
+def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles of a text column (JVM-side)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded + distinct."""
+    return docs.select(
+        "doc_id", F.explode(shingle_array("text")).alias("shingle")
+    ).distinct()
+
+
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for doc pairs sharing ≥1 shingle.
+
+    ``candidates`` (doc_a, doc_b) restricts the computation (the LSH
+    verify step); None means all co-shingled pairs (the exact operator).
+    """
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: fingerprint hash + canonical assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS fingerprint,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           count(*) OVER (PARTITION BY md5(text)) AS n_copies
+    FROM documents ORDER BY doc_id
+    """,
+    description="exact dedup: hash-groupBy canonical assignment",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = W.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count("*").over(w))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard near-dup (the verification-grade operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON doc_a = s1.doc_id
+    JOIN sizes s2 ON doc_b = s2.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    description="exact word-3-gram Jaccard near-duplicate pairs",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs)
+    return (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, h0..h{num_perm-1}) — min of seeded xxhash64 per shingle.
+
+    One shuffle (groupBy doc_id); signature width is fixed and narrow.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Band the signature, bucket-join per band, union distinct pairs."""
+    rows_per_band = num_perm // bands
+    buckets = []
+    for band in range(bands):
+        cols = [F.col(f"h{band * rows_per_band + j}") for j in range(rows_per_band)]
+        buckets.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    all_buckets = functools.reduce(DataFrame.unionByName, buckets)
+    a = all_buckets.alias("a")
+    b = all_buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are Spark-specific; rows-only check.
+    # Recall vs the exact operator is asserted in tests/test_dedup.py.
+    description="MinHash(64)+LSH(16 bands) near-dup: shingle→signature→"
+    "band buckets→candidate join→exact verify (scale path)",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs)
+    sig = minhash_signatures(sh)
+    candidates = lsh_candidate_pairs(sig)
+    return (
+        _pair_jaccard(sh, candidates=candidates)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (64-bit) near-dup via pigeonhole chunk blocking
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — classic 64-bit simhash over distinct tokens.
+
+    bit_i(simhash) = 1 iff sum over tokens of ±1 (by bit_i of the token
+    hash) is positive. Entirely JVM bit arithmetic.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    packed = functools.reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i))
+            .otherwise(F.lit(0).cast("bigint"))
+            for i in range(64)
+        ],
+    )
+    return sums.select("doc_id", packed.alias("simhash"))
+
+
+SIMHASH_MAX_HAMMING = 6
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # Spark-specific hash; rows-only check + unit tests
+    description="SimHash-64 near-dup pairs (hamming<=6) with 8-bit "
+    "pigeonhole chunk blocking",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = simhash_signatures(docs)
+    # hamming<=6 with 8 chunks of 8 bits → at least one chunk identical
+    # (pigeonhole: 6 flipped bits cannot touch all 8 chunks)
+    chunks = []
+    for c in range(8):
+        chunk = F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(0xFF))
+        chunks.append(
+            sig.select(
+                "doc_id",
+                F.col("simhash"),
+                F.lit(c).alias("chunk_id"),
+                chunk.alias("chunk"),
+            )
+        )
+    blocked = functools.reduce(DataFrame.unionByName, chunks)
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Training-data-pipeline surface (SURVEY.md §2.E): brute-force cosine
+top-k as the exactness baseline, a k-NN join, a pairwise near-dup
+operator, and an IVF (inverted-file) variant as the scale path.
+
+All dot products are computed JVM-side with ``zip_with``/``aggregate``
+folds over double-cast arrays — no Python UDFs. Determinism for the
+oracle: similarity values are rounded to 6 decimals *before* ranking
+and thresholding, and ranks tie-break on vec_id, so Spark and DuckDB
+(``list_cosine_similarity`` over ``DOUBLE[]``) agree exactly.
+
+Scale (100 TB): brute force is O(N·Q) — fine for a broadcast-able query
+set (Q small), since the scan is embarrassingly parallel with no
+shuffle. The IVF variant prunes the scan to nprobe clusters; the
+cluster assignment is one narrow shuffle and the assignment table can
+be written bucketed by cluster for repeated querying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+from project_graphdb_spark.workload import register
+
+NEAR_DUP_THRESHOLD = 0.4  # test embeddings are random-ish; 0.4 yields pairs
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v"), "label"
+    )
+
+
+@register(
+    "ann_cosine_top10",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.v, q.v), 6) AS cos_sim
+      FROM e, q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim,
+           ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored QUALIFY rnk <= 10 ORDER BY rnk
+    """,
+    description="brute-force cosine top-k for one query vector "
+    "(exactness baseline for ANN)",
+    headline=True,
+)
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "knn_join_top3",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored QUALIFY rnk <= 3 ORDER BY qid, rnk
+    """,
+    description="k-NN join: top-3 neighbors for each of a small query "
+    "set (broadcast side), no shuffle on the big side",
+)
+def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {NEAR_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    description="embedding-cosine near-duplicate pairs (brute-force "
+    "verification tier of the dedup stack)",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= NEAR_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_ivf_top10",
+    oracle=None,  # approximate by construction; recall asserted in tests
+    description="IVF-style ANN: coarse centroids (first 8 vectors), "
+    "cluster assignment, nprobe=3 probe, brute force within probed "
+    "clusters (the pruned-scan scale path)",
+)
+def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # deterministic coarse quantizer: the first 8 vectors are centroids
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assign every vector to its nearest centroid (rounded sim, id tie-break)
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_sim"),
+        )
+        .withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    # query = vec 0; probe the 3 centroids closest to it
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("cid"))
+        .limit(3)
+        .select("cid")
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probed), "cid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )

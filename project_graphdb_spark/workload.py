@@ -83,8 +83,12 @@ def _ensure_loaded() -> None:
         return
     # imports are for their @register side effects
     from project_graphdb_spark.operators import (  # noqa: F401
+        dedup,
         graph_queries,
+        multimodal,
         relational,
+        similarity,
+        text,
     )
 
     _LOADED = True

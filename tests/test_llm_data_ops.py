@@ -1,0 +1,63 @@
+"""Semantic tests for the approximate (no-oracle) LLM-data operators:
+the exact operators are oracle-checked; here we assert the approximate
+paths agree with their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from project_graphdb_spark.operators.similarity import (
+    ann_cosine_top10,
+    ann_ivf_top10,
+)
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH candidates must recover the high-jaccard pairs the exact
+    operator finds (64 perms / 16 bands ⇒ ~100% recall at j≥0.8)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "test data should contain planted near-duplicates"
+    missed = exact - approx
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+    # and LSH never invents pairs the verify step doesn't confirm
+    exact_all = {
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert approx <= exact_all
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    """Planted near-identical docs should collide under simhash."""
+    pairs = dedup_simhash(spark, sf_dir)
+    rows = pairs.collect()
+    assert all(r.hamming <= 6 for r in rows)
+    # near-dup docs by jaccard>=0.9 are mostly simhash-close as well
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    if exact:
+        assert len(got & exact) >= len(exact) // 2
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = [r.vec_id for r in ann_cosine_top10(spark, sf_dir).collect()]
+    ivf = [r.vec_id for r in ann_ivf_top10(spark, sf_dir).collect()]
+    # IVF probes 3/8 clusters; require ≥half of true top-10 recalled
+    assert len(set(brute) & set(ivf)) >= 5
