@@ -1,0 +1,152 @@
+"""AST for the Cypher subset the reference's NL layer emits.
+
+The shapes covered are exactly the observed workload (SURVEY.md §2.C):
+MATCH pattern chains with direction, WHERE predicates (C7), WITH
+implicit-grouping projection (C9), RETURN, ORDER BY / LIMIT (C12/C13),
+and the scalar surface date()/toString()/toLower() (C10/C11/C8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# -- expressions -------------------------------------------------------------
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Lit(Expr):
+    value: object  # str | int | float | bool | None
+
+
+@dataclass
+class Prop(Expr):
+    """``var.prop`` — property access on a bound variable (or on a
+    nested expression result, e.g. ``date(x).year``)."""
+
+    base: Expr | str  # variable name or nested expression
+    name: str
+
+
+@dataclass
+class Var(Expr):
+    name: str
+
+
+@dataclass
+class FnCall(Expr):
+    name: str  # lower-cased
+    args: list[Expr]
+    distinct: bool = False
+
+
+@dataclass
+class Star(Expr):
+    """``*`` inside count(*)."""
+
+
+@dataclass
+class BinOp(Expr):
+    op: str  # + - * / %
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class Cmp(Expr):
+    op: str  # = <> < <= > >= IN CONTAINS STARTS_WITH ENDS_WITH
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class ListExpr(Expr):
+    items: list[Expr]
+
+
+@dataclass
+class And(Expr):
+    parts: list[Expr]
+
+
+@dataclass
+class Or(Expr):
+    parts: list[Expr]
+
+
+@dataclass
+class Not(Expr):
+    part: Expr
+
+
+# -- patterns ----------------------------------------------------------------
+
+
+@dataclass
+class NodePat:
+    var: str | None
+    label: str | None
+
+
+@dataclass
+class EdgePat:
+    var: str | None
+    rel_type: str | None
+    reversed: bool  # True for <-[...]-
+
+
+@dataclass
+class PathPat:
+    """node (edge node)* — one comma-separated MATCH pattern."""
+
+    nodes: list[NodePat]
+    edges: list[EdgePat]  # len(edges) == len(nodes) - 1
+
+
+# -- clauses -----------------------------------------------------------------
+
+
+@dataclass
+class Item:
+    expr: Expr
+    alias: str | None
+
+    def out_name(self) -> str:
+        if self.alias:
+            return self.alias
+        e = self.expr
+        if isinstance(e, Prop) and isinstance(e.base, str):
+            return f"{e.base}.{e.name}"
+        if isinstance(e, Var):
+            return e.name
+        raise ValueError("complex projection items need an AS alias")
+
+
+@dataclass
+class Projection:
+    """WITH or RETURN: items + optional DISTINCT; aggregate items imply
+    Cypher's implicit grouping by the non-aggregate items."""
+
+    items: list[Item]
+    distinct: bool = False
+
+
+@dataclass
+class OrderKey:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass
+class Query:
+    patterns: list[PathPat]
+    where: Expr | None = None
+    with_clause: Projection | None = None
+    with_where: Expr | None = None  # WHERE after WITH (post-agg filter)
+    ret: Projection | None = None
+    order_by: list[OrderKey] = field(default_factory=list)
+    limit: int | None = None

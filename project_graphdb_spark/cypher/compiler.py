@@ -1,0 +1,478 @@
+"""Cypher-subset → DataFrame compiler.
+
+Lowers a parsed :class:`Query` onto a :class:`PropertyGraph`:
+
+* each bound node variable becomes the label's node frame with columns
+  renamed ``var__col``; each bound edge variable the type's edge frame;
+* pattern chains become equi hash joins edge.src/dst ↔ node keys —
+  exactly the plan shape Catalyst then optimizes (broadcast for small
+  labels, AQE for skew). Shared variables across comma patterns join on
+  the variable's key (the Cypher "same node" semantics);
+* WHERE compiles to ``filter`` (pushed down by Catalyst);
+* WITH/RETURN use Cypher's implicit grouping: if any item contains an
+  aggregate, the non-aggregate items become groupBy keys;
+* ORDER BY / LIMIT / DISTINCT map 1:1.
+
+Analysis errors (unknown labels/types/properties, direction mismatches)
+raise :class:`CypherAnalysisError` with a list of messages — the input
+to the validate → correct lifecycle (reference:
+final/langraph_neo4j3.py:310-391, where EXPLAIN round-trips to Neo4j
+play this role).
+
+Determinism note: with ``exact_decimal_sums`` (default), ``sum()`` over
+double columns is computed in DECIMAL(18,2) and surfaced as double, so
+compiled aggregates hash-match a single-threaded SQL oracle regardless
+of Spark's accumulation order (see operators/exact.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.cypher import ast as A
+from project_graphdb_spark.graph.property_graph import PropertyGraph
+
+
+class CypherAnalysisError(ValueError):
+    def __init__(self, errors: list[str]):
+        super().__init__("; ".join(errors))
+        self.errors = errors
+
+
+@dataclass
+class _BoundVar:
+    kind: str  # "node" | "edge"
+    label: str  # node label or edge type
+    columns: list[str]  # original property/column names
+    key: str | None = None  # node key column (nodes only)
+
+
+def _is_aggregate(e: A.Expr) -> bool:
+    if isinstance(e, A.FnCall):
+        if e.name in ("count", "sum", "avg", "min", "max", "collect"):
+            return True
+        return any(_is_aggregate(a) for a in e.args)
+    if isinstance(e, A.BinOp):
+        return _is_aggregate(e.left) or _is_aggregate(e.right)
+    if isinstance(e, A.Cmp):
+        return _is_aggregate(e.left) or _is_aggregate(e.right)
+    if isinstance(e, (A.And, A.Or)):
+        return any(_is_aggregate(p) for p in e.parts)
+    if isinstance(e, A.Not):
+        return _is_aggregate(e.part)
+    if isinstance(e, A.Prop) and isinstance(e.base, A.Expr):
+        return _is_aggregate(e.base)
+    return False
+
+
+class _Scope:
+    """Column resolution: either bound pattern variables (pre-projection)
+    or the flat aliases produced by a WITH clause."""
+
+    def __init__(
+        self,
+        vars: dict[str, _BoundVar] | None,
+        flat: set[str] | None,
+        df: DataFrame,
+    ):
+        self.vars = vars
+        self.flat = flat
+        self.df = df
+        self.errors: list[str] = []
+
+    def prop(self, var: str, name: str) -> Column:
+        if self.vars is not None and var in self.vars:
+            bound = self.vars[var]
+            if name not in bound.columns:
+                self.errors.append(
+                    f"unknown property {name!r} on {var}:{bound.label}"
+                )
+                return F.lit(None)
+            return F.col(f"{var}__{name}")
+        self.errors.append(f"unknown variable {var!r}")
+        return F.lit(None)
+
+    def var(self, name: str) -> Column:
+        if self.flat is not None and name in self.flat:
+            return F.col(name)
+        if self.vars is not None and name in self.vars:
+            bound = self.vars[name]
+            if bound.kind == "node" and bound.key:
+                return F.col(f"{name}__{bound.key}")
+        self.errors.append(f"unknown identifier {name!r}")
+        return F.lit(None)
+
+
+_SCALAR_FNS = {
+    "tolower": lambda args: F.lower(args[0]),
+    "toupper": lambda args: F.upper(args[0]),
+    "tostring": lambda args: args[0].cast("string"),
+    "tointeger": lambda args: args[0].cast("bigint"),
+    "tofloat": lambda args: args[0].cast("double"),
+    "date": lambda args: F.to_date(args[0]),
+    "datetime": lambda args: F.to_timestamp(args[0]),
+    "abs": lambda args: F.abs(args[0]),
+    "round": lambda args: F.round(args[0], 0)
+    if len(args) == 1
+    else F.round(*args),
+    "coalesce": lambda args: F.coalesce(*args),
+    "trim": lambda args: F.trim(args[0]),
+    "size": lambda args: F.length(args[0]),
+}
+
+# date(x).year-style component access on date/datetime results
+_DATE_COMPONENTS = {
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+}
+
+_DEC = "decimal(18,2)"
+
+
+class _ExprCompiler:
+    def __init__(self, scope: _Scope, exact_decimal_sums: bool):
+        self.scope = scope
+        self.exact = exact_decimal_sums
+
+    def compile(self, e: A.Expr, decimal_ctx: bool = False) -> Column:
+        if isinstance(e, A.Lit):
+            col = F.lit(e.value)
+            if decimal_ctx and isinstance(e.value, (int, float)):
+                col = col.cast(_DEC)
+            return col
+        if isinstance(e, A.Var):
+            return self.scope.var(e.name)
+        if isinstance(e, A.Prop):
+            if isinstance(e.base, str):
+                col = self.scope.prop(e.base, e.name)
+                if decimal_ctx:
+                    col = self._maybe_dec(col, e.base, e.name)
+                return col
+            base = self.compile(e.base)
+            if e.name.lower() in _DATE_COMPONENTS:
+                return _DATE_COMPONENTS[e.name.lower()](base)
+            self.scope.errors.append(
+                f"unsupported property access .{e.name} on expression"
+            )
+            return F.lit(None)
+        if isinstance(e, A.BinOp):
+            left = self.compile(e.left, decimal_ctx)
+            right = self.compile(e.right, decimal_ctx)
+            return {
+                "+": left + right,
+                "-": left - right,
+                "*": left * right,
+                "/": left / right,
+                "%": left % right,
+            }[e.op]
+        if isinstance(e, A.Cmp):
+            left = self.compile(e.left)
+            if e.op == "IN":
+                if isinstance(e.right, A.ListExpr):
+                    vals = [
+                        v.value for v in e.right.items if isinstance(v, A.Lit)
+                    ]
+                    return left.isin(vals)
+                self.scope.errors.append("IN requires a literal list")
+                return F.lit(False)
+            right = self.compile(e.right)
+            return {
+                "=": left == right,
+                "<>": left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+                "CONTAINS": left.contains(right),
+                "STARTS_WITH": left.startswith(right),
+                "ENDS_WITH": left.endswith(right),
+            }[e.op]
+        if isinstance(e, A.And):
+            out = self.compile(e.parts[0])
+            for p in e.parts[1:]:
+                out = out & self.compile(p)
+            return out
+        if isinstance(e, A.Or):
+            out = self.compile(e.parts[0])
+            for p in e.parts[1:]:
+                out = out | self.compile(p)
+            return out
+        if isinstance(e, A.Not):
+            return ~self.compile(e.part)
+        if isinstance(e, A.ListExpr):
+            return F.array(*[self.compile(i) for i in e.items])
+        if isinstance(e, A.FnCall):
+            return self._fn(e)
+        if isinstance(e, A.Star):
+            return F.lit(1)
+        raise CypherAnalysisError([f"cannot compile expression {e!r}"])
+
+    def _maybe_dec(self, col: Column, var: str, name: str) -> Column:
+        """Inside an exact sum(), cast double-typed property columns to
+        decimal so the aggregate is order-independent."""
+        try:
+            dtype = dict(self.scope.df.dtypes).get(f"{var}__{name}")
+        except Exception:
+            dtype = None
+        if dtype in ("double", "float"):
+            return col.cast(_DEC)
+        return col
+
+    def _fn(self, e: A.FnCall) -> Column:
+        name = e.name
+        if name == "count":
+            if len(e.args) == 1 and isinstance(e.args[0], A.Star):
+                return F.count(F.lit(1))
+            arg = self.compile(e.args[0])
+            return F.countDistinct(arg) if e.distinct else F.count(arg)
+        if name == "sum":
+            arg = self.compile(e.args[0], decimal_ctx=self.exact)
+            out = F.sum(arg)
+            return out.cast("double") if self.exact else out
+        if name == "avg":
+            if self.exact:
+                arg_dec = self.compile(e.args[0], decimal_ctx=True)
+                arg = self.compile(e.args[0])
+                return F.sum(arg_dec).cast("double") / F.count(arg)
+            return F.avg(self.compile(e.args[0]))
+        if name in ("min", "max"):
+            arg = self.compile(e.args[0])
+            return F.min(arg) if name == "min" else F.max(arg)
+        if name == "collect":
+            return F.collect_list(self.compile(e.args[0]))
+        if name in _SCALAR_FNS:
+            return _SCALAR_FNS[name]([self.compile(a) for a in e.args])
+        self.scope.errors.append(f"unknown function {name}()")
+        return F.lit(None)
+
+
+# ---------------------------------------------------------------------------
+# pattern → join plan
+# ---------------------------------------------------------------------------
+
+
+def _bind_patterns(
+    graph: PropertyGraph, patterns: list[A.PathPat]
+) -> tuple[DataFrame, dict[str, _BoundVar]]:
+    errors: list[str] = []
+    vars: dict[str, _BoundVar] = {}
+    df: DataFrame | None = None
+    bound_frames: set[str] = set()
+    anon = 0
+
+    def node_frame(var: str, label: str) -> DataFrame:
+        node_def = graph.schema.node(label)
+        frame = graph.nodes[label]
+        renamed = frame.select(
+            *[F.col(c).alias(f"{var}__{c}") for c in frame.columns]
+        )
+        vars[var] = _BoundVar(
+            "node", label, frame.columns, key=node_def.key
+        )
+        return renamed
+
+    def fresh(prefix: str) -> str:
+        nonlocal anon
+        anon += 1
+        return f"__{prefix}{anon}"
+
+    for pat in patterns:
+        # bind/attach the first node (mutating anonymous vars to their
+        # generated names keeps chain hops resolving to the same frame)
+        prev = pat.nodes[0]
+        prev_var = prev.var or fresh("n")
+        prev.var = prev_var
+        if prev_var not in vars:
+            if prev.label is None:
+                errors.append(
+                    f"node variable {prev_var!r} needs a label on first use"
+                )
+                raise CypherAnalysisError(errors)
+            if prev.label not in graph.nodes:
+                errors.append(f"unknown node label {prev.label!r}")
+                raise CypherAnalysisError(errors)
+            nf = node_frame(prev_var, prev.label)
+            df = nf if df is None else df.crossJoin(nf)
+        for edge_pat, node_pat in zip(pat.edges, pat.nodes[1:]):
+            # direction: reversed means pattern arrow points right-to-left
+            src_pat, dst_pat = (
+                (node_pat, prev) if edge_pat.reversed else (prev, node_pat)
+            )
+            if edge_pat.rel_type is None:
+                errors.append("untyped relationships are not supported")
+                raise CypherAnalysisError(errors)
+            if edge_pat.rel_type not in graph.edges:
+                errors.append(f"unknown relationship type {edge_pat.rel_type!r}")
+                raise CypherAnalysisError(errors)
+            meta = graph.edges[edge_pat.rel_type].meta
+
+            # resolve/attach endpoint nodes
+            def ensure_node(p: A.NodePat, expected_label: str) -> str:
+                v = p.var or fresh("n")
+                p.var = v
+                if v in vars:
+                    if p.label and vars[v].label != p.label:
+                        errors.append(
+                            f"variable {v!r} rebound to a different label"
+                        )
+                    return v
+                label = p.label or expected_label
+                if label not in graph.nodes:
+                    errors.append(f"unknown node label {label!r}")
+                    raise CypherAnalysisError(errors)
+                nonlocal df
+                nf = node_frame(v, label)
+                df = nf if df is None else df.crossJoin(nf)
+                return v
+
+            src_var = ensure_node(src_pat, meta.source)
+            dst_var = ensure_node(dst_pat, meta.target)
+            if vars[src_var].label != meta.source or vars[dst_var].label != meta.target:
+                errors.append(
+                    f"direction/label mismatch: ({vars[src_var].label})-"
+                    f"[:{edge_pat.rel_type}]->({vars[dst_var].label}) but "
+                    f"schema has ({meta.source})-[:{edge_pat.rel_type}]->"
+                    f"({meta.target})"
+                )
+                raise CypherAnalysisError(errors)
+
+            edge_var = edge_pat.var or fresh("r")
+            eframe = graph.edges[edge_pat.rel_type].df
+            renamed = eframe.select(
+                *[F.col(c).alias(f"{edge_var}__{c}") for c in eframe.columns]
+            )
+            vars[edge_var] = _BoundVar(
+                "edge", edge_pat.rel_type, meta.properties
+            )
+            src_key = f"{src_var}__{graph.schema.node(meta.source).key}"
+            dst_key = f"{dst_var}__{graph.schema.node(meta.target).key}"
+            assert df is not None
+            # one inner join with the full conjunction — both endpoint
+            # frames are already attached, so Catalyst reorders the
+            # earlier crossJoin into equi joins (no cartesian survives;
+            # asserted in tests via the physical plan)
+            df = df.join(
+                renamed,
+                (F.col(f"{edge_var}__src") == F.col(src_key))
+                & (F.col(f"{edge_var}__dst") == F.col(dst_key)),
+            )
+            prev = node_pat
+            prev_var = node_pat.var
+
+    if errors:
+        raise CypherAnalysisError(errors)
+    assert df is not None
+    return df, vars
+
+
+def _project(
+    df: DataFrame,
+    proj: A.Projection,
+    scope: _Scope,
+    exact: bool,
+) -> tuple[DataFrame, set[str]]:
+    comp = _ExprCompiler(scope, exact)
+    names = [item.out_name().replace(".", "_") for item in proj.items]
+    has_agg = any(_is_aggregate(item.expr) for item in proj.items)
+    if has_agg:
+        keys = [
+            (item, name)
+            for item, name in zip(proj.items, names)
+            if not _is_aggregate(item.expr)
+        ]
+        aggs = [
+            (item, name)
+            for item, name in zip(proj.items, names)
+            if _is_aggregate(item.expr)
+        ]
+        key_cols = [comp.compile(i.expr).alias(n) for i, n in keys]
+        agg_cols = [comp.compile(i.expr).alias(n) for i, n in aggs]
+        if scope.errors:
+            raise CypherAnalysisError(scope.errors)
+        grouped = df.groupBy(*key_cols) if key_cols else df.groupBy()
+        out = grouped.agg(*agg_cols)
+        # groupBy(expr.alias) keeps the alias as the output column name
+    else:
+        cols = [comp.compile(i.expr).alias(n) for i, n in zip(proj.items, names)]
+        if scope.errors:
+            raise CypherAnalysisError(scope.errors)
+        out = df.select(*cols)
+    if proj.distinct:
+        out = out.distinct()
+    return out, set(names)
+
+
+def compile_cypher(
+    graph: PropertyGraph,
+    query: A.Query | str,
+    exact_decimal_sums: bool = True,
+) -> DataFrame:
+    """Compile a parsed (or source-text) Cypher query to a DataFrame."""
+    from project_graphdb_spark.cypher.parser import parse
+
+    q = parse(query) if isinstance(query, str) else query
+    df, vars = _bind_patterns(graph, q.patterns)
+    scope = _Scope(vars, None, df)
+    comp = _ExprCompiler(scope, exact_decimal_sums)
+
+    if q.where is not None:
+        cond = comp.compile(q.where)
+        if scope.errors:
+            raise CypherAnalysisError(scope.errors)
+        df = df.filter(cond)
+        scope.df = df
+
+    flat: set[str] | None = None
+    if q.with_clause is not None:
+        df, flat = _project(df, q.with_clause, scope, exact_decimal_sums)
+        scope = _Scope(None, flat, df)
+        if q.with_where is not None:
+            comp2 = _ExprCompiler(scope, exact_decimal_sums)
+            cond = comp2.compile(q.with_where)
+            if scope.errors:
+                raise CypherAnalysisError(scope.errors)
+            df = df.filter(cond)
+            scope.df = df
+
+    assert q.ret is not None
+    df, out_names = _project(df, q.ret, scope, exact_decimal_sums)
+
+    if q.order_by:
+        out_scope = _Scope(None, out_names, df)
+        ocomp = _ExprCompiler(out_scope, exact_decimal_sums)
+        keys = []
+        for ok in q.order_by:
+            col = ocomp.compile(ok.expr)
+            keys.append(col.asc() if ok.ascending else col.desc())
+        if out_scope.errors:
+            raise CypherAnalysisError(out_scope.errors)
+        df = df.orderBy(*keys)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def validate_cypher(
+    graph: PropertyGraph, text: str
+) -> list[str]:
+    """Parse + analyze without executing; returns error messages (empty
+    = valid). The Spark analog of the reference's EXPLAIN round-trip
+    (final/langraph_neo4j3.py:320-324)."""
+    from project_graphdb_spark.cypher.parser import CypherSyntaxError, parse
+
+    try:
+        q = parse(text)
+    except CypherSyntaxError as e:
+        return [f"syntax: {e}"]
+    try:
+        compile_cypher(graph, q)
+    except CypherAnalysisError as e:
+        return e.errors
+    return []

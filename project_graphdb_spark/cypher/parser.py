@@ -1,0 +1,374 @@
+"""Tokenizer + recursive-descent parser for the Cypher subset.
+
+Grammar (case-insensitive keywords)::
+
+    query     := MATCH pattern (',' pattern)* [WHERE expr]
+                 [WITH items [WHERE expr]]
+                 RETURN [DISTINCT] items
+                 [ORDER BY key (',' key)*] [LIMIT int]
+    pattern   := node (edge node)*
+    node      := '(' [var] [':' label] ')'
+    edge      := '-[' [var] [':' type] ']->' | '<-[' [var] [':' type] ']-'
+    items     := expr [AS alias] (',' expr [AS alias])*
+
+Expressions support AND/OR/NOT, the C7 comparison set (=, <>, <, <=, >,
+>=, IN, CONTAINS, STARTS WITH, ENDS WITH), arithmetic, literals, lists,
+function calls (incl. DISTINCT args), property access (``a.b``, also on
+call results: ``date(x).year``), and ``*`` inside ``count(*)``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from project_graphdb_spark.cypher.ast import (
+    And,
+    BinOp,
+    Cmp,
+    EdgePat,
+    Expr,
+    FnCall,
+    Item,
+    ListExpr,
+    Lit,
+    NodePat,
+    Not,
+    Or,
+    OrderKey,
+    PathPat,
+    Projection,
+    Prop,
+    Query,
+    Star,
+    Var,
+)
+
+
+class CypherSyntaxError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<arrow_in>&lt;-\[|<-\[)
+  | (?P<larrow>\]->)
+  | (?P<ledge>-\[)
+  | (?P<redge>\]-)
+  | (?P<op><>|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:)
+  | (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "match", "where", "with", "return", "order", "by", "limit", "as",
+    "and", "or", "not", "in", "contains", "starts", "ends", "distinct",
+    "asc", "ascending", "desc", "descending", "true", "false", "null",
+}
+
+
+def tokenize(text: str) -> list[tuple[str, str]]:
+    tokens: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise CypherSyntaxError(
+                f"unexpected character {text[pos]!r} at offset {pos}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group()
+        if kind == "ws":
+            continue
+        if kind == "ident":
+            if val.startswith("`"):
+                tokens.append(("ident", val[1:-1]))
+            elif val.lower() in KEYWORDS:
+                tokens.append(("kw", val.lower()))
+            else:
+                tokens.append(("ident", val))
+        elif kind == "str":
+            raw = val[1:-1]
+            tokens.append(("str", re.sub(r"\\(.)", r"\1", raw)))
+        elif kind == "num":
+            tokens.append(("num", val))
+        elif kind == "arrow_in":
+            tokens.append(("<-[", val))
+        elif kind == "larrow":
+            tokens.append(("]->", val))
+        elif kind == "ledge":
+            tokens.append(("-[", val))
+        elif kind == "redge":
+            tokens.append(("]-", val))
+        else:
+            tokens.append((val, val))
+    tokens.append(("eof", ""))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers ---------------------------------------------------
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def accept(self, kind: str, value: str | None = None) -> str | None:
+        k, v = self.peek()
+        if k == kind and (value is None or v == value):
+            self.i += 1
+            return v
+        return None
+
+    def expect(self, kind: str, value: str | None = None) -> str:
+        got = self.accept(kind, value)
+        if got is None:
+            k, v = self.peek()
+            raise CypherSyntaxError(
+                f"expected {value or kind}, got {v!r} (token {self.i})"
+            )
+        return got
+
+    def at_kw(self, *kws: str) -> bool:
+        k, v = self.peek()
+        return k == "kw" and v in kws
+
+    # -- grammar ---------------------------------------------------------
+
+    def parse_query(self) -> Query:
+        self.expect("kw", "match")
+        patterns = [self.parse_pattern()]
+        while self.accept(","):
+            # allow "MATCH p1, p2" and "MATCH p1 MATCH p2" alike
+            patterns.append(self.parse_pattern())
+        while self.accept("kw", "match"):
+            patterns.append(self.parse_pattern())
+            while self.accept(","):
+                patterns.append(self.parse_pattern())
+        q = Query(patterns=patterns)
+        if self.accept("kw", "where"):
+            q.where = self.parse_expr()
+        if self.accept("kw", "with"):
+            q.with_clause = self.parse_projection()
+            if self.accept("kw", "where"):
+                q.with_where = self.parse_expr()
+        self.expect("kw", "return")
+        q.ret = self.parse_projection()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            q.order_by.append(self.parse_order_key())
+            while self.accept(","):
+                q.order_by.append(self.parse_order_key())
+        if self.accept("kw", "limit"):
+            q.limit = int(self.expect("num"))
+        self.expect("eof")
+        return q
+
+    def parse_pattern(self) -> PathPat:
+        nodes = [self.parse_node()]
+        edges: list[EdgePat] = []
+        while True:
+            k, _ = self.peek()
+            if k == "-[":
+                self.next()
+                var, typ = self.parse_edge_body()
+                self.expect("]->")
+                edges.append(EdgePat(var, typ, reversed=False))
+            elif k == "<-[":
+                self.next()
+                var, typ = self.parse_edge_body()
+                self.expect("]-")
+                edges.append(EdgePat(var, typ, reversed=True))
+            else:
+                break
+            nodes.append(self.parse_node())
+        return PathPat(nodes=nodes, edges=edges)
+
+    def parse_node(self) -> NodePat:
+        self.expect("(")
+        var = None
+        label = None
+        k, v = self.peek()
+        if k == "ident":
+            var = self.next()[1]
+        if self.accept(":"):
+            label = self.expect("ident")
+        self.expect(")")
+        return NodePat(var=var, label=label)
+
+    def parse_edge_body(self) -> tuple[str | None, str | None]:
+        var = None
+        typ = None
+        k, v = self.peek()
+        if k == "ident":
+            var = self.next()[1]
+        if self.accept(":"):
+            typ = self.expect("ident")
+        return var, typ
+
+    def parse_projection(self) -> Projection:
+        distinct = bool(self.accept("kw", "distinct"))
+        items = [self.parse_item()]
+        while self.accept(","):
+            items.append(self.parse_item())
+        return Projection(items=items, distinct=distinct)
+
+    def parse_item(self) -> Item:
+        expr = self.parse_expr()
+        alias = None
+        if self.accept("kw", "as"):
+            k, v = self.next()
+            if k not in ("ident", "kw"):
+                raise CypherSyntaxError(f"bad alias {v!r}")
+            alias = v
+        return Item(expr=expr, alias=alias)
+
+    def parse_order_key(self) -> OrderKey:
+        expr = self.parse_expr()
+        asc = True
+        if self.accept("kw", "asc") or self.accept("kw", "ascending"):
+            asc = True
+        elif self.accept("kw", "desc") or self.accept("kw", "descending"):
+            asc = False
+        return OrderKey(expr=expr, ascending=asc)
+
+    # -- expressions -----------------------------------------------------
+
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        parts = [self.parse_and()]
+        while self.accept("kw", "or"):
+            parts.append(self.parse_and())
+        return parts[0] if len(parts) == 1 else Or(parts)
+
+    def parse_and(self) -> Expr:
+        parts = [self.parse_not()]
+        while self.accept("kw", "and"):
+            parts.append(self.parse_not())
+        return parts[0] if len(parts) == 1 else And(parts)
+
+    def parse_not(self) -> Expr:
+        if self.accept("kw", "not"):
+            return Not(self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Expr:
+        left = self.parse_add()
+        k, v = self.peek()
+        if k in ("=", "<>", "<", "<=", ">", ">="):
+            self.next()
+            return Cmp(k, left, self.parse_add())
+        if self.at_kw("in"):
+            self.next()
+            return Cmp("IN", left, self.parse_add())
+        if self.at_kw("contains"):
+            self.next()
+            return Cmp("CONTAINS", left, self.parse_add())
+        if self.at_kw("starts"):
+            self.next()
+            self.expect("kw", "with")
+            return Cmp("STARTS_WITH", left, self.parse_add())
+        if self.at_kw("ends"):
+            self.next()
+            self.expect("kw", "with")
+            return Cmp("ENDS_WITH", left, self.parse_add())
+        return left
+
+    def parse_add(self) -> Expr:
+        left = self.parse_mul()
+        while True:
+            k, _ = self.peek()
+            if k in ("+", "-"):
+                self.next()
+                left = BinOp(k, left, self.parse_mul())
+            else:
+                return left
+
+    def parse_mul(self) -> Expr:
+        left = self.parse_unary()
+        while True:
+            k, _ = self.peek()
+            if k in ("*", "/", "%"):
+                # '*' is also RETURN-star; only treat as op inside expr
+                self.next()
+                left = BinOp(k, left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self) -> Expr:
+        if self.accept("-"):
+            return BinOp("-", Lit(0), self.parse_unary())
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Expr:
+        e = self.parse_primary()
+        while self.accept("."):
+            name = self.expect("ident")
+            if isinstance(e, Var):
+                e = Prop(base=e.name, name=name)
+            else:
+                e = Prop(base=e, name=name)
+        return e
+
+    def parse_primary(self) -> Expr:
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            return Lit(float(v) if "." in v else int(v))
+        if k == "str":
+            self.next()
+            return Lit(v)
+        if k == "kw" and v in ("true", "false"):
+            self.next()
+            return Lit(v == "true")
+        if k == "kw" and v == "null":
+            self.next()
+            return Lit(None)
+        if k == "*":
+            self.next()
+            return Star()
+        if k == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if k == "[":
+            self.next()
+            items = []
+            if not self.accept("]"):
+                items.append(self.parse_expr())
+                while self.accept(","):
+                    items.append(self.parse_expr())
+                self.expect("]")
+            return ListExpr(items)
+        if k == "ident":
+            self.next()
+            if self.accept("("):
+                distinct = bool(self.accept("kw", "distinct"))
+                args: list[Expr] = []
+                if not self.accept(")"):
+                    args.append(self.parse_expr())
+                    while self.accept(","):
+                        args.append(self.parse_expr())
+                    self.expect(")")
+                return FnCall(v.lower(), args, distinct=distinct)
+            return Var(v)
+        raise CypherSyntaxError(f"unexpected token {v!r} in expression")
+
+
+def parse(text: str) -> Query:
+    return _Parser(tokenize(text)).parse_query()

@@ -1,0 +1,120 @@
+"""Parser / compiler / corrector unit tests for the Cypher subset."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_graphdb_spark.cypher import (
+    CypherAnalysisError,
+    compile_cypher,
+    correct_directions,
+    parse,
+)
+from project_graphdb_spark.cypher.ast import Cmp, FnCall, Prop
+from project_graphdb_spark.cypher.compiler import validate_cypher
+from project_graphdb_spark.cypher.parser import CypherSyntaxError
+from project_graphdb_spark.graph.builder import tpch_graph
+
+
+def test_parse_shapes():
+    q = parse(
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE o.o_totalprice > 100 AND p.p_brand IN ['Brand#1'] "
+        "WITH p.p_brand AS b, sum(ci.l_quantity) AS q "
+        "RETURN b, q ORDER BY q DESC LIMIT 5"
+    )
+    assert len(q.patterns) == 1
+    pat = q.patterns[0]
+    assert [n.label for n in pat.nodes] == ["Orders", "Part"]
+    assert pat.edges[0].rel_type == "CONTAINS_ITEM"
+    assert not pat.edges[0].reversed
+    assert q.limit == 5 and not q.order_by[0].ascending
+    assert isinstance(q.where, object)
+
+
+def test_parse_reversed_and_multi():
+    q = parse(
+        "MATCH (c:Customer)<-[:PLACED_BY]-(o:Orders), (o)-[x:CONTAINS_ITEM]->(p:Part) "
+        "RETURN count(*) AS n"
+    )
+    assert q.patterns[0].edges[0].reversed
+    assert q.patterns[1].nodes[0].var == "o"
+    item = q.ret.items[0]
+    assert isinstance(item.expr, FnCall) and item.alias == "n"
+
+
+def test_parse_errors():
+    with pytest.raises(CypherSyntaxError):
+        parse("MATCH (a:Label RETURN a")
+    with pytest.raises(CypherSyntaxError):
+        parse("RETURN 1")  # no MATCH support yet -> syntax error
+
+
+def test_date_component_access():
+    q = parse("MATCH (o:Orders) RETURN date(o.o_orderdate).year AS y")
+    e = q.ret.items[0].expr
+    assert isinstance(e, Prop) and e.name == "year"
+
+
+def test_compile_matches_dataframe_api(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) "
+        "WHERE c.c_mktsegment = 'MACHINERY' AND o.o_totalprice >= 300000 "
+        "RETURN o.o_orderkey AS o_orderkey ORDER BY o_orderkey",
+    )
+    from project_graphdb_spark.operators.graph_queries import (
+        g_machinery_big_orders,
+    )
+
+    expected = [r.o_orderkey for r in g_machinery_big_orders(spark, sf_dir).collect()]
+    got = [r.o_orderkey for r in df.collect()]
+    assert got == expected
+
+
+def test_no_cartesian_in_multi_pattern(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer), "
+        "(o)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN p.p_brand AS brand, count(*) AS n",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_validation_and_correction(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    assert validate_cypher(g, "MATCH (n:Nope) RETURN n") == [
+        "unknown node label 'Nope'"
+    ]
+    assert validate_cypher(
+        g, "MATCH (c:Customer) RETURN c.bogus"
+    ) == ["unknown property 'bogus' on c:Customer"]
+    assert validate_cypher(g, "MATCH (c:Customer) RETURN c.c_name") == []
+
+    # wrong direction -> analysis error; corrector fixes it
+    bad = "MATCH (c:Customer)-[:PLACED_BY]->(o:Orders) RETURN count(*) AS n"
+    q = parse(bad)
+    with pytest.raises(CypherAnalysisError):
+        compile_cypher(g, parse(bad))
+    notes = correct_directions(g, q)
+    assert notes and "PLACED_BY" in notes[0]
+    assert compile_cypher(g, q).collect()[0].n == g.edge("PLACED_BY").count()
+
+
+def test_implicit_grouping_and_distinct(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg",
+    )
+    assert df.count() == 5
+    df2 = compile_cypher(
+        g,
+        "MATCH (o:Orders) RETURN o.o_orderstatus AS st, count(*) AS n",
+    )
+    rows = {r.st: r.n for r in df2.collect()}
+    assert sum(rows.values()) == g.node("Orders").count()
