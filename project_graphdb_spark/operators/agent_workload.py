@@ -1,0 +1,54 @@
+"""Workload entries that exercise the full agent pipeline (D1-D5):
+question → template planner → validate (direction-correct, value-probe)
+→ compile → DataFrame. The driver's oracle check then covers the whole
+NL-question path, not just the compiler."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_graphdb_spark.agent.workflow import TemplatePlanner
+from project_graphdb_spark.cypher.compiler import compile_cypher
+from project_graphdb_spark.cypher.corrector import correct_directions
+from project_graphdb_spark.cypher.parser import parse
+from project_graphdb_spark.graph.builder import tpch_graph
+from project_graphdb_spark.operators.exact import SQL_DEC
+from project_graphdb_spark.workload import register
+
+
+def _ask(spark: SparkSession, sf_dir: str, question: str) -> DataFrame:
+    """The workflow's generate→validate→compile stages, returning the
+    compiled DataFrame (the driver collects; ref executes at :455-465)."""
+    graph = tpch_graph(spark, sf_dir)
+    planner = TemplatePlanner()
+    query = parse(planner.generate_cypher(question, graph.schema.describe()))
+    correct_directions(graph, query)
+    return compile_cypher(graph, query)
+
+
+@register(
+    "agent_total_sales_2000",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS total_sales
+    FROM orders WHERE year(o_orderdate) = 2000
+    """,
+    description="D1-D4 pipeline on the RCA checkpoint question "
+    "'total sales for year N' (ref rca_tool_class.ipynb:371)",
+)
+def agent_total_sales_2000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ask(spark, sf_dir, "total sales for year 2000")
+
+
+@register(
+    "agent_top5_customers",
+    oracle=f"""
+    SELECT c_name AS name,
+           CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY revenue DESC, name LIMIT 5
+    """,
+    description="D1-D4 pipeline incl. the direction-correction stage "
+    "(the template emits a reversed arrow)",
+)
+def agent_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ask(spark, sf_dir, "top 5 customers by revenue")

@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         return
     # imports are for their @register side effects
     from project_graphdb_spark.operators import (  # noqa: F401
+        agent_workload,
         cypher_workload,
         dedup,
         graph_queries,
