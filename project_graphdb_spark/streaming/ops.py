@@ -1,0 +1,118 @@
+"""Streaming operators over the ``events`` table.
+
+The reference has no data-stream abstraction (its "streaming" is
+chunked HTTP of agent events, reference: final/app.py:157-164); this is
+the §2.E gap surface built on Structured Streaming. Every transformation
+here is written against a plain DataFrame — the *same* function works on
+``spark.read`` (batch, used by the oracle gate) and ``spark.readStream``
+(incremental); that unification is the point of Structured Streaming.
+
+Streaming-only concerns (watermarks, output modes, memory-sink tests)
+live in tests/test_streaming.py; ``with_watermark=True`` adds the event-
+time watermark needed for append-mode aggregation state cleanup.
+
+Scale: windowed aggregations shuffle on (window, key) — state store
+size is bounded by the watermark horizon; ``session_window`` merges
+per-key sessions with the same bound. The lag/cumsum sessionization is
+the batch-backfill twin of the streaming session_window path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.operators.exact import dec
+
+SESSION_GAP_SECONDS = 1800
+
+
+def _maybe_watermark(df: DataFrame, with_watermark: bool) -> DataFrame:
+    return df.withWatermark("ts", "1 hour") if with_watermark else df
+
+
+def tumbling_window_stats(
+    events: DataFrame, with_watermark: bool = False
+) -> DataFrame:
+    """Hourly tumbling window x event_type: count + exact value sum."""
+    out = (
+        _maybe_watermark(events, with_watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, with_watermark: bool = False
+) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in 2)."""
+    out = (
+        _maybe_watermark(events, with_watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"), "n_events"
+    )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Batch sessionization: per-user sessions split on >30 min gaps
+    (lag + cumulative sum — the classic windowed formulation).
+
+    The streaming twin is ``session_window(ts, '30 minutes')``; this
+    batch form exists so sessions are oracle-checkable and backfills
+    use the same semantics.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = (
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1)
+        .otherwise(0)
+    )
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def streaming_session_counts(events: DataFrame) -> DataFrame:
+    """Native streaming session windows (30-minute gap) per user."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def distinct_user_events(events: DataFrame) -> DataFrame:
+    """(user_id, event_type) distinct — batch twin of
+    ``dropDuplicatesWithinWatermark`` streaming dedup."""
+    return events.select("user_id", "event_type").distinct()

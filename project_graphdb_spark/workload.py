@@ -86,7 +86,9 @@ def _ensure_loaded() -> None:
         agent_workload,
         cypher_workload,
         dedup,
+        graph_algo_workload,
         graph_queries,
+        streaming_workload,
         multimodal,
         relational,
         similarity,
