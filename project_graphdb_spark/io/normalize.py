@@ -79,9 +79,9 @@ def normalize_table(
                 out = out.drop(col)
         elif affinity == "bigint":
             # coerce-to-null like pd.to_numeric(errors="coerce")
-            out = out.withColumn(col, F.try_cast(F.col(col), "bigint"))
+            out = out.withColumn(col, F.col(col).try_cast("bigint"))
         elif affinity == "double":
-            out = out.withColumn(col, F.try_cast(F.col(col), "double"))
+            out = out.withColumn(col, F.col(col).try_cast("double"))
         elif affinity == "binary":
             pass  # passthrough
         else:

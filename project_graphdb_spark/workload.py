@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         similarity,
+        sqlite_workload,
         text,
     )
 
