@@ -112,6 +112,45 @@ def streaming_session_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (§2.E): running per-user event
+    count + max event time via ``applyInPandasWithState``.
+
+    This is the escape hatch for operators Spark's windowed aggregations
+    can't express (arbitrary per-key state machines). State is one tiny
+    row per user; the grouping shuffle partitions by user_id so state
+    stores scale horizontally with keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, last_ts timestamp"
+    state_schema = "n bigint, last bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                last = max(last, int(pd.to_datetime(pdf["ts"]).astype("int64").max()))
+        state.update((n, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last, unit="ns")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def distinct_user_events(events: DataFrame) -> DataFrame:
     """(user_id, event_type) distinct — batch twin of
     ``dropDuplicatesWithinWatermark`` streaming dedup."""

@@ -1,0 +1,149 @@
+"""Structured Streaming: the same transformation functions that pass the
+batch oracle gate run here against ``readStream``, plus the
+streaming-only surfaces (session_window, dropDuplicatesWithinWatermark,
+applyInPandasWithState custom state).
+
+Strategy: stage the sf0.001 events as a multi-file parquet directory,
+stream it with a memory sink, ``processAllAvailable()``, and compare the
+sink table to the identical batch computation — batch/stream unification
+is exactly what Structured Streaming promises, so equality is the test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+from project_graphdb_spark.streaming.ops import (
+    sessionize,
+    stateful_user_counts,
+    streaming_session_counts,
+    tumbling_window_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """events re-staged as 4 parquet files with micros timestamps
+    (the raw file is TIMESTAMP(NANOS), unreadable by the streaming
+    source's vectorized reader)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    batch = load_table(spark, SF, "events")
+    batch.repartition(4).write.parquet(path)
+    out = spark.read.parquet(path)
+    return path, out
+
+
+def _run_to_memory(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_stream_matches_batch(spark, staged):
+    path, batch = staged
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    name = _run_to_memory(
+        tumbling_window_stats(stream, with_watermark=True),
+        "t_tumbling",
+        "complete",
+    )
+    got = _rows(spark.table(name), "window_start", "event_type")
+    want = _rows(tumbling_window_stats(batch), "window_start", "event_type")
+    assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, staged):
+    path, batch = staged
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    name = _run_to_memory(
+        streaming_session_counts(stream), "t_sessions", "complete"
+    )
+    got = _rows(spark.table(name), "user_id", "session_start")
+    # session_window is batch-runnable too — same function, same result
+    want = _rows(
+        batch.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        ),
+        "user_id",
+        "session_start",
+    )
+    assert got == want
+
+
+def test_session_window_agrees_with_lag_cumsum_twin(spark, staged):
+    """The batch lag+cumsum sessionization and session_window must agree
+    on session count and total events per user (same 30-min gap rule)."""
+    _, batch = staged
+    twin = (
+        sessionize(batch)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    native = (
+        batch.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    assert _rows(twin, "user_id") == _rows(native, "user_id")
+
+
+def test_drop_duplicates_within_watermark(spark, staged):
+    path, batch = staged
+    # duplicate every event: union of the staged dir with itself
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    doubled = stream.unionByName(stream)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = _run_to_memory(deduped, "t_dedup", "append")
+    assert spark.table(name).count() == batch.count()
+
+
+def test_stateful_user_counts(spark, staged):
+    path, batch = staged
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    name = _run_to_memory(
+        stateful_user_counts(stream), "t_state", "update"
+    )
+    # the last update per user carries the final running count
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    want = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    assert _rows(final, "user_id") == _rows(want, "user_id")
