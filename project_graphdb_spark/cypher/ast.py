@@ -97,6 +97,13 @@ class EdgePat:
     var: str | None
     rel_type: str | None
     reversed: bool  # True for <-[...]-
+    # variable-length: [*], [*n], [*n..m] — None/None means single hop
+    min_hops: int | None = None
+    max_hops: int | None = None
+
+    @property
+    def var_length(self) -> bool:
+        return self.min_hops is not None
 
 
 @dataclass

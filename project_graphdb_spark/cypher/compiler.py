@@ -257,6 +257,54 @@ class _ExprCompiler:
 # pattern → join plan
 # ---------------------------------------------------------------------------
 
+# bound expansion for [*..] with no explicit upper bound — unbounded
+# var-length on a large graph is a query bug, not a feature
+_MAX_VAR_HOPS = 10
+
+
+def _var_length_pairs(
+    graph: PropertyGraph, rel_type: str | None, lo: int, hi: int
+) -> DataFrame:
+    """Distinct (src_id, dst_id) pairs connected by a directed path of
+    ``lo..hi`` edges (all of ``rel_type`` if given, else any type), in
+    the unified ``Label:key`` id space.
+
+    Reachability (DISTINCT-pairs) semantics — equivalent to Cypher's
+    ``MATCH (a)-[*lo..hi]->(b) RETURN DISTINCT a, b``. Each hop is one
+    self-join + distinct; ``hi`` is bounded so lineage stays shallow and
+    the plan remains lazy (no checkpoint needed).
+    """
+    from project_graphdb_spark.graph.algorithms import unified_edges
+
+    if rel_type is not None:
+        ef = graph.edges[rel_type]
+        meta = ef.meta
+        edges = ef.df.select(
+            F.concat_ws(
+                ":", F.lit(meta.source), F.col("src").cast("string")
+            ).alias("src"),
+            F.concat_ws(
+                ":", F.lit(meta.target), F.col("dst").cast("string")
+            ).alias("dst"),
+        ).distinct()
+    else:
+        edges = unified_edges(graph)
+
+    acc: DataFrame | None = None
+    frontier = edges
+    for hop in range(1, hi + 1):
+        if hop >= lo:
+            acc = frontier if acc is None else acc.unionByName(frontier)
+        if hop < hi:
+            nxt = frontier.alias("f").join(
+                edges.alias("e"), F.col("f.dst") == F.col("e.src")
+            )
+            frontier = nxt.select(
+                F.col("f.src").alias("src"), F.col("e.dst").alias("dst")
+            ).distinct()
+    assert acc is not None
+    return acc.distinct()
+
 
 def _bind_patterns(
     graph: PropertyGraph, patterns: list[A.PathPat]
@@ -283,6 +331,88 @@ def _bind_patterns(
         anon += 1
         return f"__{prefix}{anon}"
 
+    def attach_endpoint(p: A.NodePat, expected_label: str | None) -> str:
+        """Bind (or reuse) an endpoint node variable and attach its
+        frame; shared with the var-length path below."""
+        nonlocal df
+        v = p.var or fresh("n")
+        p.var = v
+        if v in vars:
+            if p.label and vars[v].label != p.label:
+                errors.append(f"variable {v!r} rebound to a different label")
+            return v
+        label = p.label or expected_label
+        if label is None:
+            errors.append(
+                f"endpoint {v!r} of a variable-length pattern needs an "
+                "explicit label"
+            )
+            raise CypherAnalysisError(errors)
+        if label not in graph.nodes:
+            errors.append(f"unknown node label {label!r}")
+            raise CypherAnalysisError(errors)
+        nf = node_frame(v, label)
+        df = nf if df is None else df.crossJoin(nf)
+        return v
+
+    def bind_var_length(
+        edge_pat: A.EdgePat, src_pat: A.NodePat, dst_pat: A.NodePat
+    ) -> None:
+        """Lower ``-[:T*lo..hi]->`` to a join against the distinct
+        reachable-pairs frame (see :func:`_var_length_pairs`)."""
+        nonlocal df
+        if edge_pat.var:
+            errors.append(
+                "binding a variable to a variable-length relationship "
+                "is not supported"
+            )
+            raise CypherAnalysisError(errors)
+        lo = edge_pat.min_hops or 1
+        hi = edge_pat.max_hops if edge_pat.max_hops is not None else _MAX_VAR_HOPS
+        if lo < 1 or hi < lo:
+            errors.append(f"invalid hop range *{edge_pat.min_hops}..{edge_pat.max_hops}")
+            raise CypherAnalysisError(errors)
+        if hi > _MAX_VAR_HOPS:
+            errors.append(
+                f"variable-length upper bound {hi} exceeds the engine cap "
+                f"{_MAX_VAR_HOPS}"
+            )
+            raise CypherAnalysisError(errors)
+        exp_src = exp_dst = None
+        if edge_pat.rel_type is not None:
+            if edge_pat.rel_type not in graph.edges:
+                errors.append(
+                    f"unknown relationship type {edge_pat.rel_type!r}"
+                )
+                raise CypherAnalysisError(errors)
+            meta = graph.edges[edge_pat.rel_type].meta
+            exp_src, exp_dst = meta.source, meta.target
+        src_var = attach_endpoint(src_pat, exp_src)
+        dst_var = attach_endpoint(dst_pat, exp_dst)
+
+        tag = fresh("vl")
+        pairs = _var_length_pairs(graph, edge_pat.rel_type, lo, hi).select(
+            F.col("src").alias(f"{tag}__src"),
+            F.col("dst").alias(f"{tag}__dst"),
+        )
+        src_b, dst_b = vars[src_var], vars[dst_var]
+        src_id = F.concat_ws(
+            ":",
+            F.lit(src_b.label),
+            F.col(f"{src_var}__{src_b.key}").cast("string"),
+        )
+        dst_id = F.concat_ws(
+            ":",
+            F.lit(dst_b.label),
+            F.col(f"{dst_var}__{dst_b.key}").cast("string"),
+        )
+        assert df is not None
+        df = df.join(
+            pairs,
+            (F.col(f"{tag}__src") == src_id)
+            & (F.col(f"{tag}__dst") == dst_id),
+        )
+
     for pat in patterns:
         # bind/attach the first node (mutating anonymous vars to their
         # generated names keeps chain hops resolving to the same frame)
@@ -305,6 +435,11 @@ def _bind_patterns(
             src_pat, dst_pat = (
                 (node_pat, prev) if edge_pat.reversed else (prev, node_pat)
             )
+            if edge_pat.var_length:
+                bind_var_length(edge_pat, src_pat, dst_pat)
+                prev = node_pat
+                prev_var = node_pat.var
+                continue
             if edge_pat.rel_type is None:
                 errors.append("untyped relationships are not supported")
                 raise CypherAnalysisError(errors)
@@ -313,27 +448,8 @@ def _bind_patterns(
                 raise CypherAnalysisError(errors)
             meta = graph.edges[edge_pat.rel_type].meta
 
-            # resolve/attach endpoint nodes
-            def ensure_node(p: A.NodePat, expected_label: str) -> str:
-                v = p.var or fresh("n")
-                p.var = v
-                if v in vars:
-                    if p.label and vars[v].label != p.label:
-                        errors.append(
-                            f"variable {v!r} rebound to a different label"
-                        )
-                    return v
-                label = p.label or expected_label
-                if label not in graph.nodes:
-                    errors.append(f"unknown node label {label!r}")
-                    raise CypherAnalysisError(errors)
-                nonlocal df
-                nf = node_frame(v, label)
-                df = nf if df is None else df.crossJoin(nf)
-                return v
-
-            src_var = ensure_node(src_pat, meta.source)
-            dst_var = ensure_node(dst_pat, meta.target)
+            src_var = attach_endpoint(src_pat, meta.source)
+            dst_var = attach_endpoint(dst_pat, meta.target)
             if vars[src_var].label != meta.source or vars[dst_var].label != meta.target:
                 errors.append(
                     f"direction/label mismatch: ({vars[src_var].label})-"

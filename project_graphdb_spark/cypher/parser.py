@@ -183,14 +183,14 @@ class _Parser:
             k, _ = self.peek()
             if k == "-[":
                 self.next()
-                var, typ = self.parse_edge_body()
+                var, typ, lo, hi = self.parse_edge_body()
                 self.expect("]->")
-                edges.append(EdgePat(var, typ, reversed=False))
+                edges.append(EdgePat(var, typ, False, lo, hi))
             elif k == "<-[":
                 self.next()
-                var, typ = self.parse_edge_body()
+                var, typ, lo, hi = self.parse_edge_body()
                 self.expect("]-")
-                edges.append(EdgePat(var, typ, reversed=True))
+                edges.append(EdgePat(var, typ, True, lo, hi))
             else:
                 break
             nodes.append(self.parse_node())
@@ -208,15 +208,29 @@ class _Parser:
         self.expect(")")
         return NodePat(var=var, label=label)
 
-    def parse_edge_body(self) -> tuple[str | None, str | None]:
+    def parse_edge_body(
+        self,
+    ) -> tuple[str | None, str | None, int | None, int | None]:
         var = None
         typ = None
+        lo = hi = None
         k, v = self.peek()
         if k == "ident":
             var = self.next()[1]
         if self.accept(":"):
             typ = self.expect("ident")
-        return var, typ
+        if self.accept("*"):
+            # [*] => 1..DEFAULT; [*n] => n..n; [*n..m] => n..m
+            lo, hi = 1, None
+            if self.peek()[0] == "num":
+                lo = int(self.expect("num"))
+                hi = lo
+            if self.accept("."):
+                self.expect(".")
+                hi = None
+                if self.peek()[0] == "num":
+                    hi = int(self.expect("num"))
+        return var, typ, lo, hi
 
     def parse_projection(self) -> Projection:
         distinct = bool(self.accept("kw", "distinct"))

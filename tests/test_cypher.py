@@ -118,3 +118,69 @@ def test_implicit_grouping_and_distinct(spark, sf_dir):
     )
     rows = {r.st: r.n for r in df2.collect()}
     assert sum(rows.values()) == g.node("Orders").count()
+
+
+def test_parse_var_length():
+    q = parse("MATCH (c:Customer)-[*1..3]->(r:Region) RETURN count(*) AS n")
+    e = q.patterns[0].edges[0]
+    assert e.var_length and e.min_hops == 1 and e.max_hops == 3
+    e2 = parse("MATCH (a:Region)<-[:IN_REGION*2]-(b:Nation) RETURN count(*) AS n").patterns[0].edges[0]
+    assert e2.min_hops == 2 and e2.max_hops == 2 and e2.reversed
+    e3 = parse("MATCH (a:Region)<-[*]-(b:Nation) RETURN count(*) AS n").patterns[0].edges[0]
+    assert e3.min_hops == 1 and e3.max_hops is None
+
+
+def test_var_length_reachability(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    # Customer reaches Region only via Customer->Nation->Region (2 hops)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[*1..3]->(r:Region) "
+        "RETURN r.r_name AS r_name, count(*) AS n ORDER BY r_name",
+    ).collect()
+    # independent formulation through plain joins
+    cust = g.nodes["Customer"]
+    c2n = g.edges["FROM_NATION"].df
+    n2r = g.edges["IN_REGION"].df
+    region = g.nodes["Region"]
+    want = (
+        cust.join(c2n, cust.c_custkey == c2n.src)
+        .join(n2r, c2n.dst == n2r.src)
+        .join(region, n2r.dst == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .orderBy("r_name")
+        .collect()
+    )
+    assert [(r["r_name"], r["n"]) for r in got] == [
+        (r["r_name"], r["count"]) for r in want
+    ]
+
+
+def test_var_length_typed_single_hop_equals_fixed(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    fixed = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    var = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY*1..1]->(c:Customer) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert fixed == var
+
+
+def test_var_length_errors(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="binding a variable"):
+        compile_cypher(
+            g, "MATCH (c:Customer)-[r*1..2]->(x:Region) RETURN count(*) AS n"
+        )
+    with pytest.raises(CypherAnalysisError, match="exceeds the engine cap"):
+        compile_cypher(
+            g, "MATCH (c:Customer)-[*1..99]->(x:Region) RETURN count(*) AS n"
+        )
+    with pytest.raises(CypherAnalysisError, match="explicit label"):
+        compile_cypher(
+            g, "MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n"
+        )
