@@ -39,7 +39,10 @@ from project_graphdb_spark.schema.inference import (
     TPCH_REL_NAMES,
     infer_graph_schema,
 )
-from project_graphdb_spark.schema.relational import TPCH_SCHEMA
+from project_graphdb_spark.schema.relational import (
+    TPCH_SCHEMA,
+    RelationalSchema,
+)
 
 
 def _merge_node_tables(
@@ -64,7 +67,9 @@ def _merge_node_tables(
 
 
 def build_node_frame(
-    node: NodeDef, tables: dict[str, DataFrame]
+    node: NodeDef,
+    tables: dict[str, DataFrame],
+    relational: RelationalSchema | None = None,
 ) -> DataFrame:
     frames = []
     for tname in node.table_names:
@@ -76,16 +81,44 @@ def build_node_frame(
     for p in node.properties:
         if p not in df.columns:
             df = df.withColumn(p, F.lit(None).cast("string"))
-    return df.na.drop(subset=[node.key]).dropDuplicates([node.key])
+    df = df.na.drop(subset=[node.key])
+    # MERGE-dedup elision: if the (single) source table declares the
+    # node key as its primary key, rows are already unique on it — the
+    # dropDuplicates shuffle is provably a no-op, so skip it
+    if not _pk_guarantees_unique(
+        relational, node.table_names, {node.key}, single_table=True
+    ):
+        df = df.dropDuplicates([node.key])
+    return df
+
+
+def _pk_guarantees_unique(
+    relational: RelationalSchema | None,
+    table_names: list[str] | str,
+    selected: set[str],
+    single_table: bool = False,
+) -> bool:
+    """True iff the declared PK of the source table is contained in the
+    selected columns — which makes any dedup over ``selected`` a no-op.
+    Eliding it keeps column pruning alive through the edge/node build
+    (a dedup over all columns forces the scan to read every column)."""
+    if relational is None:
+        return False
+    names = [table_names] if isinstance(table_names, str) else table_names
+    if single_table and len(names) != 1:
+        return False
+    ti = relational.tables.get(names[0])
+    return bool(ti and ti.primary_keys and set(ti.primary_keys) <= selected)
 
 
 def build_graph(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     schema: GraphSchema,
+    relational: RelationalSchema | None = None,
 ) -> PropertyGraph:
     nodes: dict[str, DataFrame] = {
-        n.name: build_node_frame(n, tables) for n in schema.nodes
+        n.name: build_node_frame(n, tables, relational) for n in schema.nodes
     }
 
     edges: dict[str, EdgeFrame] = {}
@@ -106,8 +139,13 @@ def build_graph(
                 F.col(rel.key_t).alias("dst"),
                 *rel.properties,
             )
-            .dropDuplicates(["src", "dst", *rel.properties])
         )
+        if not _pk_guarantees_unique(
+            relational,
+            rel.table_name,
+            {rel.key_s, rel.key_t, *rel.properties},
+        ):
+            df = df.dropDuplicates(["src", "dst", *rel.properties])
         edges[rel.label] = EdgeFrame(meta=rel, df=df)
 
     return PropertyGraph(schema=schema, nodes=nodes, edges=edges)
@@ -140,5 +178,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 }
             ),
         )
-        _CACHE[cache_key] = build_graph(spark, tables, gschema)
+        _CACHE[cache_key] = build_graph(
+            spark, tables, gschema, relational=TPCH_SCHEMA
+        )
     return _CACHE[cache_key]

@@ -235,5 +235,5 @@ def sqlite_to_graph(
     tables = {
         t.name: read_normalized(spark, db_path, t) for t in rschema
     }
-    graph = build_graph(spark, tables, gschema)
+    graph = build_graph(spark, tables, gschema, relational=rschema)
     return graph, gschema, rschema

@@ -56,10 +56,19 @@ def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) exploded + distinct."""
-    return docs.select(
-        "doc_id", F.explode(shingle_array("text")).alias("shingle")
-    ).distinct()
+    """(doc_id, shingle) exploded + distinct.
+
+    Repartitions by doc_id first: shingling is CPU-bound, and a
+    compactly-written corpus (few parquet files) would otherwise pin it
+    to a handful of input partitions. One narrow shuffle of the raw text
+    buys full-cluster parallelism for the transform + the downstream
+    per-doc aggregations, which are already co-partitioned after it.
+    """
+    return (
+        docs.repartition("doc_id")
+        .select("doc_id", F.explode(shingle_array("text")).alias("shingle"))
+        .distinct()
+    )
 
 
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
@@ -68,18 +77,32 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     ``candidates`` (doc_a, doc_b) restricts the computation (the LSH
     verify step); None means all co-shingled pairs (the exact operator).
     """
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+        # candidate-first: fan each (doc_a, doc_b) pair out to doc_a's
+        # shingles, then equi-join doc_b's on (doc_b, shingle). Work is
+        # O(candidates × shingles-per-doc) — never the quadratic
+        # co-shingle blowup a hot shingle causes in the exact path.
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -194,17 +217,23 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join per band, union distinct pairs."""
     rows_per_band = num_perm // bands
-    buckets = []
-    for band in range(bands):
-        cols = [F.col(f"h{band * rows_per_band + j}") for j in range(rows_per_band)]
-        buckets.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
+    # one scan of sig: array of per-band bucket hashes, exploded —
+    # not a bands-wide union that would rescan the signature frame
+    bucket_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(band),
+                *[
+                    F.col(f"h{band * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ],
             )
-        )
-    all_buckets = functools.reduce(DataFrame.unionByName, buckets)
+            for band in range(bands)
+        ]
+    )
+    all_buckets = sig.select(
+        "doc_id", F.posexplode(bucket_arr).alias("band", "bucket")
+    )
     a = all_buckets.alias("a")
     b = all_buckets.alias("b")
     return (
@@ -231,7 +260,10 @@ def lsh_candidate_pairs(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = doc_shingles(docs)
+    # the shingle frame feeds the signature build AND both sides of the
+    # verify join — persist it once instead of re-tokenizing per branch
+    # (on a cluster this is the natural dataset-checkpoint boundary)
+    sh = doc_shingles(docs).persist()
     sig = minhash_signatures(sh)
     candidates = lsh_candidate_pairs(sig)
     return (
@@ -252,7 +284,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     bit_i(simhash) = 1 iff sum over tokens of ±1 (by bit_i of the token
     hash) is positive. Entirely JVM bit arithmetic.
     """
-    tok = docs.select(
+    tok = docs.repartition("doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
     h = F.xxhash64("tok")
@@ -288,18 +320,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(docs)
     # hamming<=6 with 8 chunks of 8 bits → at least one chunk identical
     # (pigeonhole: 6 flipped bits cannot touch all 8 chunks)
-    chunks = []
-    for c in range(8):
-        chunk = F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(0xFF))
-        chunks.append(
-            sig.select(
-                "doc_id",
-                F.col("simhash"),
-                F.lit(c).alias("chunk_id"),
-                chunk.alias("chunk"),
-            )
-        )
-    blocked = functools.reduce(DataFrame.unionByName, chunks)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(0xFF))
+            for c in range(8)
+        ]
+    )
+    blocked = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(chunk_arr).alias("chunk_id", "chunk"),
+    )
     a = blocked.alias("a")
     b = blocked.alias("b")
     pairs = (
