@@ -88,7 +88,9 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             if val.startswith("`"):
                 tokens.append(("ident", val[1:-1]))
             elif val.lower() in KEYWORDS:
-                tokens.append(("kw", val.lower()))
+                # original case preserved: keywords double as label /
+                # rel-type / property names (e.g. [:CONTAINS])
+                tokens.append(("kw", val))
             else:
                 tokens.append(("ident", val))
         elif kind == "str":
@@ -127,9 +129,10 @@ class _Parser:
 
     def accept(self, kind: str, value: str | None = None) -> str | None:
         k, v = self.peek()
-        if k == kind and (value is None or v == value):
+        cmp = v.lower() if kind == "kw" else v
+        if k == kind and (value is None or cmp == value):
             self.i += 1
-            return v
+            return cmp
         return None
 
     def expect(self, kind: str, value: str | None = None) -> str:
@@ -143,7 +146,16 @@ class _Parser:
 
     def at_kw(self, *kws: str) -> bool:
         k, v = self.peek()
-        return k == "kw" and v in kws
+        return k == "kw" and v.lower() in kws
+
+    def expect_name(self) -> str:
+        """A label / relationship-type / property name: an identifier,
+        or a keyword used as one (original case preserved)."""
+        k, v = self.peek()
+        if k in ("ident", "kw"):
+            self.i += 1
+            return v
+        raise CypherSyntaxError(f"expected name, got {v!r} (token {self.i})")
 
     # -- grammar ---------------------------------------------------------
 
@@ -204,7 +216,7 @@ class _Parser:
         if k == "ident":
             var = self.next()[1]
         if self.accept(":"):
-            label = self.expect("ident")
+            label = self.expect_name()
         self.expect(")")
         return NodePat(var=var, label=label)
 
@@ -218,7 +230,7 @@ class _Parser:
         if k == "ident":
             var = self.next()[1]
         if self.accept(":"):
-            typ = self.expect("ident")
+            typ = self.expect_name()
         if self.accept("*"):
             # [*] => 1..DEFAULT; [*n] => n..n; [*n..m] => n..m
             lo, hi = 1, None
@@ -331,7 +343,7 @@ class _Parser:
     def parse_postfix(self) -> Expr:
         e = self.parse_primary()
         while self.accept("."):
-            name = self.expect("ident")
+            name = self.expect_name()
             if isinstance(e, Var):
                 e = Prop(base=e.name, name=name)
             else:
@@ -346,10 +358,10 @@ class _Parser:
         if k == "str":
             self.next()
             return Lit(v)
-        if k == "kw" and v in ("true", "false"):
+        if k == "kw" and v.lower() in ("true", "false"):
             self.next()
-            return Lit(v == "true")
-        if k == "kw" and v == "null":
+            return Lit(v.lower() == "true")
+        if k == "kw" and v.lower() == "null":
             self.next()
             return Lit(None)
         if k == "*":

@@ -121,6 +121,16 @@ def infer_graph_schema(
                 )
             )
 
+    # two FKs (e.g. orders.store_id and staffs.store_id) can infer the
+    # same default label; qualify colliding ones with the source label
+    # so no relationship silently shadows another
+    seen: dict[str, int] = {}
+    for r in rels:
+        seen[r.label] = seen.get(r.label, 0) + 1
+    for r in rels:
+        if seen[r.label] > 1:
+            r.label = f"{r.source.upper()}_{r.label}"
+
     return GraphSchema(nodes=nodes, relationships=rels)
 
 
