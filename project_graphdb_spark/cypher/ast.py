@@ -151,6 +151,9 @@ class OrderKey:
 @dataclass
 class Query:
     patterns: list[PathPat]
+    # OPTIONAL MATCH patterns: left-joined onto the mandatory match on
+    # their shared node variables; unmatched rows carry nulls
+    optional_patterns: list[PathPat] = field(default_factory=list)
     where: Expr | None = None
     with_clause: Projection | None = None
     with_where: Expr | None = None  # WHERE after WITH (post-agg filter)

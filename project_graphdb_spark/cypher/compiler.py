@@ -307,13 +307,15 @@ def _var_length_pairs(
 
 
 def _bind_patterns(
-    graph: PropertyGraph, patterns: list[A.PathPat]
+    graph: PropertyGraph,
+    patterns: list[A.PathPat],
+    anon_seed: int = 0,
 ) -> tuple[DataFrame, dict[str, _BoundVar]]:
     errors: list[str] = []
     vars: dict[str, _BoundVar] = {}
     df: DataFrame | None = None
     bound_frames: set[str] = set()
-    anon = 0
+    anon = anon_seed
 
     def node_frame(var: str, label: str) -> DataFrame:
         node_def = graph.schema.node(label)
@@ -488,6 +490,67 @@ def _bind_patterns(
     return df, vars
 
 
+def _attach_optional(
+    graph: PropertyGraph,
+    df: DataFrame,
+    vars: dict[str, _BoundVar],
+    pattern: A.PathPat,
+    anon_seed: int,
+) -> DataFrame:
+    """OPTIONAL MATCH: bind the pattern in isolation, then LEFT-join it
+    onto the mandatory match on the shared node variables' keys —
+    unmatched rows carry nulls in the optional pattern's columns
+    (Cypher's optional-match semantics; ``count(x)`` over an optional
+    node variable then counts only matches, since count skips nulls)."""
+    shared = [
+        n.var for n in pattern.nodes if n.var and n.var in vars
+    ]
+    if not shared:
+        raise CypherAnalysisError(
+            ["OPTIONAL MATCH must share at least one variable with MATCH"]
+        )
+    for n in pattern.nodes:
+        if n.var in vars:
+            if vars[n.var].kind != "node":
+                raise CypherAnalysisError(
+                    [f"OPTIONAL MATCH cannot rebind edge variable {n.var!r}"]
+                )
+            if n.label and n.label != vars[n.var].label:
+                raise CypherAnalysisError(
+                    [f"variable {n.var!r} rebound to a different label"]
+                )
+            n.label = vars[n.var].label
+
+    odf, ovars = _bind_patterns(graph, [pattern], anon_seed=anon_seed)
+    for v in ovars:
+        if v in vars and v not in shared:
+            raise CypherAnalysisError(
+                [f"variable {v!r} already bound in an earlier pattern"]
+            )
+
+    # shared-var columns exist on both sides: prefix the optional side's
+    # copies, join on the keys, then drop the prefixed duplicates
+    rename = {
+        c: f"__opt_{c}"
+        for v in shared
+        for c in odf.columns
+        if c.startswith(f"{v}__")
+    }
+    odf = odf.select(
+        *[F.col(c).alias(rename.get(c, c)) for c in odf.columns]
+    )
+    cond = None
+    for v in shared:
+        key = vars[v].key
+        clause = F.col(f"{v}__{key}") == F.col(f"__opt_{v}__{key}")
+        cond = clause if cond is None else (cond & clause)
+    out = df.join(odf, cond, "left").drop(*rename.values())
+    for v, bound in ovars.items():
+        if v not in vars:
+            vars[v] = bound
+    return out
+
+
 def _project(
     df: DataFrame,
     proj: A.Projection,
@@ -535,6 +598,8 @@ def compile_cypher(
 
     q = parse(query) if isinstance(query, str) else query
     df, vars = _bind_patterns(graph, q.patterns)
+    for i, opt in enumerate(q.optional_patterns):
+        df = _attach_optional(graph, df, vars, opt, anon_seed=(i + 1) * 1000)
     scope = _Scope(vars, None, df)
     comp = _ExprCompiler(scope, exact_decimal_sums)
 

@@ -15,6 +15,10 @@ from project_graphdb_spark.cypher import ast as A
 from project_graphdb_spark.graph.property_graph import PropertyGraph
 
 
+def _all_patterns(query: A.Query) -> list[A.PathPat]:
+    return [*query.patterns, *query.optional_patterns]
+
+
 def _var_labels(patterns: list[A.PathPat]) -> dict[str, str]:
     labels: dict[str, str] = {}
     for pat in patterns:
@@ -28,12 +32,12 @@ def correct_directions(graph: PropertyGraph, query: A.Query) -> list[str]:
     """Flip mis-directed edges in place; returns descriptions of the
     corrections applied (empty = nothing to fix)."""
     notes: list[str] = []
-    labels = _var_labels(query.patterns)
+    labels = _var_labels(_all_patterns(query))
 
     def label_of(node: A.NodePat, fallback: str | None) -> str | None:
         return node.label or (labels.get(node.var) if node.var else None) or fallback
 
-    for pat in query.patterns:
+    for pat in _all_patterns(query):
         for i, edge in enumerate(pat.edges):
             if edge.rel_type not in graph.edges:
                 continue

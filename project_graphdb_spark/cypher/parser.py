@@ -64,9 +64,10 @@ _TOKEN_RE = re.compile(
 )
 
 KEYWORDS = {
-    "match", "where", "with", "return", "order", "by", "limit", "as",
-    "and", "or", "not", "in", "contains", "starts", "ends", "distinct",
-    "asc", "ascending", "desc", "descending", "true", "false", "null",
+    "match", "optional", "where", "with", "return", "order", "by",
+    "limit", "as", "and", "or", "not", "in", "contains", "starts",
+    "ends", "distinct", "asc", "ascending", "desc", "descending",
+    "true", "false", "null",
 }
 
 
@@ -165,11 +166,17 @@ class _Parser:
         while self.accept(","):
             # allow "MATCH p1, p2" and "MATCH p1 MATCH p2" alike
             patterns.append(self.parse_pattern())
-        while self.accept("kw", "match"):
+        while self.at_kw("match") and self.accept("kw", "match"):
             patterns.append(self.parse_pattern())
             while self.accept(","):
                 patterns.append(self.parse_pattern())
-        q = Query(patterns=patterns)
+        optional: list[PathPat] = []
+        while self.accept("kw", "optional"):
+            self.expect("kw", "match")
+            optional.append(self.parse_pattern())
+            while self.accept(","):
+                optional.append(self.parse_pattern())
+        q = Query(patterns=patterns, optional_patterns=optional)
         if self.accept("kw", "where"):
             q.where = self.parse_expr()
         if self.accept("kw", "with"):

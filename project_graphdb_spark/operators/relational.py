@@ -620,3 +620,65 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@register(
+    "orders_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="CUBE over (status, priority): all 4 grouping sets in "
+    "one pass (map-side partials; no union of rescans)",
+)
+def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice", "revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "orders_grouping_sets_status_year",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
+    ORDER BY o_orderstatus NULLS FIRST, order_year NULLS FIRST
+    """,
+    description="explicit GROUPING SETS ((status),(year)) via Spark SQL "
+    "grouping sets",
+)
+def orders_grouping_sets_status_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate"
+    )
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
+        ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST
+        """
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from project_graphdb_spark.cypher import (
     CypherAnalysisError,
@@ -183,4 +184,41 @@ def test_var_length_errors(spark, sf_dir):
     with pytest.raises(CypherAnalysisError, match="explicit label"):
         compile_cypher(
             g, "MATCH (c:Customer)-[*1..2]->(x) RETURN count(*) AS n"
+        )
+
+
+def test_optional_match(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) OPTIONAL MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN c.c_custkey AS ck, count(o) AS n ORDER BY ck",
+    ).collect()
+    cust = g.nodes["Customer"]
+    orders = g.edges["PLACED_BY"].df
+    want = (
+        cust.join(orders, cust.c_custkey == orders.dst, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("src").alias("n"))
+        .orderBy("c_custkey")
+        .collect()
+    )
+    assert [(r["ck"], r["n"]) for r in got] == [
+        (r["c_custkey"], r["n"]) for r in want
+    ]
+    # rows with zero matches must exist iff some customer has no orders
+    n_zero = sum(1 for r in got if r["n"] == 0)
+    n_custs_without = cust.join(
+        orders, cust.c_custkey == orders.dst, "left_anti"
+    ).count()
+    assert n_zero == n_custs_without
+
+
+def test_optional_match_requires_shared_var(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="share at least one"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) OPTIONAL MATCH (s:Supplier) "
+            "RETURN count(*) AS n",
         )
