@@ -1,0 +1,65 @@
+"""Physical-plan hygiene: the properties that make these plans survive
+a 100 TB scale-up, asserted on the actual executed plans at sf0.001.
+
+* no CartesianProduct anywhere in the registered workload;
+* parquet scans under filters carry PushedFilters;
+* dimension joins in the flagship/graph queries broadcast the small
+  side (no full shuffle of a fact table against a 25-row dim);
+* scan-heavy aggregates keep WholeStageCodegen spans (expressions stay
+  JVM-side).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project_graphdb_spark import workload
+
+workload._ensure_loaded()
+
+# queries whose operators are inherently iterative/driver-coordinated
+# (plan strings contain many stages; cartesian check still applies)
+ALL_NAMES = sorted(workload.REGISTRY)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_cartesian_product(name, spark, sf_dir):
+    df = workload.REGISTRY[name].fn(spark, sf_dir)
+    assert "CartesianProduct" not in _plan(df), name
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = workload.REGISTRY["orders_status_counts_2000"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # the year filter's timestamp bounds must reach the parquet reader
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_on_wide_table(spark, sf_dir):
+    """The graph revenue query must not read all 11 lineitem columns."""
+    df = workload.REGISTRY["g_revenue_by_brand"].fn(spark, sf_dir)
+    plan = _plan(df)
+    for unused in ("l_tax", "l_returnflag", "l_shipdate", "l_linestatus"):
+        assert unused not in plan, unused
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = workload.REGISTRY["building_segment_brand_revenue"].fn(
+        spark, sf_dir
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims fit broadcast at test SF
+
+
+def test_whole_stage_codegen_present(spark, sf_dir):
+    df = workload.REGISTRY["pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # finalize AQE so the plan string shows codegen spans
+    plan = _plan(df)
+    # '*(N) ' prefixes mark WholeStageCodegen stages in the plan string
+    assert "*(1)" in plan and "HashAggregate" in plan
