@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         similarity,
+        skew,
         sqlite_workload,
         text,
     )
