@@ -90,6 +90,8 @@ class Not(Expr):
 class NodePat:
     var: str | None
     label: str | None
+    # inline property map: (n:Label {prop: expr, ...}) — equality filters
+    props: list[tuple[str, Expr]] = field(default_factory=list)
 
 
 @dataclass
@@ -97,6 +99,7 @@ class EdgePat:
     var: str | None
     rel_type: str | None
     reversed: bool  # True for <-[...]-
+    props: list[tuple[str, Expr]] = field(default_factory=list)
     # variable-length: [*], [*n], [*n..m] — None/None means single hop
     min_hops: int | None = None
     max_hops: int | None = None

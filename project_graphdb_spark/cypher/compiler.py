@@ -462,6 +462,7 @@ def _bind_patterns(
                 raise CypherAnalysisError(errors)
 
             edge_var = edge_pat.var or fresh("r")
+            edge_pat.var = edge_var
             eframe = graph.edges[edge_pat.rel_type].df
             renamed = eframe.select(
                 *[F.col(c).alias(f"{edge_var}__{c}") for c in eframe.columns]
@@ -487,6 +488,32 @@ def _bind_patterns(
     if errors:
         raise CypherAnalysisError(errors)
     assert df is not None
+
+    # inline property maps — (n:L {p: v}) / [r:T {p: v}] — are equality
+    # filters applied inside this binding (so an OPTIONAL MATCH map
+    # filters before the left join, per Cypher semantics)
+    prop_filters: list[tuple[str, str, A.Expr]] = []
+    for pat in patterns:
+        for npat in pat.nodes:
+            prop_filters.extend((npat.var, n, e) for n, e in npat.props)
+        for epat in pat.edges:
+            if epat.props and epat.var_length:
+                raise CypherAnalysisError(
+                    ["property maps on variable-length relationships "
+                     "are not supported"]
+                )
+            prop_filters.extend((epat.var, n, e) for n, e in epat.props)
+    if prop_filters:
+        scope = _Scope(vars, None, df)
+        comp = _ExprCompiler(scope, False)
+        cond = None
+        for var, name, expr in prop_filters:
+            clause = scope.prop(var, name) == comp.compile(expr)
+            cond = clause if cond is None else (cond & clause)
+        if scope.errors:
+            raise CypherAnalysisError(scope.errors)
+        df = df.filter(cond)
+
     return df, vars
 
 

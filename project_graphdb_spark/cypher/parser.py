@@ -202,14 +202,18 @@ class _Parser:
             k, _ = self.peek()
             if k == "-[":
                 self.next()
-                var, typ, lo, hi = self.parse_edge_body()
+                var, typ, lo, hi, props = self.parse_edge_body()
                 self.expect("]->")
-                edges.append(EdgePat(var, typ, False, lo, hi))
+                edges.append(
+                    EdgePat(var, typ, False, props, min_hops=lo, max_hops=hi)
+                )
             elif k == "<-[":
                 self.next()
-                var, typ, lo, hi = self.parse_edge_body()
+                var, typ, lo, hi, props = self.parse_edge_body()
                 self.expect("]-")
-                edges.append(EdgePat(var, typ, True, lo, hi))
+                edges.append(
+                    EdgePat(var, typ, True, props, min_hops=lo, max_hops=hi)
+                )
             else:
                 break
             nodes.append(self.parse_node())
@@ -224,12 +228,32 @@ class _Parser:
             var = self.next()[1]
         if self.accept(":"):
             label = self.expect_name()
+        props = self.parse_prop_map()
         self.expect(")")
-        return NodePat(var=var, label=label)
+        return NodePat(var=var, label=label, props=props)
+
+    def parse_prop_map(self) -> list[tuple[str, "Expr"]]:
+        """Optional inline ``{name: expr, ...}`` map (equality filters)."""
+        props: list[tuple[str, Expr]] = []
+        if self.accept("{"):
+            while True:
+                name = self.expect_name()
+                self.expect(":")
+                props.append((name, self.parse_expr()))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+        return props
 
     def parse_edge_body(
         self,
-    ) -> tuple[str | None, str | None, int | None, int | None]:
+    ) -> tuple[
+        str | None,
+        str | None,
+        int | None,
+        int | None,
+        list[tuple[str, "Expr"]],
+    ]:
         var = None
         typ = None
         lo = hi = None
@@ -249,7 +273,8 @@ class _Parser:
                 hi = None
                 if self.peek()[0] == "num":
                     hi = int(self.expect("num"))
-        return var, typ, lo, hi
+        props = self.parse_prop_map()
+        return var, typ, lo, hi, props
 
     def parse_projection(self) -> Projection:
         distinct = bool(self.accept("kw", "distinct"))

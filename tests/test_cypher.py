@@ -222,3 +222,41 @@ def test_optional_match_requires_shared_var(spark, sf_dir):
             "MATCH (c:Customer) OPTIONAL MATCH (s:Supplier) "
             "RETURN count(*) AS n",
         )
+
+
+def test_property_map_patterns(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    via_map = compile_cypher(
+        g,
+        "MATCH (c:Customer {c_mktsegment: 'BUILDING'}) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    via_where = compile_cypher(
+        g,
+        "MATCH (c:Customer) WHERE c.c_mktsegment = 'BUILDING' "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert via_map == via_where > 0
+
+    q = parse(
+        "MATCH (o:Orders {o_orderstatus: 'F'})-[ci:CONTAINS_ITEM "
+        "{l_linenumber: 1}]->(p:Part) RETURN count(*) AS n"
+    )
+    assert q.patterns[0].nodes[0].props[0][0] == "o_orderstatus"
+    assert q.patterns[0].edges[0].props[0][0] == "l_linenumber"
+    n = compile_cypher(g, q).collect()[0]["n"]
+    want = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE o.o_orderstatus = 'F' AND ci.l_linenumber = 1 "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n == want > 0
+
+
+def test_property_map_unknown_property(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="unknown property"):
+        compile_cypher(
+            g, "MATCH (c:Customer {bogus: 1}) RETURN count(*) AS n"
+        )

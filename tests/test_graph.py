@@ -88,3 +88,27 @@ def test_schema_describe(spark):
     s = g.describe()
     assert "(:Orders)-[:PLACED_BY]->(:Customer)" in s
     assert "(:Customer {c_custkey" in s
+
+
+def test_graph_save_load_roundtrip(spark, sf_dir, tmp_path):
+    from project_graphdb_spark.cypher.compiler import compile_cypher
+    from project_graphdb_spark.graph.builder import tpch_graph
+    from project_graphdb_spark.graph.storage import load_graph, save_graph
+
+    g = tpch_graph(spark, sf_dir)
+    path = str(tmp_path / "graph")
+    save_graph(g, path)
+    g2 = load_graph(spark, path)
+
+    assert set(g2.nodes) == set(g.nodes)
+    assert set(g2.edges) == set(g.edges)
+    for label in g.nodes:
+        assert g2.nodes[label].count() == g.nodes[label].count()
+    # the loaded graph serves the same compiled Cypher
+    q = (
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n ORDER BY seg"
+    )
+    got = [tuple(r) for r in compile_cypher(g2, q).collect()]
+    want = [tuple(r) for r in compile_cypher(g, q).collect()]
+    assert got == want
