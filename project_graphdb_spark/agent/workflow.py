@@ -181,7 +181,8 @@ def _string_equality_filters(
             walk(e.part)
 
     walk(q.where)
-    walk(q.with_where)
+    for _, with_where in q.withs:
+        walk(with_where)
     return found
 
 

@@ -83,6 +83,16 @@ class Not(Expr):
     part: Expr
 
 
+@dataclass
+class Case(Expr):
+    """Searched CASE: WHEN cond THEN value ... [ELSE default] END.
+    (Simple CASE ``CASE e WHEN v ...`` is desugared to ``e = v`` whens
+    by the parser.)"""
+
+    whens: list[tuple[Expr, Expr]]
+    default: Expr | None = None
+
+
 # -- patterns ----------------------------------------------------------------
 
 
@@ -158,8 +168,11 @@ class Query:
     # their shared node variables; unmatched rows carry nulls
     optional_patterns: list[PathPat] = field(default_factory=list)
     where: Expr | None = None
-    with_clause: Projection | None = None
-    with_where: Expr | None = None  # WHERE after WITH (post-agg filter)
+    # chained WITH clauses, each with an optional post-projection WHERE
+    withs: list[tuple[Projection, Expr | None]] = field(
+        default_factory=list
+    )
     ret: Projection | None = None
     order_by: list[OrderKey] = field(default_factory=list)
+    skip: int | None = None
     limit: int | None = None

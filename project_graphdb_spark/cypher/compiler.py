@@ -63,6 +63,10 @@ def _is_aggregate(e: A.Expr) -> bool:
         return any(_is_aggregate(p) for p in e.parts)
     if isinstance(e, A.Not):
         return _is_aggregate(e.part)
+    if isinstance(e, A.Case):
+        return any(
+            _is_aggregate(c) or _is_aggregate(v) for c, v in e.whens
+        ) or (e.default is not None and _is_aggregate(e.default))
     if isinstance(e, A.Prop) and isinstance(e.base, A.Expr):
         return _is_aggregate(e.base)
     return False
@@ -208,6 +212,14 @@ class _ExprCompiler:
             return ~self.compile(e.part)
         if isinstance(e, A.ListExpr):
             return F.array(*[self.compile(i) for i in e.items])
+        if isinstance(e, A.Case):
+            out = None
+            for cond, val in e.whens:
+                c, v = self.compile(cond), self.compile(val, decimal_ctx)
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if e.default is not None:
+                out = out.otherwise(self.compile(e.default, decimal_ctx))
+            return out
         if isinstance(e, A.FnCall):
             return self._fn(e)
         if isinstance(e, A.Star):
@@ -637,13 +649,12 @@ def compile_cypher(
         df = df.filter(cond)
         scope.df = df
 
-    flat: set[str] | None = None
-    if q.with_clause is not None:
-        df, flat = _project(df, q.with_clause, scope, exact_decimal_sums)
+    for proj, with_where in q.withs:
+        df, flat = _project(df, proj, scope, exact_decimal_sums)
         scope = _Scope(None, flat, df)
-        if q.with_where is not None:
+        if with_where is not None:
             comp2 = _ExprCompiler(scope, exact_decimal_sums)
-            cond = comp2.compile(q.with_where)
+            cond = comp2.compile(with_where)
             if scope.errors:
                 raise CypherAnalysisError(scope.errors)
             df = df.filter(cond)
@@ -662,6 +673,8 @@ def compile_cypher(
         if out_scope.errors:
             raise CypherAnalysisError(out_scope.errors)
         df = df.orderBy(*keys)
+    if q.skip is not None:
+        df = df.offset(q.skip)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df

@@ -24,6 +24,7 @@ import re
 from project_graphdb_spark.cypher.ast import (
     And,
     BinOp,
+    Case,
     Cmp,
     EdgePat,
     Expr,
@@ -65,9 +66,10 @@ _TOKEN_RE = re.compile(
 
 KEYWORDS = {
     "match", "optional", "where", "with", "return", "order", "by",
-    "limit", "as", "and", "or", "not", "in", "contains", "starts",
-    "ends", "distinct", "asc", "ascending", "desc", "descending",
-    "true", "false", "null",
+    "skip", "limit", "as", "and", "or", "not", "in", "contains",
+    "starts", "ends", "distinct", "asc", "ascending", "desc",
+    "descending", "true", "false", "null", "case", "when", "then",
+    "else", "end",
 }
 
 
@@ -179,10 +181,12 @@ class _Parser:
         q = Query(patterns=patterns, optional_patterns=optional)
         if self.accept("kw", "where"):
             q.where = self.parse_expr()
-        if self.accept("kw", "with"):
-            q.with_clause = self.parse_projection()
-            if self.accept("kw", "where"):
-                q.with_where = self.parse_expr()
+        while self.accept("kw", "with"):
+            proj = self.parse_projection()
+            where = (
+                self.parse_expr() if self.accept("kw", "where") else None
+            )
+            q.withs.append((proj, where))
         self.expect("kw", "return")
         q.ret = self.parse_projection()
         if self.accept("kw", "order"):
@@ -190,6 +194,8 @@ class _Parser:
             q.order_by.append(self.parse_order_key())
             while self.accept(","):
                 q.order_by.append(self.parse_order_key())
+        if self.accept("kw", "skip"):
+            q.skip = int(self.expect("num"))
         if self.accept("kw", "limit"):
             q.limit = int(self.expect("num"))
         self.expect("eof")
@@ -231,6 +237,25 @@ class _Parser:
         props = self.parse_prop_map()
         self.expect(")")
         return NodePat(var=var, label=label, props=props)
+
+    def parse_case(self) -> Expr:
+        """Searched or simple CASE (the 'case' keyword is consumed).
+        Simple form desugars ``CASE e WHEN v`` into ``WHEN e = v``."""
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
+        whens: list[tuple[Expr, Expr]] = []
+        while self.accept("kw", "when"):
+            cond = self.parse_expr()
+            if operand is not None:
+                cond = Cmp("=", operand, cond)
+            self.expect("kw", "then")
+            whens.append((cond, self.parse_expr()))
+        if not whens:
+            raise CypherSyntaxError("CASE needs at least one WHEN")
+        default = self.parse_expr() if self.accept("kw", "else") else None
+        self.expect("kw", "end")
+        return Case(whens=whens, default=default)
 
     def parse_prop_map(self) -> list[tuple[str, "Expr"]]:
         """Optional inline ``{name: expr, ...}`` map (equality filters)."""
@@ -390,6 +415,9 @@ class _Parser:
         if k == "str":
             self.next()
             return Lit(v)
+        if k == "kw" and v.lower() == "case":
+            self.next()
+            return self.parse_case()
         if k == "kw" and v.lower() in ("true", "false"):
             self.next()
             return Lit(v.lower() == "true")

@@ -260,3 +260,62 @@ def test_property_map_unknown_property(spark, sf_dir):
         compile_cypher(
             g, "MATCH (c:Customer {bogus: 1}) RETURN count(*) AS n"
         )
+
+
+def test_multi_with_chain(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) "
+        "WITH c.c_mktsegment AS seg, count(*) AS n "
+        "WITH seg, n WHERE n > 10 "
+        "RETURN seg, n ORDER BY n DESC, seg",
+    ).collect()
+    want = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer) "
+        "WITH c.c_mktsegment AS seg, count(*) AS n WHERE n > 10 "
+        "RETURN seg, n ORDER BY n DESC, seg",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got  # non-empty
+
+
+def test_case_expression(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (o:Orders) "
+        "RETURN CASE WHEN o.o_totalprice >= 200000 THEN 'big' "
+        "ELSE 'small' END AS bucket, count(*) AS n ORDER BY bucket",
+    ).collect()
+    got = {r["bucket"]: r["n"] for r in rows}
+    orders = g.nodes["Orders"]
+    big = orders.filter(F.col("o_totalprice") >= 200000).count()
+    assert got["big"] == big
+    assert got["big"] + got["small"] == orders.count()
+
+    # simple-case desugaring
+    rows2 = compile_cypher(
+        g,
+        "MATCH (o:Orders) "
+        "RETURN CASE o.o_orderstatus WHEN 'F' THEN 'final' "
+        "ELSE 'other' END AS st, count(*) AS n ORDER BY st",
+    ).collect()
+    got2 = {r["st"]: r["n"] for r in rows2}
+    f_count = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert got2["final"] == f_count
+
+
+def test_skip_limit(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    full = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN c.c_custkey AS ck ORDER BY ck",
+    ).collect()
+    page = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN c.c_custkey AS ck ORDER BY ck "
+        "SKIP 5 LIMIT 10",
+    ).collect()
+    assert [r["ck"] for r in page] == [r["ck"] for r in full[5:15]]
