@@ -1,0 +1,95 @@
+"""Scale techniques that only show up in plans, not results:
+
+* bucketed tables make the fact-fact join exchange-free (the 100 TB
+  co-location strategy for repeated joins on the same key);
+* approx_count_distinct bounds memory for cardinality estimation
+  (exact distinct shuffles every key; HLL is one pass, mergeable).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    """Bucketed copies of orders/lineitem (8 buckets on the join key)."""
+    # saveAsTable honors spark.sql.warehouse.dir set at session start;
+    # table names are unique to this module
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", lineitem, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    yield
+    for name in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_is_exchange_free(spark, warehouse):
+    # at test SF the planner would broadcast; disable it so the plan
+    # shows what a fact-fact join does at real scale
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("bkt_orders")
+        li = spark.table("bkt_lineitem")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself needs no shuffle: both sides are pre-bucketed
+        # on the key; the only Exchange is the final groupBy's
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    # and the result matches the plain (shuffling) join
+    o2 = load_table(spark, SF, "orders")
+    li2 = load_table(spark, SF, "lineitem")
+    want = (
+        o2.join(li2, o2.o_orderkey == li2.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_approx_count_distinct_accuracy(spark):
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    exact = li.select(
+        F.countDistinct("l_orderkey").alias("n")
+    ).collect()[0]["n"]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
+    ).collect()[0]["n"]
+    assert abs(approx - exact) / exact < 0.05
