@@ -180,9 +180,9 @@ def _string_equality_filters(
         if isinstance(e, A.Not):
             walk(e.part)
 
-    walk(q.where)
-    for _, with_where in q.withs:
-        walk(with_where)
+    for seg in q.segments:
+        walk(seg.where)
+        walk(seg.proj_where)
     return found
 
 

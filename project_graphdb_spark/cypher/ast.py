@@ -162,17 +162,54 @@ class OrderKey:
 
 
 @dataclass
-class Query:
-    patterns: list[PathPat]
+class Segment:
+    """One reading clause group: MATCH clauses (+ OPTIONAL MATCHes and a
+    WHERE), optionally terminated by a WITH projection (+ its WHERE).
+    A query is a chain of segments ending in RETURN — this is how
+    ``MATCH … WITH … MATCH … RETURN`` composes."""
+
+    patterns: list[PathPat] = field(default_factory=list)
     # OPTIONAL MATCH patterns: left-joined onto the mandatory match on
     # their shared node variables; unmatched rows carry nulls
     optional_patterns: list[PathPat] = field(default_factory=list)
     where: Expr | None = None
-    # chained WITH clauses, each with an optional post-projection WHERE
-    withs: list[tuple[Projection, Expr | None]] = field(
-        default_factory=list
-    )
+    projection: Projection | None = None  # the terminating WITH
+    proj_where: Expr | None = None  # WHERE after that WITH
+
+
+@dataclass
+class Query:
+    segments: list[Segment]
     ret: Projection | None = None
     order_by: list[OrderKey] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+
+    # convenience accessors over the first segment / the WITH chain
+    # (the single-segment view most analysis code needs)
+    @property
+    def patterns(self) -> list[PathPat]:
+        return self.segments[0].patterns
+
+    @property
+    def optional_patterns(self) -> list[PathPat]:
+        return self.segments[0].optional_patterns
+
+    @property
+    def where(self) -> Expr | None:
+        return self.segments[0].where
+
+    @property
+    def withs(self) -> list[tuple[Projection, Expr | None]]:
+        return [
+            (s.projection, s.proj_where)
+            for s in self.segments
+            if s.projection is not None
+        ]
+
+    def all_patterns(self) -> list[PathPat]:
+        return [
+            p
+            for s in self.segments
+            for p in (*s.patterns, *s.optional_patterns)
+        ]

@@ -50,9 +50,18 @@ class _BoundVar:
     key: str | None = None  # node key column (nodes only)
 
 
+_AGG_FNS = frozenset(
+    {
+        "count", "sum", "avg", "min", "max", "collect",
+        "stdev", "stddev", "stdevp", "stddevp",
+        "percentilecont", "percentiledisc",
+    }
+)
+
+
 def _is_aggregate(e: A.Expr) -> bool:
     if isinstance(e, A.FnCall):
-        if e.name in ("count", "sum", "avg", "min", "max", "collect"):
+        if e.name in _AGG_FNS:
             return True
         return any(_is_aggregate(a) for a in e.args)
     if isinstance(e, A.BinOp):
@@ -125,6 +134,17 @@ _SCALAR_FNS = {
     "coalesce": lambda args: F.coalesce(*args),
     "trim": lambda args: F.trim(args[0]),
     "size": lambda args: F.length(args[0]),
+    "floor": lambda args: F.floor(args[0]).cast("double"),
+    "ceil": lambda args: F.ceil(args[0]).cast("double"),
+    "sqrt": lambda args: F.sqrt(args[0]),
+    "sign": lambda args: F.signum(args[0]).cast("bigint"),
+    "left": lambda args: args[0].substr(F.lit(1), args[1]),
+    # Cypher substring(s, start[, length]) is 0-based
+    "substring": lambda args: args[0].substr(args[1] + 1, args[2])
+    if len(args) == 3
+    else args[0].substr(args[1] + 1, F.lit(2147483647)),
+    "replace": lambda args: F.replace(args[0], args[1], args[2]),
+    "split": lambda args: F.split(args[0], args[1]),
 }
 
 # date(x).year-style component access on date/datetime results
@@ -259,6 +279,18 @@ class _ExprCompiler:
             return F.min(arg) if name == "min" else F.max(arg)
         if name == "collect":
             return F.collect_list(self.compile(e.args[0]))
+        if name in ("stdev", "stddev"):
+            return F.stddev_samp(self.compile(e.args[0]))
+        if name in ("stdevp", "stddevp"):
+            return F.stddev_pop(self.compile(e.args[0]))
+        if name == "percentilecont":
+            return F.percentile(
+                self.compile(e.args[0]), self.compile(e.args[1])
+            )
+        if name == "percentiledisc":
+            return F.percentile_approx(
+                self.compile(e.args[0]), self.compile(e.args[1])
+            )
         if name in _SCALAR_FNS:
             return _SCALAR_FNS[name]([self.compile(a) for a in e.args])
         self.scope.errors.append(f"unknown function {name}()")
@@ -322,10 +354,15 @@ def _bind_patterns(
     graph: PropertyGraph,
     patterns: list[A.PathPat],
     anon_seed: int = 0,
+    init_df: DataFrame | None = None,
+    init_vars: dict[str, _BoundVar] | None = None,
 ) -> tuple[DataFrame, dict[str, _BoundVar]]:
+    """Bind patterns into a joined frame. ``init_df``/``init_vars`` seed
+    the binding with an earlier segment's state (MATCH after WITH):
+    variables that survived the WITH are reused, not re-attached."""
     errors: list[str] = []
-    vars: dict[str, _BoundVar] = {}
-    df: DataFrame | None = None
+    vars: dict[str, _BoundVar] = dict(init_vars or {})
+    df: DataFrame | None = init_df
     bound_frames: set[str] = set()
     anon = anon_seed
 
@@ -595,22 +632,47 @@ def _project(
     proj: A.Projection,
     scope: _Scope,
     exact: bool,
-) -> tuple[DataFrame, set[str]]:
+    allow_passthrough: bool = False,
+) -> tuple[DataFrame, set[str], dict[str, _BoundVar]]:
+    """Compile a WITH/RETURN projection.
+
+    With ``allow_passthrough`` (WITH clauses), a bare pattern variable
+    keeps its whole binding — all its ``var__*`` columns survive (and
+    act as grouping keys under aggregation), so a later MATCH / RETURN
+    can still use ``var.prop``. RETURN projections flatten everything.
+    Returns (frame, flat output names, surviving variable bindings).
+    """
     comp = _ExprCompiler(scope, exact)
-    names = [item.out_name().replace(".", "_") for item in proj.items]
-    has_agg = any(_is_aggregate(item.expr) for item in proj.items)
+    passthrough: list[str] = []
+    flat_items: list[tuple[A.Item, str]] = []
+    for item in proj.items:
+        e = item.expr
+        if (
+            allow_passthrough
+            and isinstance(e, A.Var)
+            and scope.vars is not None
+            and e.name in scope.vars
+            and (item.alias is None or item.alias == e.name)
+        ):
+            passthrough.append(e.name)
+        else:
+            flat_items.append((item, item.out_name().replace(".", "_")))
+    pass_cols = [
+        c
+        for v in passthrough
+        for c in df.columns
+        if c.startswith(f"{v}__")
+    ]
+
+    has_agg = any(_is_aggregate(i.expr) for i, _ in flat_items)
     if has_agg:
         keys = [
-            (item, name)
-            for item, name in zip(proj.items, names)
-            if not _is_aggregate(item.expr)
+            (i, n) for i, n in flat_items if not _is_aggregate(i.expr)
         ]
-        aggs = [
-            (item, name)
-            for item, name in zip(proj.items, names)
-            if _is_aggregate(item.expr)
+        aggs = [(i, n) for i, n in flat_items if _is_aggregate(i.expr)]
+        key_cols = [F.col(c) for c in pass_cols] + [
+            comp.compile(i.expr).alias(n) for i, n in keys
         ]
-        key_cols = [comp.compile(i.expr).alias(n) for i, n in keys]
         agg_cols = [comp.compile(i.expr).alias(n) for i, n in aggs]
         if scope.errors:
             raise CypherAnalysisError(scope.errors)
@@ -618,13 +680,16 @@ def _project(
         out = grouped.agg(*agg_cols)
         # groupBy(expr.alias) keeps the alias as the output column name
     else:
-        cols = [comp.compile(i.expr).alias(n) for i, n in zip(proj.items, names)]
+        cols = [F.col(c) for c in pass_cols] + [
+            comp.compile(i.expr).alias(n) for i, n in flat_items
+        ]
         if scope.errors:
             raise CypherAnalysisError(scope.errors)
         out = df.select(*cols)
     if proj.distinct:
         out = out.distinct()
-    return out, set(names)
+    kept = {v: scope.vars[v] for v in passthrough} if scope.vars else {}
+    return out, {n for _, n in flat_items}, kept
 
 
 def compile_cypher(
@@ -636,32 +701,56 @@ def compile_cypher(
     from project_graphdb_spark.cypher.parser import parse
 
     q = parse(query) if isinstance(query, str) else query
-    df, vars = _bind_patterns(graph, q.patterns)
-    for i, opt in enumerate(q.optional_patterns):
-        df = _attach_optional(graph, df, vars, opt, anon_seed=(i + 1) * 1000)
-    scope = _Scope(vars, None, df)
-    comp = _ExprCompiler(scope, exact_decimal_sums)
+    df: DataFrame | None = None
+    vars: dict[str, _BoundVar] = {}
+    flat: set[str] = set()
 
-    if q.where is not None:
-        cond = comp.compile(q.where)
-        if scope.errors:
-            raise CypherAnalysisError(scope.errors)
-        df = df.filter(cond)
-        scope.df = df
-
-    for proj, with_where in q.withs:
-        df, flat = _project(df, proj, scope, exact_decimal_sums)
-        scope = _Scope(None, flat, df)
-        if with_where is not None:
-            comp2 = _ExprCompiler(scope, exact_decimal_sums)
-            cond = comp2.compile(with_where)
+    for si, seg in enumerate(q.segments):
+        if seg.patterns:
+            df, vars = _bind_patterns(
+                graph,
+                seg.patterns,
+                anon_seed=si * 10000,
+                init_df=df,
+                init_vars=vars,
+            )
+        if seg.optional_patterns:
+            if df is None:
+                raise CypherAnalysisError(
+                    ["a query cannot start with OPTIONAL MATCH"]
+                )
+            for i, opt in enumerate(seg.optional_patterns):
+                df = _attach_optional(
+                    graph, df, vars, opt,
+                    anon_seed=si * 10000 + (i + 1) * 1000,
+                )
+        if df is None:
+            raise CypherAnalysisError(["query has no MATCH pattern"])
+        scope = _Scope(vars or None, flat or None, df)
+        if seg.where is not None:
+            comp = _ExprCompiler(scope, exact_decimal_sums)
+            cond = comp.compile(seg.where)
             if scope.errors:
                 raise CypherAnalysisError(scope.errors)
             df = df.filter(cond)
             scope.df = df
+        if seg.projection is not None:
+            df, flat, vars = _project(
+                df, seg.projection, scope, exact_decimal_sums,
+                allow_passthrough=True,
+            )
+            scope = _Scope(vars or None, flat or None, df)
+            if seg.proj_where is not None:
+                comp2 = _ExprCompiler(scope, exact_decimal_sums)
+                cond = comp2.compile(seg.proj_where)
+                if scope.errors:
+                    raise CypherAnalysisError(scope.errors)
+                df = df.filter(cond)
+                scope.df = df
 
-    assert q.ret is not None
-    df, out_names = _project(df, q.ret, scope, exact_decimal_sums)
+    assert q.ret is not None and df is not None
+    scope = _Scope(vars or None, flat or None, df)
+    df, out_names, _ = _project(df, q.ret, scope, exact_decimal_sums)
 
     if q.order_by:
         out_scope = _Scope(None, out_names, df)

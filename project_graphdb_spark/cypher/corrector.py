@@ -16,7 +16,7 @@ from project_graphdb_spark.graph.property_graph import PropertyGraph
 
 
 def _all_patterns(query: A.Query) -> list[A.PathPat]:
-    return [*query.patterns, *query.optional_patterns]
+    return query.all_patterns()
 
 
 def _var_labels(patterns: list[A.PathPat]) -> dict[str, str]:

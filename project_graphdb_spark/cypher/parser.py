@@ -40,6 +40,7 @@ from project_graphdb_spark.cypher.ast import (
     Projection,
     Prop,
     Query,
+    Segment,
     Star,
     Var,
 )
@@ -163,30 +164,16 @@ class _Parser:
     # -- grammar ---------------------------------------------------------
 
     def parse_query(self) -> Query:
-        self.expect("kw", "match")
-        patterns = [self.parse_pattern()]
-        while self.accept(","):
-            # allow "MATCH p1, p2" and "MATCH p1 MATCH p2" alike
-            patterns.append(self.parse_pattern())
-        while self.at_kw("match") and self.accept("kw", "match"):
-            patterns.append(self.parse_pattern())
-            while self.accept(","):
-                patterns.append(self.parse_pattern())
-        optional: list[PathPat] = []
-        while self.accept("kw", "optional"):
-            self.expect("kw", "match")
-            optional.append(self.parse_pattern())
-            while self.accept(","):
-                optional.append(self.parse_pattern())
-        q = Query(patterns=patterns, optional_patterns=optional)
-        if self.accept("kw", "where"):
-            q.where = self.parse_expr()
+        if not self.at_kw("match", "optional"):
+            self.expect("kw", "match")  # uniform error message
+        segments = [self.parse_segment()]
         while self.accept("kw", "with"):
-            proj = self.parse_projection()
-            where = (
-                self.parse_expr() if self.accept("kw", "where") else None
-            )
-            q.withs.append((proj, where))
+            seg = segments[-1]
+            seg.projection = self.parse_projection()
+            if self.accept("kw", "where"):
+                seg.proj_where = self.parse_expr()
+            segments.append(self.parse_segment())
+        q = Query(segments=segments)
         self.expect("kw", "return")
         q.ret = self.parse_projection()
         if self.accept("kw", "order"):
@@ -200,6 +187,23 @@ class _Parser:
             q.limit = int(self.expect("num"))
         self.expect("eof")
         return q
+
+    def parse_segment(self) -> Segment:
+        """MATCH clauses + OPTIONAL MATCHes + optional WHERE. May be
+        empty (between two WITHs, or before RETURN)."""
+        seg = Segment()
+        while self.at_kw("match") and self.accept("kw", "match"):
+            seg.patterns.append(self.parse_pattern())
+            while self.accept(","):
+                seg.patterns.append(self.parse_pattern())
+        while self.accept("kw", "optional"):
+            self.expect("kw", "match")
+            seg.optional_patterns.append(self.parse_pattern())
+            while self.accept(","):
+                seg.optional_patterns.append(self.parse_pattern())
+        if self.accept("kw", "where"):
+            seg.where = self.parse_expr()
+        return seg
 
     def parse_pattern(self) -> PathPat:
         nodes = [self.parse_node()]

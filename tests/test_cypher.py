@@ -319,3 +319,79 @@ def test_skip_limit(spark, sf_dir):
         "SKIP 5 LIMIT 10",
     ).collect()
     assert [r["ck"] for r in page] == [r["ck"] for r in full[5:15]]
+
+
+def test_extended_function_surface(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (o:Orders) "
+        "RETURN stDev(o.o_totalprice) AS sd, "
+        "percentileCont(o.o_totalprice, 0.5) AS med, "
+        "floor(avg(o.o_totalprice)) AS fl "
+        "ORDER BY sd",
+        exact_decimal_sums=False,
+    ).collect()[0]
+    orders = g.nodes["Orders"]
+    want_sd = orders.agg(F.stddev_samp("o_totalprice")).collect()[0][0]
+    want_med = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.5))
+    ).collect()[0][0]
+    assert rows["sd"] == pytest.approx(want_sd)
+    assert rows["med"] == pytest.approx(want_med)
+    assert rows["fl"] == float(int(rows["fl"]))
+
+    s = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN left(c.c_mktsegment, 3) AS pre, "
+        "count(*) AS n ORDER BY pre",
+    ).collect()
+    assert all(len(r["pre"]) == 3 for r in s)
+
+
+def test_match_after_with(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WITH n, count(c) AS n_cust "
+        "MATCH (s:Supplier)-[:LOCATED_IN]->(n) "
+        "RETURN n.n_name AS nation, n_cust, count(s) AS n_supp "
+        "ORDER BY nation",
+    ).collect()
+    nation = g.nodes["Nation"]
+    c2n = g.edges["FROM_NATION"].df
+    s2n = g.edges["LOCATED_IN"].df
+    cust_per = c2n.groupBy(F.col("dst").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    supp_per = s2n.groupBy(F.col("dst").alias("nk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    want = (
+        nation.join(cust_per, nation.n_nationkey == cust_per.nk)
+        .join(supp_per, nation.n_nationkey == supp_per.nk)
+        .select("n_name", "n_cust", "n_supp")
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [(r["nation"], r["n_cust"], r["n_supp"]) for r in got] == [
+        (r["n_name"], r["n_cust"], r["n_supp"]) for r in want
+    ]
+    assert got
+
+
+def test_with_then_optional_match(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (n:Nation) "
+        "WITH n "
+        "OPTIONAL MATCH (s:Supplier)-[:LOCATED_IN]->(n) "
+        "RETURN n.n_name AS nation, count(s) AS n_supp ORDER BY nation",
+    ).collect()
+    # every nation appears, including those with zero suppliers
+    assert len(rows) == g.nodes["Nation"].count()
+    s2n = g.edges["LOCATED_IN"].df
+    total = sum(r["n_supp"] for r in rows)
+    assert total == s2n.count()
