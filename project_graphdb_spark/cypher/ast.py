@@ -172,6 +172,8 @@ class Segment:
     # OPTIONAL MATCH patterns: left-joined onto the mandatory match on
     # their shared node variables; unmatched rows carry nulls
     optional_patterns: list[PathPat] = field(default_factory=list)
+    # UNWIND list AS alias clauses (before this segment's WHERE)
+    unwinds: list[tuple[Expr, str]] = field(default_factory=list)
     where: Expr | None = None
     projection: Projection | None = None  # the terminating WITH
     proj_where: Expr | None = None  # WHERE after that WITH

@@ -724,6 +724,18 @@ def compile_cypher(
                     graph, df, vars, opt,
                     anon_seed=si * 10000 + (i + 1) * 1000,
                 )
+        for expr, alias in seg.unwinds:
+            if df is None:
+                # query starts with UNWIND: a one-row seed frame
+                spark = next(iter(graph.nodes.values())).sparkSession
+                df = spark.range(1).select(F.lit(1).alias("__seed"))
+            scope_u = _Scope(vars or None, flat or None, df)
+            comp_u = _ExprCompiler(scope_u, exact_decimal_sums)
+            col = comp_u.compile(expr)
+            if scope_u.errors:
+                raise CypherAnalysisError(scope_u.errors)
+            df = df.withColumn(alias, F.explode(col)).drop("__seed")
+            flat = set(flat) | {alias}
         if df is None:
             raise CypherAnalysisError(["query has no MATCH pattern"])
         scope = _Scope(vars or None, flat or None, df)

@@ -70,7 +70,7 @@ KEYWORDS = {
     "skip", "limit", "as", "and", "or", "not", "in", "contains",
     "starts", "ends", "distinct", "asc", "ascending", "desc",
     "descending", "true", "false", "null", "case", "when", "then",
-    "else", "end",
+    "else", "end", "unwind",
 }
 
 
@@ -164,7 +164,7 @@ class _Parser:
     # -- grammar ---------------------------------------------------------
 
     def parse_query(self) -> Query:
-        if not self.at_kw("match", "optional"):
+        if not self.at_kw("match", "optional", "unwind"):
             self.expect("kw", "match")  # uniform error message
         segments = [self.parse_segment()]
         while self.accept("kw", "with"):
@@ -192,7 +192,13 @@ class _Parser:
         """MATCH clauses + OPTIONAL MATCHes + optional WHERE. May be
         empty (between two WITHs, or before RETURN)."""
         seg = Segment()
-        while self.at_kw("match") and self.accept("kw", "match"):
+        while self.at_kw("match", "unwind"):
+            if self.accept("kw", "unwind"):
+                expr = self.parse_expr()
+                self.expect("kw", "as")
+                seg.unwinds.append((expr, self.expect_name()))
+                continue
+            self.accept("kw", "match")
             seg.patterns.append(self.parse_pattern())
             while self.accept(","):
                 seg.patterns.append(self.parse_pattern())

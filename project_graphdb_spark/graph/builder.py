@@ -151,6 +151,46 @@ def build_graph(
     return PropertyGraph(schema=schema, nodes=nodes, edges=edges)
 
 
+def merge_upsert(
+    existing: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """Incremental keyed MERGE (the B1 upsert, Delta-``MERGE INTO``
+    analog on immutable storage): WHEN MATCHED the update row's columns
+    win (including explicit nulls — ``SET n += row`` semantics,
+    reference final/inject_node.py:351-358); columns absent from
+    ``updates`` keep their existing values; WHEN NOT MATCHED the update
+    row inserts.
+
+    One full-outer join on the key — no driver-side state. Write the
+    result back per label directory for an idempotent incremental load.
+    """
+    u = updates.dropDuplicates([key])
+    e = existing.alias("e")
+    ua = u.alias("u")
+    joined = e.join(
+        ua, F.col(f"e.{key}") == F.col(f"u.{key}"), "full_outer"
+    )
+    matched = F.col(f"u.{key}").isNotNull()
+    cols = [
+        F.coalesce(F.col(f"e.{key}"), F.col(f"u.{key}")).alias(key)
+    ]
+    for c in existing.columns:
+        if c == key:
+            continue
+        if c in u.columns:
+            cols.append(
+                F.when(matched, F.col(f"u.{c}"))
+                .otherwise(F.col(f"e.{c}"))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(f"e.{c}").alias(c))
+    for c in u.columns:
+        if c not in existing.columns:
+            cols.append(F.col(f"u.{c}").alias(c))
+    return joined.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # Cached TPC-H-ish graph over the driver's test tables
 # ---------------------------------------------------------------------------

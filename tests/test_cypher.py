@@ -395,3 +395,28 @@ def test_with_then_optional_match(spark, sf_dir):
     s2n = g.edges["LOCATED_IN"].df
     total = sum(r["n_supp"] for r in rows)
     assert total == s2n.count()
+
+
+def test_unwind_literal(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g, "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x"
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2, 3]
+
+
+def test_unwind_collected_list(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WITH n.n_name AS nation, collect(c.c_custkey) AS ks "
+        "UNWIND ks AS k "
+        "RETURN nation, count(k) AS n ORDER BY nation",
+    ).collect()
+    want = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n.n_name AS nation, count(*) AS n ORDER BY nation",
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

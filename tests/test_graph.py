@@ -112,3 +112,31 @@ def test_graph_save_load_roundtrip(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in compile_cypher(g2, q).collect()]
     want = [tuple(r) for r in compile_cypher(g, q).collect()]
     assert got == want
+
+
+def test_merge_upsert_semantics(spark):
+    from project_graphdb_spark.graph.builder import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    )
+    updates = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0)], "k long, bal double"
+    )
+    out = merge_upsert(existing, updates, "k")
+    rows = {r["k"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert rows[1] == ("a", 10.0)      # untouched
+    assert rows[2] == ("b", 99.0)      # matched: bal updated, name kept
+    assert rows[3] == (None, 30.0)     # inserted
+    assert len(rows) == 3
+
+    # idempotent: applying the same updates again changes nothing
+    out2 = merge_upsert(out, updates, "k")
+    assert sorted(map(tuple, out2.collect())) == sorted(
+        map(tuple, out.collect())
+    )
+
+    # explicit null in an update column wins (SET += semantics)
+    upd_null = spark.createDataFrame([(1, None)], "k long, bal double")
+    out3 = merge_upsert(existing, upd_null, "k")
+    assert {r["k"]: r["bal"] for r in out3.collect()}[1] is None
