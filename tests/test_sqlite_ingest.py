@@ -161,3 +161,21 @@ def test_sqlite_to_graph_end_to_end(spark, db_path):
     assert graph.edges["HAS_STORE"].df.count() == 2
     # stock has one exact-dup row -> MERGE dedup keeps 3 (C16/B4)
     assert graph.edges["PRODUCT_STORE"].df.count() == 3
+
+
+def test_viz_renderers(db_path):
+    from project_graphdb_spark.schema.viz import (
+        erd_dot,
+        graph_schema_dot,
+        graph_schema_html,
+    )
+
+    rschema = introspect(db_path)
+    gschema = infer_graph_schema(rschema)
+    dot = erd_dot(rschema)
+    assert "digraph ERD" in dot
+    assert '"sale":store_id -> "store":store_id' in dot
+    gdot = graph_schema_dot(gschema)
+    assert '"Sale" -> "Store" [label="HAS_STORE"]' in gdot
+    page = graph_schema_html(gschema)
+    assert "vis.Network" in page and '"from": "Sale"' in page
