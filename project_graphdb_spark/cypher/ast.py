@@ -69,6 +69,14 @@ class ListExpr(Expr):
 
 
 @dataclass
+class Index(Expr):
+    """0-based list index access: ``labels(n)[0]``."""
+
+    base: Expr
+    index: Expr
+
+
+@dataclass
 class And(Expr):
     parts: list[Expr]
 

@@ -78,6 +78,8 @@ def _is_aggregate(e: A.Expr) -> bool:
         ) or (e.default is not None and _is_aggregate(e.default))
     if isinstance(e, A.Prop) and isinstance(e.base, A.Expr):
         return _is_aggregate(e.base)
+    if isinstance(e, A.Index):
+        return _is_aggregate(e.base) or _is_aggregate(e.index)
     return False
 
 
@@ -232,6 +234,11 @@ class _ExprCompiler:
             return ~self.compile(e.part)
         if isinstance(e, A.ListExpr):
             return F.array(*[self.compile(i) for i in e.items])
+        if isinstance(e, A.Index):
+            # Cypher lists are 0-based; element_at is 1-based
+            return F.element_at(
+                self.compile(e.base), self.compile(e.index) + F.lit(1)
+            )
         if isinstance(e, A.Case):
             out = None
             for cond, val in e.whens:
@@ -279,6 +286,29 @@ class _ExprCompiler:
             return F.min(arg) if name == "min" else F.max(arg)
         if name == "collect":
             return F.collect_list(self.compile(e.args[0]))
+        if name in ("labels", "type"):
+            arg = e.args[0]
+            if (
+                isinstance(arg, A.Var)
+                and self.scope.vars is not None
+                and arg.name in self.scope.vars
+            ):
+                b = self.scope.vars[arg.name]
+                if name == "labels" and b.kind == "node":
+                    col = (
+                        F.col(f"{arg.name}__label")
+                        if b.label == "*"
+                        else F.lit(b.label)
+                    )
+                    return F.array(col)
+                if name == "type" and b.kind == "edge":
+                    return F.lit(b.label)
+            self.scope.errors.append(
+                f"{name}() needs a bound "
+                + ("node" if name == "labels" else "relationship")
+                + " variable"
+            )
+            return F.lit(None)
         if name in ("stdev", "stddev"):
             return F.stddev_samp(self.compile(e.args[0]))
         if name in ("stdevp", "stddevp"):
@@ -377,6 +407,27 @@ def _bind_patterns(
         )
         return renamed
 
+    def any_node_frame(var: str) -> DataFrame:
+        """Label-agnostic scan — MATCH (n) with no label (C2/C3,
+        reference inject_relationship.py:932,945): the union of every
+        label as (id, label) in the unified id space."""
+        frames = []
+        for label, frame in graph.nodes.items():
+            key = graph.schema.node(label).key
+            frames.append(
+                frame.select(
+                    F.concat_ws(
+                        ":", F.lit(label), F.col(key).cast("string")
+                    ).alias(f"{var}__id"),
+                    F.lit(label).alias(f"{var}__label"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        vars[var] = _BoundVar("node", "*", ["id", "label"], key="id")
+        return out
+
     def fresh(prefix: str) -> str:
         nonlocal anon
         anon += 1
@@ -471,6 +522,23 @@ def _bind_patterns(
         prev_var = prev.var or fresh("n")
         prev.var = prev_var
         if prev_var not in vars:
+            if prev.label is None and not pat.edges:
+                # label-agnostic scan: MATCH (n)
+                nf = any_node_frame(prev_var)
+                df = nf if df is None else df.crossJoin(nf)
+                continue
+            if prev.label is None and pat.edges:
+                # infer the first node's label from the first edge's
+                # schema orientation (typed fixed-hop edges only)
+                e0 = pat.edges[0]
+                if (
+                    e0.rel_type in graph.edges
+                    and not e0.var_length
+                ):
+                    meta0 = graph.edges[e0.rel_type].meta
+                    prev.label = (
+                        meta0.target if e0.reversed else meta0.source
+                    )
             if prev.label is None:
                 errors.append(
                     f"node variable {prev_var!r} needs a label on first use"

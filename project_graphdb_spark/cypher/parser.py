@@ -29,6 +29,7 @@ from project_graphdb_spark.cypher.ast import (
     EdgePat,
     Expr,
     FnCall,
+    Index,
     Item,
     ListExpr,
     Lit,
@@ -409,13 +410,19 @@ class _Parser:
 
     def parse_postfix(self) -> Expr:
         e = self.parse_primary()
-        while self.accept("."):
-            name = self.expect_name()
-            if isinstance(e, Var):
-                e = Prop(base=e.name, name=name)
+        while True:
+            if self.accept("."):
+                name = self.expect_name()
+                if isinstance(e, Var):
+                    e = Prop(base=e.name, name=name)
+                else:
+                    e = Prop(base=e, name=name)
+            elif self.accept("["):
+                idx = self.parse_expr()
+                self.expect("]")
+                e = Index(base=e, index=idx)
             else:
-                e = Prop(base=e, name=name)
-        return e
+                return e
 
     def parse_primary(self) -> Expr:
         k, v = self.peek()

@@ -420,3 +420,37 @@ def test_unwind_collected_list(spark, sf_dir):
         "RETURN n.n_name AS nation, count(*) AS n ORDER BY nation",
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_label_agnostic_match_and_type_fn(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    total = compile_cypher(
+        g, "MATCH (n) RETURN count(n) AS n"
+    ).collect()[0]["n"]
+    want = sum(df.count() for df in g.nodes.values())
+    assert total == want
+
+    by_label = compile_cypher(
+        g,
+        "MATCH (n) RETURN labels(n)[0] AS label, count(n) AS n "
+        "ORDER BY n DESC, label",
+    ).collect()
+    got = {r["label"]: r["n"] for r in by_label}
+    assert got == {k: v.count() for k, v in g.nodes.items()}
+
+    t = compile_cypher(
+        g,
+        "MATCH (o:Orders)-[r:PLACED_BY]->(c:Customer) "
+        "RETURN type(r) AS t, count(*) AS n",
+    ).collect()[0]
+    assert t["t"] == "PLACED_BY"
+
+
+def test_first_node_label_inference(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    # unlabeled first node inferred from the edge's schema orientation
+    n = compile_cypher(
+        g, "MATCH (o)-[:PLACED_BY]->(c:Customer) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    want = g.edges["PLACED_BY"].df.count()
+    assert n == want
