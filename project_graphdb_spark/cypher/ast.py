@@ -118,6 +118,9 @@ class EdgePat:
     rel_type: str | None
     reversed: bool  # True for <-[...]-
     props: list[tuple[str, Expr]] = field(default_factory=list)
+    # -[...]- with no arrow: orientation resolved from the schema when
+    # endpoint labels disambiguate; symmetrized for self-type edges
+    undirected: bool = False
     # variable-length: [*], [*n], [*n..m] — None/None means single hop
     min_hops: int | None = None
     max_hops: int | None = None

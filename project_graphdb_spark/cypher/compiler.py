@@ -550,6 +550,29 @@ def _bind_patterns(
             nf = node_frame(prev_var, prev.label)
             df = nf if df is None else df.crossJoin(nf)
         for edge_pat, node_pat in zip(pat.edges, pat.nodes[1:]):
+            symmetric = False
+            if edge_pat.undirected and not edge_pat.var_length:
+                # resolve -[...]- from the schema: when endpoint labels
+                # (or the schema's distinct source/target) force an
+                # orientation, set it; a self-type edge matches both
+                # ways via a symmetrized frame
+                if (
+                    edge_pat.rel_type is not None
+                    and edge_pat.rel_type in graph.edges
+                ):
+                    meta_u = graph.edges[edge_pat.rel_type].meta
+                    if meta_u.source == meta_u.target:
+                        symmetric = True
+                    else:
+                        def _known(p: A.NodePat) -> str | None:
+                            if p.var and p.var in vars:
+                                return vars[p.var].label
+                            return p.label
+
+                        lp, ln = _known(prev), _known(node_pat)
+                        edge_pat.reversed = (
+                            lp == meta_u.target or ln == meta_u.source
+                        )
             # direction: reversed means pattern arrow points right-to-left
             src_pat, dst_pat = (
                 (node_pat, prev) if edge_pat.reversed else (prev, node_pat)
@@ -581,6 +604,14 @@ def _bind_patterns(
             edge_var = edge_pat.var or fresh("r")
             edge_pat.var = edge_var
             eframe = graph.edges[edge_pat.rel_type].df
+            if symmetric:
+                # self-type undirected: each edge matches both ways
+                swapped = eframe.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    *[c for c in eframe.columns if c not in ("src", "dst")],
+                )
+                eframe = eframe.unionByName(swapped)
             renamed = eframe.select(
                 *[F.col(c).alias(f"{edge_var}__{c}") for c in eframe.columns]
             )

@@ -220,10 +220,21 @@ class _Parser:
             if k == "-[":
                 self.next()
                 var, typ, lo, hi, props = self.parse_edge_body()
-                self.expect("]->")
-                edges.append(
-                    EdgePat(var, typ, False, props, min_hops=lo, max_hops=hi)
-                )
+                if self.accept("]->") is not None:
+                    edges.append(
+                        EdgePat(
+                            var, typ, False, props,
+                            min_hops=lo, max_hops=hi,
+                        )
+                    )
+                else:
+                    self.expect("]-")  # undirected: -[...]-
+                    edges.append(
+                        EdgePat(
+                            var, typ, False, props,
+                            min_hops=lo, max_hops=hi, undirected=True,
+                        )
+                    )
             elif k == "<-[":
                 self.next()
                 var, typ, lo, hi, props = self.parse_edge_body()

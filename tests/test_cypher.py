@@ -454,3 +454,48 @@ def test_first_node_label_inference(spark, sf_dir):
     ).collect()[0]["n"]
     want = g.edges["PLACED_BY"].df.count()
     assert n == want
+
+
+def test_undirected_edge_forced_orientation(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    und = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:PLACED_BY]-(o:Orders) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    directed = compile_cypher(
+        g,
+        "MATCH (c:Customer)<-[:PLACED_BY]-(o:Orders) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert und == directed > 0
+
+
+def test_undirected_self_type_symmetrizes(spark):
+    from project_graphdb_spark.graph.property_graph import (
+        EdgeFrame,
+        PropertyGraph,
+    )
+    from project_graphdb_spark.schema.graph_schema import (
+        GraphSchema,
+        NodeDef,
+        RelationshipDef,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    knows = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    meta = RelationshipDef("P", "P", "KNOWS", "src", "dst", [], "t")
+    g = PropertyGraph(
+        schema=GraphSchema(
+            nodes=[NodeDef("P", key="id", properties=[])],
+            relationships=[meta],
+        ),
+        nodes={"P": nodes},
+        edges={"KNOWS": EdgeFrame(meta=meta, df=knows)},
+    )
+    rows = compile_cypher(
+        g,
+        "MATCH (a:P)-[:KNOWS]-(b:P) RETURN a.id AS a, b.id AS b "
+        "ORDER BY a, b",
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        (1, 2), (2, 1), (2, 3), (3, 2)
+    ]
