@@ -84,12 +84,14 @@ def _ensure_loaded() -> None:
     # imports are for their @register side effects
     from project_graphdb_spark.operators import (  # noqa: F401
         agent_workload,
+        asof,
         cypher_workload,
         dedup,
         graph_algo_workload,
         graph_queries,
         streaming_workload,
         multimodal,
+        rangejoin,
         relational,
         similarity,
         skew,
