@@ -273,7 +273,7 @@ class _ExprCompiler:
             return F.countDistinct(arg) if e.distinct else F.count(arg)
         if name == "sum":
             arg = self.compile(e.args[0], decimal_ctx=self.exact)
-            out = F.sum(arg)
+            out = F.sum_distinct(arg) if e.distinct else F.sum(arg)
             return out.cast("double") if self.exact else out
         if name == "avg":
             if self.exact:
@@ -285,7 +285,10 @@ class _ExprCompiler:
             arg = self.compile(e.args[0])
             return F.min(arg) if name == "min" else F.max(arg)
         if name == "collect":
-            return F.collect_list(self.compile(e.args[0]))
+            arg = self.compile(e.args[0])
+            return (
+                F.collect_set(arg) if e.distinct else F.collect_list(arg)
+            )
         if name in ("labels", "type"):
             arg = e.args[0]
             if (

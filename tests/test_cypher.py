@@ -499,3 +499,20 @@ def test_undirected_self_type_symmetrizes(spark):
     assert [(r["a"], r["b"]) for r in rows] == [
         (1, 2), (2, 1), (2, 3), (3, 2)
     ]
+
+
+def test_distinct_aggregates(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    r = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN count(DISTINCT c.c_mktsegment) AS n, "
+        "size(toString(sum(DISTINCT c.c_nationkey))) AS s",
+        exact_decimal_sums=False,
+    ).collect()[0]
+    assert r["n"] == 5
+    cust = g.nodes["Customer"]
+    want = sum(
+        x["c_nationkey"]
+        for x in cust.select("c_nationkey").distinct().collect()
+    )
+    assert int(r["s"]) == len(str(want))
