@@ -147,3 +147,41 @@ def test_stateful_user_counts(spark, staged):
         F.count("*").alias("n_events"), F.max("ts").alias("last_ts")
     )
     assert _rows(final, "user_id") == _rows(want, "user_id")
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Stop/restart with the same checkpoint: already-committed input
+    files are not reprocessed (no duplicates), new files are."""
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    batch = load_table(spark, SF, "events")
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src))
+
+    def drain():
+        q = (
+            spark.readStream.schema(batch.schema)
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == half1.count()
+
+    # restart with nothing new: no reprocessing
+    drain()
+    assert spark.read.parquet(out).count() == half1.count()
+
+    # add the second half; only it is processed on restart
+    half2.write.mode("append").parquet(str(src))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
