@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis): distributed operators vs naive
+single-machine Python models on randomized small inputs — the rigor
+layer the reference lacks entirely (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from project_graphdb_spark.graph.builder import merge_upsert
+from project_graphdb_spark.operators.asof import asof_join
+from project_graphdb_spark.streaming.ops import (
+    SESSION_GAP_SECONDS,
+    sessionize,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=int(s))
+
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_matches_python_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, u, _ts(t)) for i, (u, t) in enumerate(left)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(u, _ts(t), float(t)) for u, t in right],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["matched_value"]
+        for r in asof_join(ldf, rdf).collect()
+    }
+    for i, (u, t) in enumerate(left):
+        prior = [rt for ru, rt in right if ru == u and rt <= t]
+        want = float(max(prior)) if prior else None
+        assert got[i] == want, (i, u, t)
+
+
+@SETTINGS
+@given(
+    existing=st.dictionaries(
+        st.integers(0, 8), st.integers(-5, 5), max_size=8
+    ),
+    updates=st.dictionaries(
+        st.integers(0, 8), st.integers(-5, 5), max_size=8
+    ),
+)
+def test_merge_upsert_matches_dict_semantics(spark, existing, updates):
+    if not existing and not updates:
+        return
+    edf = spark.createDataFrame(
+        [(k, v) for k, v in existing.items()] or [(None, None)],
+        "k long, v long",
+    ).filter("k is not null")
+    udf = spark.createDataFrame(
+        [(k, v) for k, v in updates.items()] or [(None, None)],
+        "k long, v long",
+    ).filter("k is not null")
+    got = {r["k"]: r["v"] for r in merge_upsert(edf, udf, "k").collect()}
+    want = dict(existing)
+    want.update(updates)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20000)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_sessionize_matches_python_model(spark, events):
+    df = spark.createDataFrame(
+        [(i, u, _ts(t)) for i, (u, t) in enumerate(events)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["session_start"], r["session_end"])
+        for r in sessionize(df).collect()
+    )
+    # python model: sort per user by (ts, event_id), split on gaps
+    sessions = []
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, t) in enumerate(events):
+        by_user.setdefault(u, []).append((t, i))
+    for u, rows in by_user.items():
+        rows.sort()
+        cur: list[int] = []
+        last = None
+        for t, _ in rows:
+            if last is not None and t - last > SESSION_GAP_SECONDS:
+                sessions.append((u, len(cur), _ts(cur[0]), _ts(cur[-1])))
+                cur = []
+            cur.append(t)
+            last = t
+        sessions.append((u, len(cur), _ts(cur[0]), _ts(cur[-1])))
+    assert got == sorted(sessions)
