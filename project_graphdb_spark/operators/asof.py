@@ -75,6 +75,7 @@ def asof_join(
     description="as-of join (custom temporal operator, §2.E): for each "
     "click, the user's latest purchase at-or-before it; "
     "union+window carry-forward vs DuckDB's native ASOF JOIN",
+    headline=True,
 )
 def ev_asof_purchase_before_click(
     spark: SparkSession, sf_dir: str

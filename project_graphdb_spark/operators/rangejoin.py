@@ -92,6 +92,7 @@ def _campaign_windows(spark: SparkSession, events: DataFrame) -> DataFrame:
     description="binned interval join (non-equi range join made an equi "
     "hash join): events x derived campaign windows, vs DuckDB's naive "
     "BETWEEN join",
+    headline=True,
 )
 def ev_interval_join_campaigns(
     spark: SparkSession, sf_dir: str

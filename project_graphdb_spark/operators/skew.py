@@ -86,6 +86,7 @@ def salted_aggregate(
     description="salted two-stage aggregation (hot-key spreading): "
     "bit-identical to the direct groupBy (B13-B15 replacement; "
     "ref inject_relationship.py:240-337)",
+    headline=True,
 )
 def ev_user_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
