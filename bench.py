@@ -34,9 +34,12 @@ def main() -> None:
 
     heads = workload.headline_queries()
 
-    # warm-up: trigger JVM/codegen/parquet-footer costs outside timing
-    first = next(iter(heads.values()))
-    _run_once(first(spark, sf_dir))
+    # warm-up: run every headline once untimed, so JVM/codegen/parquet
+    # footers/graph-frame derivation land outside the timed pass and
+    # every query is measured steady-state (the reference's analog is a
+    # warm Neo4j page cache)
+    for fn in heads.values():
+        _run_once(fn(spark, sf_dir))
 
     per_query: dict[str, float] = {}
     total = 0.0
