@@ -24,7 +24,7 @@ unions into one id space (same construction as the oracle SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.graph.property_graph import PropertyGraph
@@ -93,13 +93,86 @@ def degrees(graph: PropertyGraph) -> DataFrame:
     )
 
 
+def aggregate_messages(
+    state: DataFrame, edges: DataFrame, message: Column, agg: Column
+) -> DataFrame:
+    """One superstep's message pass: join source-vertex state onto the
+    edges (state columns visible as ``v_<col>``), evaluate ``message``
+    per edge, aggregate at the destination. Returns (id, __agg).
+
+    This is the aggregate-messages primitive every Pregel-style
+    algorithm below is built from — one shuffle (the join) plus one
+    aggregation per superstep.
+    """
+    src_state = state.select(
+        F.col("id").alias("__src_id"),
+        *[F.col(c).alias(f"v_{c}") for c in state.columns if c != "id"],
+    )
+    return (
+        edges.join(src_state, edges.src == F.col("__src_id"))
+        .select(F.col("dst").alias("id"), message.alias("__msg"))
+        .groupBy("id")
+        .agg(agg.alias("__agg"))
+    )
+
+
+def pregel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    initial: dict[str, Column],
+    message: Column,
+    agg: Column,
+    update: dict[str, Column],
+    max_iter: int = 20,
+    converge_on: str | None = None,
+) -> DataFrame:
+    """Generic Pregel loop on DataFrames.
+
+    ``initial``: state columns over the vertex frame (may use ``id``).
+    ``message``: per-edge expression over edge columns + ``v_<state>``.
+    ``agg``: aggregation over ``__msg`` (e.g. ``F.min("__msg")``).
+    ``update``: new state columns over old state + ``__agg`` (null when
+    a vertex received no messages).
+    ``converge_on``: state column — stop when no row changes it.
+
+    Each superstep localCheckpoints the state (lineage stays flat); the
+    convergence check is one count against the just-checkpointed frame.
+    """
+    state = vertices.select(
+        "id", *[col.alias(name) for name, col in initial.items()]
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = aggregate_messages(state, edges, message, agg)
+        updated = state.join(msgs, "id", "left").select(
+            "id", *[col.alias(name) for name, col in update.items()]
+        )
+        updated = updated.localCheckpoint(eager=True)
+        if converge_on is not None:
+            changed = (
+                updated.alias("u")
+                .join(state.alias("s"), "id")
+                .filter(
+                    F.col(f"u.{converge_on}") != F.col(f"s.{converge_on}")
+                )
+                .count()
+            )
+            state = updated
+            if changed == 0:
+                break
+        else:
+            state = updated
+    return state
+
+
 def connected_components(
     graph: PropertyGraph | None = None,
     vertices: DataFrame | None = None,
     edges: DataFrame | None = None,
     max_iter: int = 20,
 ) -> DataFrame:
-    """(id, component) — min-id label propagation to a fixed point.
+    """(id, component) — min-id label propagation to a fixed point,
+    expressed on the generic :func:`pregel` driver.
 
     Accepts either a PropertyGraph (uses its undirected unified view) or
     explicit (vertices, edges) frames with columns (id) / (src, dst).
@@ -112,37 +185,109 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
 
-    labels = vertices.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
-    for i in range(max_iter):
-        # messages: each vertex offers its component to its neighbors
-        msgs = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_component"))
+    return pregel(
+        vertices,
+        edges,
+        initial={"component": F.col("id")},
+        message=F.col("v_component"),
+        agg=F.min("__msg"),
+        update={
+            "component": F.least(
+                F.col("component"),
+                F.coalesce(F.col("__agg"), F.col("component")),
+            )
+        },
+        max_iter=max_iter,
+        converge_on="component",
+    )
+
+
+def send_messages(
+    state: DataFrame, edges: DataFrame, message: Column
+) -> DataFrame:
+    """Un-aggregated message pass: (id, __msg) per in-edge of each
+    destination. ``message`` sees edge columns + ``v_<state>``."""
+    src_state = state.select(
+        F.col("id").alias("__src_id"),
+        *[F.col(c).alias(f"v_{c}") for c in state.columns if c != "id"],
+    )
+    return edges.join(src_state, edges.src == F.col("__src_id")).select(
+        F.col("dst").alias("id"), message.alias("__msg")
+    )
+
+
+def label_propagation(
+    graph: PropertyGraph | None = None,
+    vertices: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    max_iter: int = 5,
+) -> DataFrame:
+    """(id, community) — community detection: each vertex adopts the
+    modal label among its neighbors, deterministically (ties break to
+    the smallest label — synchronous LP with arbitrary tie-breaks is
+    unstable). Fixed iteration count: LP has no convergence guarantee."""
+    from pyspark.sql import Window as W
+
+    if graph is not None:
+        vertices = unified_vertices(graph)
+        edges = unified_edges(graph, undirected=True)
+    assert vertices is not None and edges is not None
+
+    state = vertices.select(
+        "id", F.col("id").alias("community")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        counts = (
+            send_messages(state, edges, F.col("v_community"))
+            .groupBy("id", "__msg")
+            .agg(F.count("*").alias("__n"))
         )
-        updated = (
-            labels.join(msgs, "id", "left")
+        w = W.partitionBy("id").orderBy(F.desc("__n"), F.asc("__msg"))
+        best = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("__msg").alias("__agg"))
+        )
+        state = (
+            state.join(best, "id", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                F.coalesce(F.col("__agg"), F.col("community")).alias(
+                    "community"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
+    return state
+
+
+def triangle_count(
+    graph: PropertyGraph | None = None,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """One-row (n_triangles) over the undirected unified graph.
+
+    Canonical form: orient each undirected edge a<b, then count
+    (a,b),(b,c),(a,c) paths — every triangle exactly once. Two hash
+    joins; the standard distributed formulation (skew on high-degree
+    vertices is the known cost; a production variant orders by degree).
+    """
+    if graph is not None:
+        edges = unified_edges(graph, undirected=True)
+    assert edges is not None
+    canon = edges.filter(F.col("src") < F.col("dst"))
+    e1 = canon.alias("e1")
+    e2 = canon.alias("e2")
+    e3 = canon.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
         )
-        labels = updated
-        if changed == 0:
-            break
-    return labels
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 def pagerank(

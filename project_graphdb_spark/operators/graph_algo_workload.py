@@ -21,7 +21,9 @@ from project_graphdb_spark.graph.algorithms import (
     bfs_distances,
     connected_components,
     degrees,
+    label_propagation,
     pagerank,
+    triangle_count,
 )
 from project_graphdb_spark.graph.builder import tpch_graph
 from project_graphdb_spark.workload import register
@@ -131,4 +133,41 @@ def galg_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.select("id", F.round("rank", 8).alias("rank"))
         .orderBy(F.desc("rank"), "id")
         .limit(20)
+    )
+
+
+@register(
+    "galg_triangle_count",
+    oracle=f"""
+    WITH uedges AS ({_UEDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
+    ),
+    canon AS (SELECT src, dst FROM sym WHERE src < dst)
+    SELECT COUNT(*) AS n_triangles
+    FROM canon e1
+    JOIN canon e2 ON e1.dst = e2.src
+    JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    """,
+    description="triangle count via canonical-edge double join "
+    "(graph analytics; exact SQL oracle)",
+)
+def galg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return triangle_count(g)
+
+
+@register(
+    "galg_label_propagation",
+    oracle=None,  # modal-label fixed point; semantics unit-tested
+    description="label-propagation community detection on the Pregel "
+    "driver (mode-of-neighbors update)",
+)
+def galg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return (
+        label_propagation(g)
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
     )

@@ -78,3 +78,49 @@ def test_pagerank_mass_conserved_on_tpch(spark, sf_dir):
     pr = pagerank(g, iterations=3)
     total = pr.agg(F.sum("rank").alias("s")).collect()[0].s
     assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_triangle_count_known_graph(spark):
+    from project_graphdb_spark.graph.algorithms import triangle_count
+
+    # K4 minus one edge: triangles {1,2,3} and {1,2,4} -> 2
+    edges = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3"), ("1", "4"), ("2", "4")],
+        "src string, dst string",
+    )
+    sym = edges.unionByName(
+        edges.selectExpr("dst as src", "src as dst")
+    ).distinct()
+    n = triangle_count(edges=sym).collect()[0]["n_triangles"]
+    assert n == 2
+
+
+def test_label_propagation_disconnected_cliques(spark):
+    from project_graphdb_spark.graph.algorithms import label_propagation
+
+    # two disconnected triangles -> exactly 2 communities, and the
+    # deterministic tie-break makes the result reproducible
+    raw = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    sym = edges.unionByName(
+        edges.selectExpr("dst as src", "src as dst")
+    ).distinct()
+    verts = sym.select("src").withColumnRenamed("src", "id").distinct()
+    out = label_propagation(vertices=verts, edges=sym, max_iter=4)
+    comms = {r["id"]: r["community"] for r in out.collect()}
+    a = {comms["a1"], comms["a2"], comms["a3"]}
+    b = {comms["b1"], comms["b2"], comms["b3"]}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert all(c.startswith("a") for c in a)
+    assert all(c.startswith("b") for c in b)
+    # determinism: a second run agrees exactly
+    again = {
+        r["id"]: r["community"]
+        for r in label_propagation(
+            vertices=verts, edges=sym, max_iter=4
+        ).collect()
+    }
+    assert again == comms
