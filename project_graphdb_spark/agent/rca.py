@@ -29,7 +29,6 @@ from typing import Protocol
 from project_graphdb_spark.agent.state import new_state
 from project_graphdb_spark.agent.workflow import (
     Planner,
-    TemplatePlanner,
     run_agent_workflow,
 )
 from project_graphdb_spark.graph.property_graph import PropertyGraph

@@ -84,6 +84,24 @@ class PropertyGraph:
         """MATCH (n) RETURN count(n) analog (C2)."""
         return self.node_counts().agg(F.sum("n").alias("n_nodes"))
 
+    # -- SQL surface --------------------------------------------------------
+
+    def register_views(self, prefix: str = "g_") -> list[str]:
+        """Register every label/type frame as a temp view
+        (``<prefix>node_<Label>`` / ``<prefix>edge_<TYPE>``), so the
+        whole graph is queryable with plain ``spark.sql`` alongside the
+        Cypher surface. Returns the view names."""
+        names = []
+        for label, df in self.nodes.items():
+            name = f"{prefix}node_{label}"
+            df.createOrReplaceTempView(name)
+            names.append(name)
+        for rel_type, ef in self.edges.items():
+            name = f"{prefix}edge_{rel_type}"
+            ef.df.createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     # -- pattern matching (C5/C6) ------------------------------------------
 
     def match(

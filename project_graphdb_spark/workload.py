@@ -24,7 +24,7 @@ is the registry the driver contract (``__spark_entry__.py``) re-exports.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -140,3 +140,16 @@ def test_merge_upsert_semantics(spark):
     upd_null = spark.createDataFrame([(1, None)], "k long, bal double")
     out3 = merge_upsert(existing, upd_null, "k")
     assert {r["k"]: r["bal"] for r in out3.collect()}[1] is None
+
+
+def test_register_views_sql_over_graph(spark, sf_dir):
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    names = g.register_views()
+    assert "g_node_Customer" in names and "g_edge_PLACED_BY" in names
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM g_edge_PLACED_BY e "
+        "JOIN g_node_Customer c ON e.dst = c.c_custkey"
+    ).collect()[0]["n"]
+    assert n == g.edge("PLACED_BY").count()
