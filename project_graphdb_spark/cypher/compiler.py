@@ -117,6 +117,10 @@ class _Scope:
             bound = self.vars[name]
             if bound.kind == "node" and bound.key:
                 return F.col(f"{name}__{bound.key}")
+            if bound.kind == "edge":
+                # count(r)/aggregates over a relationship variable: any
+                # always-present column stands in for the match row
+                return F.col(f"{name}__src")
         self.errors.append(f"unknown identifier {name!r}")
         return F.lit(None)
 
@@ -305,7 +309,11 @@ class _ExprCompiler:
                     )
                     return F.array(col)
                 if name == "type" and b.kind == "edge":
-                    return F.lit(b.label)
+                    return (
+                        F.col(f"{arg.name}__type")
+                        if b.label == "*"
+                        else F.lit(b.label)
+                    )
             self.scope.errors.append(
                 f"{name}() needs a bound "
                 + ("node" if name == "labels" else "relationship")
@@ -518,7 +526,50 @@ def _bind_patterns(
             & (F.col(f"{tag}__dst") == dst_id),
         )
 
+    def any_edge_frame(var: str) -> DataFrame:
+        """Type-agnostic edge scan — MATCH ()-[r]->() (C4, reference
+        inject_relationship.py:952): all relationships as
+        (src, dst, type) in the unified id space."""
+        frames = []
+        for rel_type, ef in graph.edges.items():
+            meta = ef.meta
+            frames.append(
+                ef.df.select(
+                    F.concat_ws(
+                        ":", F.lit(meta.source), F.col("src").cast("string")
+                    ).alias(f"{var}__src"),
+                    F.concat_ws(
+                        ":", F.lit(meta.target), F.col("dst").cast("string")
+                    ).alias(f"{var}__dst"),
+                    F.lit(rel_type).alias(f"{var}__type"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        vars[var] = _BoundVar("edge", "*", ["src", "dst", "type"])
+        return out
+
     for pat in patterns:
+        # type-agnostic edge scan: ()-[r]->() with anonymous unlabeled
+        # endpoints and no relationship type
+        if (
+            len(pat.nodes) == 2
+            and len(pat.edges) == 1
+            and pat.edges[0].rel_type is None
+            and not pat.edges[0].var_length
+            and all(
+                n.label is None and (n.var is None or n.var not in vars)
+                for n in pat.nodes
+            )
+        ):
+            e0 = pat.edges[0]
+            edge_var = e0.var or fresh("r")
+            e0.var = edge_var
+            frame = any_edge_frame(edge_var)
+            df = frame if df is None else df.crossJoin(frame)
+            continue
+
         # bind/attach the first node (mutating anonymous vars to their
         # generated names keeps chain hops resolving to the same frame)
         prev = pat.nodes[0]

@@ -338,6 +338,43 @@ def pagerank(
     return state.select("id", "rank")
 
 
+def shortest_paths(
+    vertices: DataFrame,
+    edges: DataFrame,
+    start_id: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, dist) — single-source shortest paths over weighted directed
+    edges (columns src, dst, weight), Bellman-Ford-style min-plus
+    relaxation on the Pregel driver. Unreachable vertices keep dist
+    null. Non-negative weights assumed (no negative-cycle detection)."""
+    INF = float("inf")
+    out = pregel(
+        vertices,
+        edges,
+        initial={
+            "dist": F.when(F.col("id") == start_id, F.lit(0.0)).otherwise(
+                F.lit(INF)
+            )
+        },
+        message=F.col("v_dist") + F.col("weight"),
+        agg=F.min("__msg"),
+        update={
+            "dist": F.least(
+                F.col("dist"), F.coalesce(F.col("__agg"), F.col("dist"))
+            )
+        },
+        max_iter=max_iter,
+        converge_on="dist",
+    )
+    return out.select(
+        "id",
+        F.when(F.col("dist") == INF, F.lit(None)).otherwise(
+            F.col("dist")
+        ).alias("dist"),
+    )
+
+
 def bfs_distances(
     graph: PropertyGraph,
     start_id: str,

@@ -516,3 +516,18 @@ def test_distinct_aggregates(spark, sf_dir):
         for x in cust.select("c_nationkey").distinct().collect()
     )
     assert int(r["s"]) == len(str(want))
+
+
+def test_any_edge_scan(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH ()-[r]->() RETURN type(r) AS t, count(r) AS n "
+        "ORDER BY n DESC, t",
+    ).collect()
+    got = {r["t"]: r["n"] for r in rows}
+    assert got == {t: ef.df.count() for t, ef in g.edges.items()}
+    total = compile_cypher(
+        g, "MATCH ()-[r]->() RETURN count(r) AS n"
+    ).collect()[0]["n"]
+    assert total == sum(got.values())

@@ -124,3 +124,51 @@ def test_label_propagation_disconnected_cliques(spark):
         ).collect()
     }
     assert again == comms
+
+
+def test_shortest_paths_weighted(spark):
+    from project_graphdb_spark.graph.algorithms import shortest_paths
+
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "id string"
+    )
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 10.0),
+            ("c", "d", 1.0), ("a", "d", 3.5),
+        ],
+        "src string, dst string, weight double",
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(verts, edges, "a").collect()
+    }
+    assert got == {"a": 0.0, "b": 1.0, "c": 3.0, "d": 3.5, "e": None}
+
+
+def test_shortest_paths_unit_weights_match_bfs(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from project_graphdb_spark.graph.algorithms import (
+        bfs_distances,
+        shortest_paths,
+        unified_edges,
+        unified_vertices,
+    )
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    edges = unified_edges(g, undirected=True).withColumn(
+        "weight", F.lit(1.0)
+    )
+    sp = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(
+            unified_vertices(g), edges, "Customer:1"
+        ).collect()
+        if r["dist"] is not None
+    }
+    bfs = {
+        r["id"]: float(r["dist"])
+        for r in bfs_distances(g, "Customer:1", max_depth=20).collect()
+    }
+    assert sp == bfs
