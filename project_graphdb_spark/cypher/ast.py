@@ -180,9 +180,12 @@ class Segment:
     ``MATCH … WITH … MATCH … RETURN`` composes."""
 
     patterns: list[PathPat] = field(default_factory=list)
-    # OPTIONAL MATCH patterns: left-joined onto the mandatory match on
-    # their shared node variables; unmatched rows carry nulls
-    optional_patterns: list[PathPat] = field(default_factory=list)
+    # OPTIONAL MATCH patterns (each with its own WHERE, applied inside
+    # the optional join — unmatched rows survive): left-joined onto the
+    # mandatory match on their shared node variables
+    optional_patterns: list[tuple[PathPat, Expr | None]] = field(
+        default_factory=list
+    )
     # UNWIND list AS alias clauses (before this segment's WHERE)
     unwinds: list[tuple[Expr, str]] = field(default_factory=list)
     where: Expr | None = None
@@ -206,7 +209,7 @@ class Query:
 
     @property
     def optional_patterns(self) -> list[PathPat]:
-        return self.segments[0].optional_patterns
+        return [p for p, _ in self.segments[0].optional_patterns]
 
     @property
     def where(self) -> Expr | None:
@@ -224,5 +227,5 @@ class Query:
         return [
             p
             for s in self.segments
-            for p in (*s.patterns, *s.optional_patterns)
+            for p in (*s.patterns, *(op for op, _ in s.optional_patterns))
         ]

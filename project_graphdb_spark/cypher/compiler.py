@@ -725,6 +725,7 @@ def _attach_optional(
     vars: dict[str, _BoundVar],
     pattern: A.PathPat,
     anon_seed: int,
+    opt_where: A.Expr | None = None,
 ) -> DataFrame:
     """OPTIONAL MATCH: bind the pattern in isolation, then LEFT-join it
     onto the mandatory match on the shared node variables' keys —
@@ -756,6 +757,14 @@ def _attach_optional(
             raise CypherAnalysisError(
                 [f"variable {v!r} already bound in an earlier pattern"]
             )
+    if opt_where is not None:
+        # the clause's own WHERE filters the optional side *before* the
+        # left join — unmatched rows still survive with nulls
+        oscope = _Scope(ovars, None, odf)
+        cond = _ExprCompiler(oscope, False).compile(opt_where)
+        if oscope.errors:
+            raise CypherAnalysisError(oscope.errors)
+        odf = odf.filter(cond)
 
     # shared-var columns exist on both sides: prefix the optional side's
     # copies, join on the keys, then drop the prefixed duplicates
@@ -872,10 +881,11 @@ def compile_cypher(
                 raise CypherAnalysisError(
                     ["a query cannot start with OPTIONAL MATCH"]
                 )
-            for i, opt in enumerate(seg.optional_patterns):
+            for i, (opt, opt_where) in enumerate(seg.optional_patterns):
                 df = _attach_optional(
                     graph, df, vars, opt,
                     anon_seed=si * 10000 + (i + 1) * 1000,
+                    opt_where=opt_where,
                 )
         for expr, alias in seg.unwinds:
             if df is None:

@@ -203,13 +203,22 @@ class _Parser:
             seg.patterns.append(self.parse_pattern())
             while self.accept(","):
                 seg.patterns.append(self.parse_pattern())
-        while self.accept("kw", "optional"):
-            self.expect("kw", "match")
-            seg.optional_patterns.append(self.parse_pattern())
-            while self.accept(","):
-                seg.optional_patterns.append(self.parse_pattern())
         if self.accept("kw", "where"):
             seg.where = self.parse_expr()
+        while self.accept("kw", "optional"):
+            self.expect("kw", "match")
+            pats = [self.parse_pattern()]
+            while self.accept(","):
+                pats.append(self.parse_pattern())
+            # WHERE after an OPTIONAL MATCH belongs to that clause: it
+            # filters the optional side, it does not drop unmatched rows
+            opt_where = (
+                self.parse_expr() if self.accept("kw", "where") else None
+            )
+            for i, p in enumerate(pats):
+                seg.optional_patterns.append(
+                    (p, opt_where if i == len(pats) - 1 else None)
+                )
         return seg
 
     def parse_pattern(self) -> PathPat:

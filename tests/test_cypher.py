@@ -531,3 +531,27 @@ def test_any_edge_scan(spark, sf_dir):
         g, "MATCH ()-[r]->() RETURN count(r) AS n"
     ).collect()[0]["n"]
     assert total == sum(got.values())
+
+
+def test_optional_match_where_preserves_unmatched(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "WHERE o.o_totalprice >= 300000 "
+        "RETURN c.c_custkey AS ck, count(o) AS n ORDER BY ck",
+    ).collect()
+    # every customer survives, big-order counts filtered
+    assert len(rows) == g.nodes["Customer"].count()
+    orders = g.edges["PLACED_BY"].df
+    onodes = g.nodes["Orders"]
+    big = (
+        onodes.filter(F.col("o_totalprice") >= 300000)
+        .join(orders, onodes.o_orderkey == orders.src)
+        .groupBy("dst")
+        .count()
+    )
+    want = {r["dst"]: r["count"] for r in big.collect()}
+    for r in rows:
+        assert r["n"] == want.get(r["ck"], 0)
