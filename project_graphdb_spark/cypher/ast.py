@@ -64,6 +64,14 @@ class Cmp(Expr):
 
 
 @dataclass
+class IsNull(Expr):
+    """``x IS NULL`` / ``x IS NOT NULL`` (also ``exists(x.prop)``)."""
+
+    part: Expr
+    negated: bool = False  # True = IS NOT NULL
+
+
+@dataclass
 class ListExpr(Expr):
     items: list[Expr]
 

@@ -151,6 +151,7 @@ _SCALAR_FNS = {
     else args[0].substr(args[1] + 1, F.lit(2147483647)),
     "replace": lambda args: F.replace(args[0], args[1], args[2]),
     "split": lambda args: F.split(args[0], args[1]),
+    "exists": lambda args: args[0].isNotNull(),
 }
 
 # date(x).year-style component access on date/datetime results
@@ -236,6 +237,9 @@ class _ExprCompiler:
             return out
         if isinstance(e, A.Not):
             return ~self.compile(e.part)
+        if isinstance(e, A.IsNull):
+            c = self.compile(e.part)
+            return c.isNotNull() if e.negated else c.isNull()
         if isinstance(e, A.ListExpr):
             return F.array(*[self.compile(i) for i in e.items])
         if isinstance(e, A.Index):

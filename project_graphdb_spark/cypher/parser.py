@@ -30,6 +30,7 @@ from project_graphdb_spark.cypher.ast import (
     Expr,
     FnCall,
     Index,
+    IsNull,
     Item,
     ListExpr,
     Lit,
@@ -71,7 +72,7 @@ KEYWORDS = {
     "skip", "limit", "as", "and", "or", "not", "in", "contains",
     "starts", "ends", "distinct", "asc", "ascending", "desc",
     "descending", "true", "false", "null", "case", "when", "then",
-    "else", "end", "unwind",
+    "else", "end", "unwind", "is",
 }
 
 
@@ -383,6 +384,11 @@ class _Parser:
     def parse_comparison(self) -> Expr:
         left = self.parse_add()
         k, v = self.peek()
+        if self.at_kw("is"):
+            self.next()
+            negated = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return IsNull(part=left, negated=negated)
         if k in ("=", "<>", "<", "<=", ">", ">="):
             self.next()
             return Cmp(k, left, self.parse_add())

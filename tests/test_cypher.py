@@ -555,3 +555,30 @@ def test_optional_match_where_preserves_unmatched(spark, sf_dir):
     want = {r["dst"]: r["count"] for r in big.collect()}
     for r in rows:
         assert r["n"] == want.get(r["ck"], 0)
+
+
+def test_is_null_predicates(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    without = compile_cypher(
+        g,
+        "MATCH (c:Customer) OPTIONAL MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "WITH c, o WHERE o IS NULL "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    want = (
+        g.nodes["Customer"]
+        .join(
+            g.edges["PLACED_BY"].df,
+            g.nodes["Customer"].c_custkey == g.edges["PLACED_BY"].df.dst,
+            "left_anti",
+        )
+        .count()
+    )
+    assert without == want
+    with_orders = compile_cypher(
+        g,
+        "MATCH (c:Customer) OPTIONAL MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "WITH c, o WHERE o IS NOT NULL "
+        "RETURN count(DISTINCT c.c_custkey) AS n",
+    ).collect()[0]["n"]
+    assert with_orders == g.nodes["Customer"].count() - want
