@@ -151,6 +151,54 @@ def build_graph(
     return PropertyGraph(schema=schema, nodes=nodes, edges=edges)
 
 
+def load_report(
+    tables: dict[str, DataFrame],
+    schema: GraphSchema,
+    graph: PropertyGraph,
+) -> DataFrame:
+    """Load reconciliation (the reference's committed-vs-verified sweep,
+    final/inject_relationship.py:853-913,1017-1031, as one DataFrame):
+    per relationship — source rows, null-key drops, dangling-FK drops,
+    and rows actually loaded. ``source_rows == null_key_drops +
+    dangling_drops + loaded + merge_dedup`` by construction; a nonzero
+    drop column is the observability signal the reference logs.
+    """
+    spark = next(iter(graph.nodes.values())).sparkSession
+    rows = []
+    for rel in schema.relationships:
+        t = tables[rel.table_name]
+        total = t.count()
+        non_null = t.na.drop(subset=[rel.key_s, rel.key_t]).count()
+        loaded = graph.edges[rel.label].df.count()
+        src_keys = graph.nodes[rel.source].select(
+            F.col(schema.node(rel.source).key).alias("__k")
+        )
+        dst_keys = graph.nodes[rel.target].select(
+            F.col(schema.node(rel.target).key).alias("__k")
+        )
+        resolved = (
+            t.na.drop(subset=[rel.key_s, rel.key_t])
+            .join(src_keys, t[rel.key_s] == src_keys["__k"], "left_semi")
+            .join(dst_keys, t[rel.key_t] == dst_keys["__k"], "left_semi")
+            .count()
+        )
+        rows.append(
+            (
+                rel.label,
+                total,
+                total - non_null,
+                non_null - resolved,
+                resolved - loaded,
+                loaded,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rel_type string, source_rows long, null_key_drops long, "
+        "dangling_drops long, merge_dedup long, loaded long",
+    )
+
+
 def merge_upsert(
     existing: DataFrame, updates: DataFrame, key: str
 ) -> DataFrame:

@@ -179,3 +179,36 @@ def test_viz_renderers(db_path):
     assert '"Sale" -> "Store" [label="HAS_STORE"]' in gdot
     page = graph_schema_html(gschema)
     assert "vis.Network" in page and '"from": "Sale"' in page
+
+
+def test_load_report_reconciliation(spark, db_path):
+    from project_graphdb_spark.graph.builder import load_report
+    from project_graphdb_spark.io.sqlite import introspect, read_normalized
+
+    graph, gschema, rschema = sqlite_to_graph(spark, db_path)
+    tables = {
+        t.name: read_normalized(spark, db_path, t) for t in rschema
+    }
+    report = {
+        r["rel_type"]: r for r in load_report(tables, gschema, graph).collect()
+    }
+    sale = report["HAS_STORE"]
+    # 4 sale rows: 1 coerced-to-null FK + 1 NULL FK dropped, 2 loaded
+    assert sale["source_rows"] == 4
+    assert sale["null_key_drops"] == 2
+    assert sale["dangling_drops"] == 0
+    assert sale["loaded"] == 2
+    stock = report["PRODUCT_STORE"]
+    # 4 stock rows, 1 exact duplicate merged away
+    assert stock["source_rows"] == 4
+    assert stock["merge_dedup"] == 1
+    assert stock["loaded"] == 3
+    # conservation: every source row is accounted for
+    for r in report.values():
+        assert (
+            r["source_rows"]
+            == r["null_key_drops"]
+            + r["dangling_drops"]
+            + r["merge_dedup"]
+            + r["loaded"]
+        )
