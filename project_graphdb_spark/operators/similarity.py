@@ -210,3 +210,34 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
+
+
+def cosine_scores_pandas(
+    emb: DataFrame, query_vec: list[float], round_to: int = 6
+) -> DataFrame:
+    """(vec_id, cos_sim) via an Arrow-vectorized pandas UDF.
+
+    The alternative implementation path for wide vectors: NumPy matrix
+    math over Arrow batches beats per-element Catalyst folds once
+    dimensionality is large (thousands of dims); both paths are exact
+    and are equality-tested against each other. The query vector ships
+    as a closure constant — no join at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.sqrt((q * q).sum()))
+
+    def _cos(col):
+        m = np.stack(col.to_numpy())  # (batch, dim) float64
+        num = m @ q
+        den = np.sqrt((m * m).sum(axis=1)) * qn
+        return pd.Series(num / den).round(round_to)
+
+    # non-decorator form: module-level `from __future__ import
+    # annotations` would stringify hints the UDF inspector cannot eval
+    cos = pandas_udf(_cos, "double")
+    return emb.select("vec_id", cos(F.col("v")).alias("cos_sim"))
