@@ -216,3 +216,36 @@ def g_top_degree_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("rnk")
     )
+
+
+@register(
+    "sql_over_graph_order_priority_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="plain spark.sql over the registered graph views "
+    "(PropertyGraph.register_views) — the SQL surface beside Cypher",
+)
+def sql_over_graph_order_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    g.register_views()
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM g_node_Orders o
+        JOIN g_edge_PLACED_BY e ON e.src = o.o_orderkey
+        JOIN g_node_Customer c ON e.dst = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -117,3 +117,45 @@ def ev_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "ev_rolling_hour_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS rolling_n
+    FROM events WHERE user_id < 10 ORDER BY user_id, ts, event_id
+    """,
+    description="RANGE-frame rolling window: per-user trailing-1h sum "
+    "and count over event time (time-range frame, not row frame)",
+)
+def ev_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from project_graphdb_spark.operators.exact import dec
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 10
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(dec("value")).over(w).cast("double").alias("rolling_value"),
+            F.count("*").over(w).alias("rolling_n"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
