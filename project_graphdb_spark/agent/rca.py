@@ -94,6 +94,61 @@ class ScriptedInvestigator:
         return "\n".join(parts)
 
 
+@dataclass
+class AdaptiveInvestigator:
+    """Findings-driven RCA (the reference's chatbot reads prior tool
+    outputs before choosing the next call — ref final/rca_final.py:130):
+    ask for the yearly series, locate the largest year-over-year drop in
+    the *answer text*, then drill into that year. Deterministic — the
+    'reasoning' is a rule, but the control flow is genuinely adaptive:
+    the second round's queries depend on the first round's data.
+    """
+
+    _step: int = 0
+    _target_year: int | None = None
+
+    def next_queries(
+        self, question: str, findings: list[tuple[str, str]]
+    ) -> list[str]:
+        import re
+
+        if self._step == 0:
+            self._step = 1
+            return ["what is the total revenue per year?"]
+        if self._step == 1:
+            self._step = 2
+            series: dict[int, float] = {}
+            for _, answer in findings:
+                for m in re.finditer(
+                    r"order_year=(\d{4}), revenue=([0-9.]+)", answer
+                ):
+                    series[int(m.group(1))] = float(m.group(2))
+            drops = [
+                (series[y] / series[y - 1], y)
+                for y in series
+                if y - 1 in series and series[y - 1] > 0
+            ]
+            if not drops:
+                return []
+            self._target_year = min(drops)[1]
+            return [
+                f"order status counts for year {self._target_year}",
+                f"order status counts for year {self._target_year - 1}",
+                "top 5 customers by revenue",
+            ]
+        return []
+
+    def summarize(
+        self, question: str, findings: list[tuple[str, str]]
+    ) -> str:
+        head = (
+            f"Investigation of: {question}\n"
+            f"Largest year-over-year revenue drop: {self._target_year}"
+        )
+        body = "\n".join(f"- {q}" for q, _ in findings)
+        return f"{head}\n{body}\n({len(findings)} sub-queries)"
+
+
 def query_tool(
     graph: PropertyGraph, english_query: str, planner: Planner | None = None
 ) -> str:

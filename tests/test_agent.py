@@ -104,3 +104,32 @@ def test_query_tool_and_rca_stream(graph):
 
     summary = run_rca(graph, "why did revenue drop in 2001?")
     assert "Investigation of" in summary and "4 sub-queries" in summary
+
+
+def test_adaptive_rca_reacts_to_findings(spark, graph):
+    from project_graphdb_spark.agent.rca import (
+        AdaptiveInvestigator,
+        run_rca,
+        stream_rca,
+    )
+
+    inv = AdaptiveInvestigator()
+    events = list(
+        stream_rca(graph, "why did revenue change?", investigator=inv)
+    )
+    # round 2's queries must target the data-determined worst year
+    # (2001 is the partial year in the synthetic data)
+    assert inv._target_year == 2001
+    tool_calls = [
+        q for e in events if e.get("tool_calls") for q in e["tool_calls"]
+    ]
+    assert "order status counts for year 2001" in tool_calls
+    assert "order status counts for year 2000" in tool_calls
+    final = [e for e in events if e.get("final")][0]["content"]
+    assert "2001" in final
+
+    # determinism: a fresh run reproduces the same summary
+    again = run_rca(
+        graph, "why did revenue change?", investigator=AdaptiveInvestigator()
+    )
+    assert again == final
