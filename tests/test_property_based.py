@@ -122,3 +122,19 @@ def test_sessionize_matches_python_model(spark, events):
             last = t
         sessions.append((u, len(cur), _ts(cur[0]), _ts(cur[-1])))
     assert got == sorted(sessions)
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(max_size=80))
+def test_parser_total_on_garbage(text):
+    """The parser must be total: any input either parses or raises
+    CypherSyntaxError — never an unhandled exception."""
+    from project_graphdb_spark.cypher.parser import (
+        CypherSyntaxError,
+        parse,
+    )
+
+    try:
+        parse(text)
+    except CypherSyntaxError:
+        pass
