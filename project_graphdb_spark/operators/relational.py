@@ -682,3 +682,80 @@ def orders_grouping_sets_status_year(
         ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST
         """
     )
+
+
+@register(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+                    AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON n.n_nationkey = s.s_nationkey
+    JOIN region r    ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 2000
+    GROUP BY 1 ORDER BY revenue DESC, nation
+    """,
+    description="TPC-H Q5 shape: 6-way join with the local-supplier "
+    "same-nation equality, region filter, grouped revenue",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(F.year("o_orderdate") == 2000)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@register(
+    "lineitem_quantity_percentiles",
+    oracle="""
+    SELECT quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.95) AS p95
+    FROM lineitem
+    """,
+    description="exact interpolated percentiles (B11's quantile "
+    "surface; Spark percentile vs DuckDB quantile_cont)",
+)
+def lineitem_quantity_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    return li.agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
