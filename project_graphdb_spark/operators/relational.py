@@ -759,3 +759,81 @@ def lineitem_quantity_percentiles(
         F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
         F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
     )
+
+
+@register(
+    "shipping_priority_top10",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '2000-03-15'
+      AND l.l_shipdate  > DATE '2000-03-15'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, orderkey LIMIT 10
+    """,
+    description="TPC-H Q3 shape: segment + date-window filters, grouped "
+    "revenue, top-10 by revenue",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "2000-03-15"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "order_value_rank_and_next",
+    oracle="""
+    SELECT o_orderkey,
+           DENSE_RANK() OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey
+           ) AS value_rank,
+           LEAD(o_orderkey) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey
+           ) AS next_orderkey
+    FROM orders
+    QUALIFY value_rank <= 5
+    ORDER BY o_orderstatus, value_rank
+    """,
+    description="dense_rank + lead window functions with total-order "
+    "tie-breaks, top-5 per status",
+)
+def order_value_rank_and_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("value_rank", F.dense_rank().over(w))
+        .withColumn("next_orderkey", F.lead("o_orderkey").over(w))
+        .filter(F.col("value_rank") <= 5)
+        .orderBy("o_orderstatus", "value_rank")
+        .select("o_orderkey", "value_rank", "next_orderkey")
+    )
