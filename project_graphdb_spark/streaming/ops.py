@@ -151,6 +151,65 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_upsert_nodes(
+    stream: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    key: str,
+    agg_cols: dict[str, str],
+) -> "object":
+    """Continuous graph maintenance: a stream micro-batch upserts into a
+    parquet node-label directory via :func:`merge_upsert` inside
+    ``foreachBatch`` — the streaming twin of the batch graph build.
+
+    ``agg_cols`` maps output column -> aggregate ('count' | 'max' |
+    'sum') computed per key within each micro-batch before the merge.
+    Exactly-once per micro-batch comes from the checkpointed source
+    offsets; the merge itself is idempotent on the key. Returns the
+    started StreamingQuery (caller awaits/stops).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from project_graphdb_spark.graph.builder import merge_upsert
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        aggs = []
+        for out, kind in agg_cols.items():
+            src = out.split("__")[0]
+            if kind == "count":
+                aggs.append(F.count("*").alias(out))
+            elif kind == "max":
+                aggs.append(F.max(src).alias(out))
+            else:
+                aggs.append(F.sum(src).alias(out))
+        updates = batch.groupBy(key).agg(*aggs)
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path)
+            merged = merge_upsert(existing, updates, key)
+        else:
+            merged = updates
+        # write to a temp dir then swap: the read above streams from the
+        # same location we overwrite
+        tmp = target_path + f".__batch{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            target_path
+        )
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def distinct_user_events(events: DataFrame) -> DataFrame:
     """(user_id, event_type) distinct — batch twin of
     ``dropDuplicatesWithinWatermark`` streaming dedup."""

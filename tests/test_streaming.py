@@ -185,3 +185,55 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_upsert_into_node_store(spark, tmp_path):
+    """Streaming -> graph maintenance: micro-batches merge-upsert a
+    per-user node frame; a second drain with new data updates matched
+    keys and inserts new ones."""
+    from project_graphdb_spark.streaming.ops import stream_upsert_nodes
+
+    src = tmp_path / "in"
+    target = str(tmp_path / "users")
+    cp = str(tmp_path / "cp")
+    batch = load_table(spark, SF, "events")
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(str(src))
+
+    def drain():
+        q = stream_upsert_nodes(
+            spark.readStream.schema(batch.schema).parquet(str(src)),
+            target,
+            cp,
+            key="user_id",
+            agg_cols={"ts__latest": "max"},
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {
+        r["user_id"]: r["ts__latest"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want1 = {
+        r["user_id"]: r["m"]
+        for r in half1.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    assert first == want1
+
+    half2.write.mode("append").parquet(str(src))
+    drain()
+    final = {
+        r["user_id"]: r["ts__latest"]
+        for r in spark.read.parquet(target).collect()
+    }
+    # matched users advance to the new batch's max; the store keeps
+    # last-batch-wins MERGE semantics per column
+    want2 = {
+        r["user_id"]: r["m"]
+        for r in half2.groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    for u, ts in final.items():
+        assert ts == want2.get(u, want1.get(u))
+    assert set(final) == set(want1) | set(want2)
