@@ -100,3 +100,82 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         extract_payload_features, schema=FEATURE_SCHEMA
     ).orderBy("doc_id")
+
+
+FRAME_BYTES = 64  # deterministic fake "frame" size for the stub codec
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_index bigint, frame_bytes bigint, "
+    "frame_digest string"
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Stub: real resize needs PIL/opencv (absent here). The Spark-side
+    call shape (mapInPandas over binary + params) is what's tested."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv; not present in this environment"
+    )
+
+
+def sample_frames(every_n: int = 2):
+    """mapInPandas operator factory: binary payload → sampled "frames".
+
+    The stub codec treats the payload as consecutive ``FRAME_BYTES``
+    chunks (a real video decoder yields frames the same way — an
+    iterator per payload); every ``every_n``-th frame is kept and
+    digested. One input row fans out to many output rows *within* the
+    Arrow batch — the explode happens executor-side, nothing ever
+    returns to the driver.
+    """
+    import hashlib
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_index": [],
+                "frame_bytes": [], "frame_digest": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    chunk = payload[i * FRAME_BYTES: (i + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_digest"].append(
+                        hashlib.md5(chunk).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return op
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    -- documents are ASCII (asserted by equal char/byte lengths), so
+    -- VARCHAR substr chunks equal the byte frames Spark digests
+    WITH nums AS (SELECT i FROM generate_series(0, 4095) t(i)),
+    frames AS (
+      SELECT d.doc_id, i AS frame_index,
+             substr(d.text, CAST(i * 64 + 1 AS BIGINT), 64) AS chunk
+      FROM documents d
+      JOIN nums ON i < ceil(octet_length(encode(d.text)) / 64.0)
+      WHERE i % 2 = 0 AND d.doc_id < 200
+    )
+    SELECT doc_id, frame_index,
+           octet_length(encode(chunk)) AS frame_bytes,
+           md5(chunk) AS frame_digest
+    FROM frames ORDER BY doc_id, frame_index
+    """,
+    description="multimodal frame sampling: payload → every-2nd 64-byte "
+    "frame + digest via mapInPandas fan-out (stub codec, real plumbing)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id", "text")
+    payloads = with_binary_payload(docs).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        sample_frames(every_n=2), schema=FRAME_SCHEMA
+    ).orderBy("doc_id", "frame_index")
