@@ -120,6 +120,13 @@ class TemplatePlanner:
                 "WITH c.c_mktsegment AS segment, count(*) AS n_orders "
                 "RETURN segment, n_orders ORDER BY segment"
             )
+        if ("without orders" in q or "no orders" in q) and "customer" in q:
+            return (
+                "MATCH (c:Customer) "
+                "OPTIONAL MATCH (o:Orders)-[:PLACED_BY]->(c) "
+                "WITH c, o WHERE o IS NULL "
+                "RETURN count(DISTINCT c.c_custkey) AS n_customers"
+            )
         raise ValueError(f"no template matches question: {question!r}")
 
     def correct_cypher(

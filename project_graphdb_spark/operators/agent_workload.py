@@ -52,3 +52,20 @@ def agent_total_sales_2000(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agent_top5_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ask(spark, sf_dir, "top 5 customers by revenue")
+
+
+@register(
+    "agent_customers_without_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_customers FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    description="D1-D4 pipeline generating the OPTIONAL MATCH + IS NULL "
+    "anti-join idiom from 'how many customers have no orders?'",
+)
+def agent_customers_without_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _ask(spark, sf_dir, "how many customers have no orders?")
