@@ -189,3 +189,20 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=None,  # seeded sampling is engine-specific; fraction accuracy
+    # and determinism are asserted in tests/test_llm_data_ops.py
+    description="seeded stratified sampling by language (training-data "
+    "rebalancing: downsample dominant strata, keep rare ones whole)",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=42).orderBy(
+        "doc_id"
+    )

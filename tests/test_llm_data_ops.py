@@ -88,3 +88,40 @@ def test_pandas_cosine_matches_jvm_path(spark, sf_dir):
     got = {r["vec_id"]: r["cos_sim"] for r in arrow.collect()}
     want = {r["vec_id"]: r["cos_sim"] for r in jvm.collect()}
     assert got == want
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from project_graphdb_spark.operators.text import (
+        SAMPLE_FRACTIONS,
+        doc_stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = (
+        doc_stratified_sample(spark, sf)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    from project_graphdb_spark.io.tables import load_table
+
+    totals = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    for r in docs:
+        frac = r["count"] / totals[r["lang"]]
+        want = SAMPLE_FRACTIONS[r["lang"]]
+        assert abs(frac - want) <= 0.15, (r["lang"], frac, want)
+    # full-keep strata are exactly complete
+    kept = {r["lang"]: r["count"] for r in docs}
+    for lang, f in SAMPLE_FRACTIONS.items():
+        if f == 1.0:
+            assert kept[lang] == totals[lang]
+    # seeded: two runs identical
+    a = [r["doc_id"] for r in doc_stratified_sample(spark, sf).collect()]
+    b = [r["doc_id"] for r in doc_stratified_sample(spark, sf).collect()]
+    assert a == b
