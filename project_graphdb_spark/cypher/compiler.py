@@ -152,6 +152,8 @@ _SCALAR_FNS = {
     "replace": lambda args: F.replace(args[0], args[1], args[2]),
     "split": lambda args: F.split(args[0], args[1]),
     "exists": lambda args: args[0].isNotNull(),
+    "head": lambda args: F.element_at(args[0], 1),
+    "last": lambda args: F.element_at(args[0], -1),
 }
 
 # date(x).year-style component access on date/datetime results

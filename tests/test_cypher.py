@@ -582,3 +582,17 @@ def test_is_null_predicates(spark, sf_dir):
         "RETURN count(DISTINCT c.c_custkey) AS n",
     ).collect()[0]["n"]
     assert with_orders == g.nodes["Customer"].count() - want
+
+
+def test_head_last_on_collected_lists(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WITH n.n_name AS nation, collect(c.c_custkey) AS ks "
+        "RETURN nation, head(ks) AS first_k, last(ks) AS last_k, "
+        "size(toString(head(ks))) AS w ORDER BY nation",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["first_k"] is not None and r["last_k"] is not None
