@@ -170,28 +170,36 @@ def stream_rca(
     yield {"type": "system", "content": "RCA investigation started"}
     yield {"type": "user", "content": question}
 
-    findings: list[tuple[str, str]] = []
-    loop_count = 0
-    while loop_count <= MAX_LOOPS:
-        loop_count += 1
-        queries = inv.next_queries(question, findings)
-        if not queries:
-            break
-        yield {
-            "type": "ai",
-            "content": f"investigating: {'; '.join(queries)}",
-            "tool_calls": queries,
-        }
-        for sub_q in queries:
-            try:
-                answer = query_tool(graph, sub_q, planner)
-            except ValueError as e:  # unrecognized template
-                answer = f"could not answer: {e}"
-            findings.append((sub_q, answer))
-            yield {"type": "tool", "name": "query_tool", "content": answer}
+    # repeated sub-queries hit the same node/edge frames — persist for
+    # the investigation (the reference's warm Neo4j page cache analog)
+    graph.persist()
+    try:
+        findings: list[tuple[str, str]] = []
+        loop_count = 0
+        while loop_count <= MAX_LOOPS:
+            loop_count += 1
+            queries = inv.next_queries(question, findings)
+            if not queries:
+                break
+            yield {
+                "type": "ai",
+                "content": f"investigating: {'; '.join(queries)}",
+                "tool_calls": queries,
+            }
+            for sub_q in queries:
+                try:
+                    answer = query_tool(graph, sub_q, planner)
+                except ValueError as e:  # unrecognized template
+                    answer = f"could not answer: {e}"
+                findings.append((sub_q, answer))
+                yield {
+                    "type": "tool", "name": "query_tool", "content": answer
+                }
 
-    summary = inv.summarize(question, findings)
-    yield {"type": "ai", "content": summary, "final": True}
+        summary = inv.summarize(question, findings)
+        yield {"type": "ai", "content": summary, "final": True}
+    finally:
+        graph.unpersist()
 
 
 def run_rca(

@@ -84,6 +84,25 @@ class PropertyGraph:
         """MATCH (n) RETURN count(n) analog (C2)."""
         return self.node_counts().agg(F.sum("n").alias("n_nodes"))
 
+    # -- caching ------------------------------------------------------------
+
+    def persist(self) -> "PropertyGraph":
+        """Persist every label/type frame (MEMORY_AND_DISK). The analog
+        of the reference's warm Neo4j page cache for repeated agent/RCA
+        sub-queries over the same graph (SURVEY.md §3.3)."""
+        for df in self.nodes.values():
+            df.persist()
+        for ef in self.edges.values():
+            ef.df.persist()
+        return self
+
+    def unpersist(self) -> "PropertyGraph":
+        for df in self.nodes.values():
+            df.unpersist()
+        for ef in self.edges.values():
+            ef.df.unpersist()
+        return self
+
     # -- SQL surface --------------------------------------------------------
 
     def register_views(self, prefix: str = "g_") -> list[str]:
