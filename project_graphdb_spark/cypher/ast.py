@@ -198,6 +198,11 @@ class Segment:
     unwinds: list[tuple[Expr, str]] = field(default_factory=list)
     where: Expr | None = None
     projection: Projection | None = None  # the terminating WITH
+    # WITH-level ORDER BY / SKIP / LIMIT (Cypher's mid-query top-k),
+    # applied before proj_where
+    proj_order: list["OrderKey"] = field(default_factory=list)
+    proj_skip: int | None = None
+    proj_limit: int | None = None
     proj_where: Expr | None = None  # WHERE after that WITH
 
 

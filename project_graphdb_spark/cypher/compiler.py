@@ -921,6 +921,23 @@ def compile_cypher(
                 allow_passthrough=True,
             )
             scope = _Scope(vars or None, flat or None, df)
+            if seg.proj_order:
+                ocomp = _ExprCompiler(scope, exact_decimal_sums)
+                keys = []
+                for ok in seg.proj_order:
+                    col = ocomp.compile(ok.expr)
+                    keys.append(col.asc() if ok.ascending else col.desc())
+                if scope.errors:
+                    raise CypherAnalysisError(scope.errors)
+                df = df.orderBy(*keys)
+            if seg.proj_skip is not None:
+                df = df.offset(seg.proj_skip)
+            if seg.proj_limit is not None:
+                df = df.limit(seg.proj_limit)
+            if seg.proj_order or seg.proj_skip is not None or (
+                seg.proj_limit is not None
+            ):
+                scope.df = df
             if seg.proj_where is not None:
                 comp2 = _ExprCompiler(scope, exact_decimal_sums)
                 cond = comp2.compile(seg.proj_where)

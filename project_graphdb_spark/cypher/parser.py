@@ -172,6 +172,15 @@ class _Parser:
         while self.accept("kw", "with"):
             seg = segments[-1]
             seg.projection = self.parse_projection()
+            if self.accept("kw", "order"):
+                self.expect("kw", "by")
+                seg.proj_order.append(self.parse_order_key())
+                while self.accept(","):
+                    seg.proj_order.append(self.parse_order_key())
+            if self.accept("kw", "skip"):
+                seg.proj_skip = int(self.expect("num"))
+            if self.accept("kw", "limit"):
+                seg.proj_limit = int(self.expect("num"))
             if self.accept("kw", "where"):
                 seg.proj_where = self.parse_expr()
             segments.append(self.parse_segment())

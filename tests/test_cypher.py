@@ -596,3 +596,26 @@ def test_head_last_on_collected_lists(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["first_k"] is not None and r["last_k"] is not None
+
+
+def test_with_order_limit_then_match(spark, sf_dir):
+    """Mid-query top-k: take the 3 highest-revenue nations, then expand
+    to their suppliers — the top-k-then-drill RCA shape."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "WITH n, count(c) AS n_cust ORDER BY n_cust DESC, n.n_name LIMIT 3 "
+        "MATCH (s:Supplier)-[:LOCATED_IN]->(n) "
+        "RETURN n.n_name AS nation, n_cust, count(s) AS n_supp "
+        "ORDER BY n_cust DESC, nation",
+    ).collect()
+    assert len(rows) <= 3
+    # the kept nations are exactly the overall top-3 by customer count
+    top3 = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:FROM_NATION]->(n:Nation) "
+        "RETURN n.n_name AS nation, count(c) AS n_cust "
+        "ORDER BY n_cust DESC, nation LIMIT 3",
+    ).collect()
+    assert {r["nation"] for r in rows} <= {r["nation"] for r in top3}
