@@ -55,6 +55,37 @@ def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     )
 
 
+def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles as 64-bit hashes, computed straight
+    from the token array — no intermediate shingle strings. The MinHash
+    path only ever hashes shingles, so building concat strings first is
+    pure overhead (and a wider shuffle); hash collisions at 64 bits are
+    negligible for Jaccard estimation."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(
+            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def doc_shingles_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle bigint) exploded + distinct — the minhash-path
+    twin of :func:`doc_shingles` (same repartition rationale)."""
+    return (
+        docs.repartition("doc_id")
+        .select(
+            "doc_id", F.explode(hashed_shingle_array("text")).alias("shingle")
+        )
+        .distinct()
+    )
+
+
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded + distinct.
 
@@ -262,8 +293,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # the shingle frame feeds the signature build AND both sides of the
     # verify join — persist it once instead of re-tokenizing per branch
-    # (on a cluster this is the natural dataset-checkpoint boundary)
-    sh = doc_shingles(docs).persist()
+    # (on a cluster this is the natural dataset-checkpoint boundary);
+    # hashed shingles: Jaccard over 64-bit shingle hashes == Jaccard
+    # over shingle strings (collisions negligible), and the frame is a
+    # narrow bigint instead of text
+    sh = doc_shingles_hashed(docs).persist()
     sig = minhash_signatures(sh)
     candidates = lsh_candidate_pairs(sig)
     return (
