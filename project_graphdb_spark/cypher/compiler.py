@@ -131,8 +131,10 @@ _SCALAR_FNS = {
     "tostring": lambda args: args[0].cast("string"),
     "tointeger": lambda args: args[0].cast("bigint"),
     "tofloat": lambda args: args[0].cast("double"),
-    "date": lambda args: F.to_date(args[0]),
-    "datetime": lambda args: F.to_timestamp(args[0]),
+    "date": lambda args: F.to_date(args[0]) if args else F.current_date(),
+    "datetime": lambda args: F.to_timestamp(args[0])
+    if args
+    else F.current_timestamp(),
     "abs": lambda args: F.abs(args[0]),
     "round": lambda args: F.round(args[0], 0)
     if len(args) == 1
@@ -906,7 +908,12 @@ def compile_cypher(
             df = df.withColumn(alias, F.explode(col)).drop("__seed")
             flat = set(flat) | {alias}
         if df is None:
-            raise CypherAnalysisError(["query has no MATCH pattern"])
+            if seg.patterns or seg.where is not None:
+                raise CypherAnalysisError(["query has no MATCH pattern"])
+            # pattern-free query (RETURN 1 AS n — the C18 smoke shape,
+            # reference final/app.py:150-152): one seed row
+            spark = next(iter(graph.nodes.values())).sparkSession
+            df = spark.range(1).select(F.lit(1).alias("__seed"))
         scope = _Scope(vars or None, flat or None, df)
         if seg.where is not None:
             comp = _ExprCompiler(scope, exact_decimal_sums)

@@ -166,7 +166,7 @@ class _Parser:
     # -- grammar ---------------------------------------------------------
 
     def parse_query(self) -> Query:
-        if not self.at_kw("match", "optional", "unwind"):
+        if not self.at_kw("match", "optional", "unwind", "return", "with"):
             self.expect("kw", "match")  # uniform error message
         segments = [self.parse_segment()]
         while self.accept("kw", "with"):

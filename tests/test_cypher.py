@@ -48,7 +48,7 @@ def test_parse_errors():
     with pytest.raises(CypherSyntaxError):
         parse("MATCH (a:Label RETURN a")
     with pytest.raises(CypherSyntaxError):
-        parse("RETURN 1")  # no MATCH support yet -> syntax error
+        parse("WHERE 1")  # a query cannot start with WHERE
 
 
 def test_date_component_access():
@@ -619,3 +619,14 @@ def test_with_order_limit_then_match(spark, sf_dir):
         "ORDER BY n_cust DESC, nation LIMIT 3",
     ).collect()
     assert {r["nation"] for r in rows} <= {r["nation"] for r in top3}
+
+
+def test_pattern_free_smoke_query(spark, sf_dir):
+    """C18: RETURN 1 AS n / RETURN 'ok', datetime() — the reference's
+    connection smoke queries (ref app.py:150-152)."""
+    g = tpch_graph(spark, sf_dir)
+    assert compile_cypher(g, "RETURN 1 AS n").collect()[0]["n"] == 1
+    row = compile_cypher(
+        g, "RETURN 'Connection OK' AS status, datetime() AS now"
+    ).collect()[0]
+    assert row["status"] == "Connection OK" and row["now"] is not None
