@@ -235,16 +235,21 @@ def g_top_degree_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_over_graph_order_priority_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    import uuid
+
     g = tpch_graph(spark, sf_dir)
-    g.register_views()
+    # per-call prefix: concurrent calls / different sf_dirs must not
+    # clobber each other's view registrations
+    p = f"g{uuid.uuid4().hex[:8]}_"
+    g.register_views(prefix=p)
     return spark.sql(
-        """
+        f"""
         SELECT o.o_orderpriority AS priority,
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS revenue
-        FROM g_node_Orders o
-        JOIN g_edge_PLACED_BY e ON e.src = o.o_orderkey
-        JOIN g_node_Customer c ON e.dst = c.c_custkey
+        FROM {p}node_Orders o
+        JOIN {p}edge_PLACED_BY e ON e.src = o.o_orderkey
+        JOIN {p}node_Customer c ON e.dst = c.c_custkey
         WHERE c.c_mktsegment = 'BUILDING'
         GROUP BY 1 ORDER BY 1
         """

@@ -671,13 +671,18 @@ def orders_grouping_sets_status_year(
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderdate"
     )
-    orders.createOrReplaceTempView("__gs_orders")
+    # per-call view name: concurrent calls (or different sf_dirs) must
+    # not clobber each other's registration
+    import uuid
+
+    view = f"__gs_orders_{uuid.uuid4().hex[:12]}"
+    orders.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus,
                CAST(year(o_orderdate) AS BIGINT) AS order_year,
                COUNT(*) AS n_orders
-        FROM __gs_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
         ORDER BY o_orderstatus ASC NULLS FIRST, order_year ASC NULLS FIRST
         """

@@ -63,3 +63,28 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     plan = _plan(df)
     # '*(N) ' prefixes mark WholeStageCodegen stages in the plan string
     assert "*(1)" in plan and "HashAggregate" in plan
+
+
+def test_concurrent_query_execution(spark, sf_dir):
+    """Queries share one session; none may rely on session-global
+    mutable state (e.g. fixed temp-view names) that concurrent or
+    interleaved execution would clobber."""
+    import concurrent.futures
+
+    names = [
+        "orders_grouping_sets_status_year",
+        "sql_over_graph_order_priority_revenue",
+        "pricing_summary",
+        "ev_tumbling_hourly",
+    ]
+
+    def run(name):
+        return (
+            name,
+            workload.REGISTRY[name].fn(spark, sf_dir).count(),
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = dict(ex.map(run, names * 2))
+    serial = {n: workload.REGISTRY[n].fn(spark, sf_dir).count() for n in names}
+    assert results == serial
