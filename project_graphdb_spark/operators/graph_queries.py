@@ -210,12 +210,11 @@ def g_top_degree_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("dst").alias("custkey"))
         .agg(F.count("*").alias("degree"))
     )
+    # TakeOrdered top-k first; the rank window then covers 5 rows
+    # (a global row_number window would single-partition the degrees)
+    top = deg.orderBy(F.col("degree").desc(), F.col("custkey")).limit(5)
     w = W.orderBy(F.col("degree").desc(), F.col("custkey"))
-    return (
-        deg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .orderBy("rnk")
-    )
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 @register(

@@ -82,12 +82,13 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort shuffle); the rank window then runs over
+    # just k rows. A global row_number window here would funnel every
+    # row through one partition at scale.
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
     w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .orderBy("rnk")
-    )
+    return top.withColumn("rnk", F.row_number().over(w)).orderBy("rnk")
 
 
 @register(
@@ -206,8 +207,10 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+        # TakeOrdered top-k, then rank the 10 survivors
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
 
