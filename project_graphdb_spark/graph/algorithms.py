@@ -315,22 +315,25 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("c").alias("received"))
         )
-        # dangling vertices donate their rank uniformly
-        dangling = (
-            state.filter(F.col("out_degree") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # Dangling vertices donate their rank uniformly. Kept as a
+        # one-row DataFrame broadcast-cross-joined into the update (not
+        # .collect()ed) so the whole iteration stays one lazy plan that
+        # fuses with the checkpoint cadence — no extra driver job per
+        # iteration.
+        dangling = state.filter(F.col("out_degree") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         new_state = (
             state.drop("rank")
             .join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .withColumn(
                 "rank",
-                F.lit(base)
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.col("__dangling_m") / F.lit(float(n))
                 + F.lit(damping) * F.coalesce(F.col("received"), F.lit(0.0)),
             )
-            .drop("received")
+            .drop("received", "__dangling_m")
         )
         state = new_state
         if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1:

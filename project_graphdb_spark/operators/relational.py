@@ -208,7 +208,9 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     rev = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # No broadcast hint on customer: it scales with SF (~15M rows at
+        # sf100), so AQE must pick the join strategy at runtime.
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
         .agg(exact_sum("o_totalprice", "revenue"))
     )
@@ -308,8 +310,9 @@ def building_segment_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         lineitem.join(
             orders, lineitem.l_orderkey == orders.o_orderkey
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        # customer/part scale with SF — leave broadcast decisions to AQE.
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
         .orderBy("p_brand")
@@ -345,7 +348,7 @@ def revenue_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .withColumn("order_year", F.year("o_orderdate"))
         .rollup("n_name", "order_year")
@@ -729,8 +732,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
+        # supplier scales with SF (~1M rows at sf100) — no forced broadcast.
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey)
             & (s.s_nationkey == c.c_nationkey),
         )

@@ -52,9 +52,31 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     df = workload.REGISTRY["building_segment_brand_revenue"].fn(
         spark, sf_dir
     )
+    df.collect()  # finalize AQE — broadcast choice is made at runtime
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan  # all dims fit broadcast at test SF
+    assert "SortMergeJoin" not in plan  # all sides fit broadcast at test SF
+
+
+# Forced broadcast hints must exist ONLY for bounded dimensions
+# (nation=25 rows, region=5 rows at every SF). customer/part/supplier/
+# orders/lineitem grow linearly with SF, so a forced hint would OOM a
+# 1000-executor cluster at sf100 — those joins are left to AQE.
+@pytest.mark.parametrize(
+    "name,expected_hints",
+    [
+        ("top3_customers_per_nation", 1),  # nation only
+        ("building_segment_brand_revenue", 0),  # no bounded dim in query
+        ("revenue_rollup_nation_year", 1),  # nation only
+        ("local_supplier_volume", 2),  # nation + region
+    ],
+)
+def test_no_forced_broadcast_of_sf_scaled_tables(
+    name, expected_hints, spark, sf_dir
+):
+    df = workload.REGISTRY[name].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == expected_hints, name
 
 
 def test_whole_stage_codegen_present(spark, sf_dir):
