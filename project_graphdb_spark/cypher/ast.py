@@ -144,6 +144,9 @@ class PathPat:
 
     nodes: list[NodePat]
     edges: list[EdgePat]  # len(edges) == len(nodes) - 1
+    # which MATCH clause of the segment this pattern came from —
+    # relationship uniqueness applies within one clause only
+    clause: int = 0
 
 
 # -- clauses -----------------------------------------------------------------

@@ -211,9 +211,15 @@ class _ExprCompiler:
             left = self.compile(e.left)
             if e.op == "IN":
                 if isinstance(e.right, A.ListExpr):
-                    vals = [
-                        v.value for v in e.right.items if isinstance(v, A.Lit)
-                    ]
+                    vals = []
+                    for v in e.right.items:
+                        if isinstance(v, A.Lit):
+                            vals.append(v.value)
+                        else:
+                            self.scope.errors.append(
+                                "IN list items must be literals; got "
+                                f"{v!r}"
+                            )
                     return left.isin(vals)
                 self.scope.errors.append("IN requires a literal list")
                 return F.lit(False)
@@ -291,9 +297,19 @@ class _ExprCompiler:
             if self.exact:
                 arg_dec = self.compile(e.args[0], decimal_ctx=True)
                 arg = self.compile(e.args[0])
+                if e.distinct:
+                    return F.sum_distinct(arg_dec).cast(
+                        "double"
+                    ) / F.count_distinct(arg)
                 return F.sum(arg_dec).cast("double") / F.count(arg)
-            return F.avg(self.compile(e.args[0]))
+            arg = self.compile(e.args[0])
+            if e.distinct:
+                return F.sum_distinct(arg) / F.count_distinct(arg)
+            return F.avg(arg)
         if name in ("min", "max"):
+            if e.distinct:
+                # DISTINCT is a no-op for min/max; accept it.
+                pass
             arg = self.compile(e.args[0])
             return F.min(arg) if name == "min" else F.max(arg)
         if name == "collect":
@@ -328,6 +344,11 @@ class _ExprCompiler:
                 + " variable"
             )
             return F.lit(None)
+        if name in ("stdev", "stddev", "stdevp", "stddevp", "percentilecont", "percentiledisc") and e.distinct:
+            self.scope.errors.append(
+                f"DISTINCT is not supported for {name}()"
+            )
+            return F.lit(None)
         if name in ("stdev", "stddev"):
             return F.stddev_samp(self.compile(e.args[0]))
         if name in ("stdevp", "stddevp"):
@@ -337,8 +358,13 @@ class _ExprCompiler:
                 self.compile(e.args[0]), self.compile(e.args[1])
             )
         if name == "percentiledisc":
+            # percentile_approx at max accuracy is EXACT nearest-rank
+            # (smallest element with cume_dist >= p) — matches Neo4j's
+            # discrete percentile, deterministic for the oracle gate.
             return F.percentile_approx(
-                self.compile(e.args[0]), self.compile(e.args[1])
+                self.compile(e.args[0]),
+                self.compile(e.args[1]),
+                F.lit(2147483647),
             )
         if name in _SCALAR_FNS:
             return _SCALAR_FNS[name]([self.compile(a) for a in e.args])
@@ -356,11 +382,16 @@ _MAX_VAR_HOPS = 10
 
 
 def _var_length_pairs(
-    graph: PropertyGraph, rel_type: str | None, lo: int, hi: int
+    graph: PropertyGraph,
+    rel_type: str | None,
+    lo: int,
+    hi: int,
+    undirected: bool = False,
 ) -> DataFrame:
     """Distinct (src_id, dst_id) pairs connected by a directed path of
     ``lo..hi`` edges (all of ``rel_type`` if given, else any type), in
-    the unified ``Label:key`` id space.
+    the unified ``Label:key`` id space. With ``undirected`` each hop may
+    traverse an edge in either direction (``-[*lo..hi]-``).
 
     Reachability (DISTINCT-pairs) semantics — equivalent to Cypher's
     ``MATCH (a)-[*lo..hi]->(b) RETURN DISTINCT a, b``. Each hop is one
@@ -382,6 +413,12 @@ def _var_length_pairs(
         ).distinct()
     else:
         edges = unified_edges(graph)
+    if undirected:
+        edges = edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        ).distinct()
 
     acc: DataFrame | None = None
     frontier = edges
@@ -414,6 +451,14 @@ def _bind_patterns(
     df: DataFrame | None = init_df
     bound_frames: set[str] = set()
     anon = anon_seed
+    # Edge identities for openCypher relationship uniqueness (edge
+    # isomorphism): two relationship bindings in one MATCH clause may
+    # not bind the same edge (separate MATCH clauses may). Each entry is
+    # (clause, rel_type|None, symmetrized?, type_expr, src_expr,
+    # dst_expr) in the unified Label:key id space.
+    edge_idents: list[
+        tuple[int, str | None, bool, Column, Column, Column]
+    ] = []
 
     def node_frame(var: str, label: str) -> DataFrame:
         node_def = graph.schema.node(label)
@@ -508,11 +553,23 @@ def _bind_patterns(
                 raise CypherAnalysisError(errors)
             meta = graph.edges[edge_pat.rel_type].meta
             exp_src, exp_dst = meta.source, meta.target
+        if edge_pat.undirected:
+            # Either endpoint may sit at either end of the (symmetrized)
+            # path, so the schema orientation cannot infer labels —
+            # endpoints need explicit labels (attach_endpoint errors
+            # otherwise).
+            exp_src = exp_dst = None
         src_var = attach_endpoint(src_pat, exp_src)
         dst_var = attach_endpoint(dst_pat, exp_dst)
 
         tag = fresh("vl")
-        pairs = _var_length_pairs(graph, edge_pat.rel_type, lo, hi).select(
+        pairs = _var_length_pairs(
+            graph,
+            edge_pat.rel_type,
+            lo,
+            hi,
+            undirected=edge_pat.undirected,
+        ).select(
             F.col("src").alias(f"{tag}__src"),
             F.col("dst").alias(f"{tag}__dst"),
         )
@@ -576,6 +633,16 @@ def _bind_patterns(
             e0.var = edge_var
             frame = any_edge_frame(edge_var)
             df = frame if df is None else df.crossJoin(frame)
+            edge_idents.append(
+                (
+                    pat.clause,
+                    None,
+                    False,
+                    F.col(f"{edge_var}__type"),
+                    F.col(f"{edge_var}__src"),
+                    F.col(f"{edge_var}__dst"),
+                )
+            )
             continue
 
         # bind/attach the first node (mutating anonymous vars to their
@@ -680,6 +747,24 @@ def _bind_patterns(
             vars[edge_var] = _BoundVar(
                 "edge", edge_pat.rel_type, meta.properties
             )
+            edge_idents.append(
+                (
+                    pat.clause,
+                    edge_pat.rel_type,
+                    symmetric,
+                    F.lit(edge_pat.rel_type),
+                    F.concat_ws(
+                        ":",
+                        F.lit(meta.source),
+                        F.col(f"{edge_var}__src").cast("string"),
+                    ),
+                    F.concat_ws(
+                        ":",
+                        F.lit(meta.target),
+                        F.col(f"{edge_var}__dst").cast("string"),
+                    ),
+                )
+            )
             src_key = f"{src_var}__{graph.schema.node(meta.source).key}"
             dst_key = f"{dst_var}__{graph.schema.node(meta.target).key}"
             assert df is not None
@@ -698,6 +783,30 @@ def _bind_patterns(
     if errors:
         raise CypherAnalysisError(errors)
     assert df is not None
+
+    # openCypher relationship uniqueness: exclude rows where two edge
+    # bindings of this clause resolve to the same edge. Typed pairs of
+    # different rel types can never collide, so no predicate is added
+    # for them (the common case stays filter-free).
+    for i in range(len(edge_idents)):
+        for j in range(i + 1, len(edge_idents)):
+            cl_a, t_a, sym_a, ty_a, s_a, d_a = edge_idents[i]
+            cl_b, t_b, sym_b, ty_b, s_b, d_b = edge_idents[j]
+            if cl_a != cl_b:
+                continue
+            if t_a is not None and t_b is not None and t_a != t_b:
+                continue
+            if sym_a or sym_b:
+                # symmetrized (undirected self-type) frames may carry
+                # the edge in either orientation — compare canonically
+                same = (
+                    (ty_a == ty_b)
+                    & (F.least(s_a, d_a) == F.least(s_b, d_b))
+                    & (F.greatest(s_a, d_a) == F.greatest(s_b, d_b))
+                )
+            else:
+                same = (ty_a == ty_b) & (s_a == s_b) & (d_a == d_b)
+            df = df.filter(~same)
 
     # inline property maps — (n:L {p: v}) / [r:T {p: v}] — are equality
     # filters applied inside this binding (so an OPTIONAL MATCH map

@@ -203,6 +203,7 @@ class _Parser:
         """MATCH clauses + OPTIONAL MATCHes + optional WHERE. May be
         empty (between two WITHs, or before RETURN)."""
         seg = Segment()
+        clause = 0
         while self.at_kw("match", "unwind"):
             if self.accept("kw", "unwind"):
                 expr = self.parse_expr()
@@ -210,9 +211,13 @@ class _Parser:
                 seg.unwinds.append((expr, self.expect_name()))
                 continue
             self.accept("kw", "match")
-            seg.patterns.append(self.parse_pattern())
+            clause += 1
+            pats = [self.parse_pattern()]
             while self.accept(","):
-                seg.patterns.append(self.parse_pattern())
+                pats.append(self.parse_pattern())
+            for p in pats:
+                p.clause = clause
+            seg.patterns.extend(pats)
         if self.accept("kw", "where"):
             seg.where = self.parse_expr()
         while self.accept("kw", "optional"):
@@ -440,7 +445,17 @@ class _Parser:
 
     def parse_unary(self) -> Expr:
         if self.accept("-"):
-            return BinOp("-", Lit(0), self.parse_unary())
+            inner = self.parse_unary()
+            # Fold -literal into a negative Lit so list membership
+            # (`x IN [-1, 5]`) and other literal-only contexts see a
+            # plain literal, not BinOp(0 - x).
+            if (
+                isinstance(inner, Lit)
+                and isinstance(inner.value, (int, float))
+                and not isinstance(inner.value, bool)
+            ):
+                return Lit(-inner.value)
+            return BinOp("-", Lit(0), inner)
         return self.parse_postfix()
 
     def parse_postfix(self) -> Expr:

@@ -630,3 +630,136 @@ def test_pattern_free_smoke_query(spark, sf_dir):
         g, "RETURN 'Connection OK' AS status, datetime() AS now"
     ).collect()[0]
     assert row["status"] == "Connection OK" and row["now"] is not None
+
+
+# ---------------------------------------------------------------------------
+# round-2 semantics fixes (ADVICE r1): negative IN literals, avg DISTINCT,
+# relationship uniqueness, undirected var-length, exact percentileDisc
+# ---------------------------------------------------------------------------
+
+
+def test_negative_literals_in_list(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    n = compile_cypher(
+        g,
+        "MATCH (n:Nation) WHERE n.n_nationkey IN [-1, 5] "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n == 1  # -1 matches nothing, 5 matches one nation
+
+
+def test_non_literal_in_list_is_an_error(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError):
+        compile_cypher(
+            g,
+            "MATCH (n:Nation) WHERE n.n_nationkey IN [1, n.n_regionkey] "
+            "RETURN count(*) AS n",
+        )
+
+
+def test_avg_distinct(spark, sf_dir):
+    """avg(DISTINCT x) must average the distinct values, not all rows."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN avg(DISTINCT c.c_nationkey) AS a",
+    ).collect()[0]["a"]
+    cust = g.nodes["Customer"]
+    exp = (
+        cust.select("c_nationkey")
+        .distinct()
+        .agg(F.avg("c_nationkey").alias("a"))
+        .collect()[0]["a"]
+    )
+    assert got == pytest.approx(exp)
+
+
+def test_distinct_rejected_for_stddev(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError):
+        compile_cypher(
+            g,
+            "MATCH (o:Orders) RETURN stdev(DISTINCT o.o_totalprice) AS s",
+        )
+
+
+def test_relationship_uniqueness_same_type(spark, sf_dir):
+    """Within one MATCH, two edge bindings of the same type may not bind
+    the same edge (openCypher edge isomorphism): the o1=o2 diagonal is
+    excluded, so pair count = sum over customers of n*(n-1)."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (o1:Orders)-[:PLACED_BY]->(c:Customer)"
+        "<-[:PLACED_BY]-(o2:Orders) RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    per_cust = (
+        g.edges["PLACED_BY"].df.groupBy("dst").agg(F.count("*").alias("n"))
+    )
+    exp = per_cust.agg(
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("t")
+    ).collect()[0]["t"]
+    assert got == exp
+
+
+def test_relationship_uniqueness_not_across_clauses(spark, sf_dir):
+    """Uniqueness is per MATCH clause: separate MATCHes may bind the
+    same edge, so the diagonal is included there."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (o1:Orders)-[:PLACED_BY]->(c:Customer) "
+        "MATCH (o2:Orders)-[:PLACED_BY]->(c) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    per_cust = (
+        g.edges["PLACED_BY"].df.groupBy("dst").agg(F.count("*").alias("n"))
+    )
+    exp = per_cust.agg(F.sum(F.col("n") * F.col("n")).alias("t")).collect()[
+        0
+    ]["t"]
+    assert got == exp
+
+
+def test_undirected_var_length(spark, sf_dir):
+    """-[:T*1..2]- traverses edges in either direction; here Customer
+    only has PLACED_BY in-edges, so the undirected 1..2-hop match to
+    Orders equals the edge count (2-hop paths land back on Customer)."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer)-[:PLACED_BY*1..2]-(o:Orders) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    n_edges = g.edges["PLACED_BY"].df.count()
+    assert got == n_edges
+
+
+def test_percentile_disc_exact(spark, sf_dir):
+    """percentileDisc returns an actual element (nearest-rank), exactly."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (o:Orders) RETURN percentileDisc(o.o_totalprice, 0.5) AS p",
+    ).collect()[0]["p"]
+    vals = sorted(
+        r["o_totalprice"]
+        for r in g.nodes["Orders"].select("o_totalprice").collect()
+    )
+    import math
+
+    exp = vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+    assert got == exp
+
+
+def test_to_integer_to_float(spark, sf_dir):
+    """toInteger/toFloat casts (CYPHER.md scalars; the reference's LLM
+    emits them around string properties)."""
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "RETURN toInteger('42') AS i, toFloat('2.5') AS f, "
+        "toInteger(3.9) AS t",
+    ).collect()[0]
+    assert row["i"] == 42 and row["f"] == 2.5 and row["t"] == 3
