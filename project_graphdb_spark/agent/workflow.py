@@ -224,7 +224,12 @@ def run_agent_workflow(
     graph: PropertyGraph,
     planner: Planner | None = None,
 ) -> AgentState:
-    planner = planner or TemplatePlanner()
+    if planner is None:
+        # env-gated LLM adapter when configured, template planner
+        # otherwise (the deterministic default/test path)
+        from project_graphdb_spark.agent.llm_planner import default_planner
+
+        planner = default_planner()
     steps = state.setdefault("steps", [])
 
     # generate_cypher

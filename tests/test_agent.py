@@ -133,3 +133,72 @@ def test_adaptive_rca_reacts_to_findings(spark, graph):
         graph, "why did revenue change?", investigator=AdaptiveInvestigator()
     )
     assert again == final
+
+
+# ---------------------------------------------------------------------------
+# LLM planner adapter (mocked transport — no network; D1/D3 parity with
+# ref final/langraph_neo4j3.py:154-221,393-451)
+# ---------------------------------------------------------------------------
+
+
+class _RecordingTransport:
+    """Canned chat transport: records payloads, replays responses."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.payloads = []
+
+    def __call__(self, payload):
+        self.payloads.append(payload)
+        return self.responses.pop(0)
+
+
+def test_llm_planner_generate_and_fence_stripping(graph):
+    from project_graphdb_spark.agent.llm_planner import LLMPlanner
+
+    t = _RecordingTransport(
+        ["```cypher\nMATCH (n:Nation) RETURN count(*) AS n\n```"]
+    )
+    p = LLMPlanner(t, model="test-model")
+    out = p.generate_cypher("how many nations?", graph.schema.describe())
+    assert out == "MATCH (n:Nation) RETURN count(*) AS n"
+    payload = t.payloads[0]
+    assert payload["model"] == "test-model"
+    assert payload["messages"][0]["role"] == "system"
+    assert "how many nations?" in payload["messages"][1]["content"]
+    assert "Nation" in payload["messages"][1]["content"]  # schema included
+
+
+def test_llm_planner_drives_workflow_with_correction(graph):
+    """A broken first generation is repaired through the correct_cypher
+    stage using the validation errors — the bounded-loop D3 shape."""
+    from project_graphdb_spark.agent.llm_planner import LLMPlanner
+
+    t = _RecordingTransport(
+        [
+            "MATCH (n:Nonexistent) RETURN count(*) AS n",  # generate
+            "MATCH (n:Nation) RETURN count(*) AS n",  # correct
+            "There are 25 nations.",  # synthesize
+        ]
+    )
+    state = run_agent_workflow(
+        new_state("how many nations?"), graph, planner=LLMPlanner(t)
+    )
+    assert "correct_cypher" in state["steps"]
+    assert state["database_records"] == [{"n": 25}]
+    assert state["answer"] == "There are 25 nations."
+    # the repair prompt carried the analyzer's error list
+    assert "Nonexistent" in t.payloads[1]["messages"][1]["content"]
+
+
+def test_llm_planner_from_env_gating(monkeypatch):
+    from project_graphdb_spark.agent import llm_planner
+
+    monkeypatch.delenv(llm_planner.ENV_API_KEY, raising=False)
+    assert llm_planner.LLMPlanner.from_env() is None
+    assert isinstance(llm_planner.default_planner(), TemplatePlanner)
+    monkeypatch.setenv(llm_planner.ENV_API_KEY, "test-key")
+    monkeypatch.setenv(llm_planner.ENV_MODEL, "m-x")
+    p = llm_planner.LLMPlanner.from_env()
+    assert p is not None and p.model == "m-x"
+    assert isinstance(llm_planner.default_planner(), llm_planner.LLMPlanner)
