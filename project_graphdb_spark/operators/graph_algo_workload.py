@@ -1,10 +1,19 @@
 """Workload entries for the iterative graph algorithms.
 
 Degrees and BFS distances are exactly SQL-expressible (the latter via a
-recursive CTE), so they get full oracles. Connected components and
-PageRank are iterative fixed-point computations — registered without
-oracle (rows-only driver check); their semantics are unit-tested on
-hand-built graphs in tests/test_graph_algorithms.py.
+recursive CTE), so they get full oracles. The iterative fixed-point
+algorithms get **unrolled oracles**: their per-iteration update rules
+are pure relational algebra, so a fixed number of chained CTEs
+replicates the computation exactly in DuckDB —
+
+* connected components: K iterations of min-label propagation over the
+  symmetrized edge set (K chosen > the graph's eccentricity from each
+  component's min-id vertex, so both engines reach the fixed point);
+* label propagation: 5 synchronous modal-label rounds with the same
+  deterministic tie-break (count DESC, label ASC);
+* PageRank: 10 power-iteration rounds with dangling-mass
+  redistribution; float sums differ only at ~1e-16 so ranks are
+  rounded to 8 dp on both sides before comparison.
 
 The oracle SQL reconstructs the unified 'Label:key' vertex/edge space
 with the same dedup the graph builder applies. (Endpoint-validity
@@ -104,11 +113,44 @@ def galg_bfs_from_customer1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(g, "Customer:1", max_depth=6).orderBy("id")
 
 
+def _cc_oracle(iters: int = 14) -> str:
+    """Unrolled min-label propagation: ``iters`` chained CTEs, each one
+    'my label = min(my label, labels arriving over any incident edge)'.
+    Exact (string min, no floats); converges when ``iters`` exceeds the
+    distance from any vertex to its component's min-id vertex."""
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT t.id, MIN(t.c) AS comp FROM (
+        SELECT id, comp AS c FROM l{k - 1}
+        UNION ALL
+        SELECT s.dst AS id, l.comp AS c
+        FROM sym s JOIN l{k - 1} l ON l.id = s.src
+      ) t GROUP BY t.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
+    ),
+    verts AS MATERIALIZED ({_UVERTS_SQL}),
+    {','.join(ctes)}
+    SELECT comp AS component, COUNT(*) AS n_nodes
+    FROM l{iters} GROUP BY comp
+    ORDER BY n_nodes DESC, component
+    """
+
+
 @register(
     "galg_connected_components",
-    oracle=None,  # iterative fixed point; semantics unit-tested
+    oracle=_cc_oracle(),
     description="connected components via min-id label propagation "
-    "(Pregel-on-DataFrames, localCheckpoint per iteration)",
+    "(Pregel-on-DataFrames, localCheckpoint per iteration); oracle = "
+    "unrolled min-propagation CTE chain",
 )
 def galg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
@@ -120,11 +162,57 @@ def galg_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration with dangling-mass redistribution —
+    the same update rule as :func:`graph.algorithms.pagerank`:
+    ``r' = (1-d)/n + d*dangling/n + d*sum(r(u)/outdeg(u))``. Rank sums
+    differ from Spark's only by float addition order (~1e-16), far
+    below the 8-dp rounding both sides apply."""
+    ctes = [
+        f"""outdeg AS MATERIALIZED (
+      SELECT src AS id, COUNT(*) AS od FROM uedges GROUP BY src
+    ),
+    cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+    r0 AS MATERIALIZED (SELECT id, 1.0 / cnt.c AS rank FROM verts, cnt)"""
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(r.rank / od.od) AS s
+      FROM uedges e
+      JOIN r{k} r ON r.id = e.src
+      JOIN outdeg od ON od.id = e.src
+      GROUP BY e.dst
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS m
+      FROM r{k} r LEFT JOIN outdeg od ON od.id = r.id
+      WHERE od.id IS NULL
+    ),
+    r{k + 1} AS MATERIALIZED (
+      SELECT r.id,
+             CAST({1.0 - damping!r} AS DOUBLE) / cnt.c
+             + CAST({damping!r} AS DOUBLE) * d{k}.m / cnt.c
+             + CAST({damping!r} AS DOUBLE) * COALESCE(c{k}.s, 0.0) AS rank
+      FROM r{k} r CROSS JOIN cnt CROSS JOIN d{k}
+      LEFT JOIN c{k} ON c{k}.id = r.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    verts AS MATERIALIZED ({_UVERTS_SQL}),
+    {','.join(ctes)}
+    SELECT id, ROUND(rank, 8) AS rank FROM r{iters}
+    ORDER BY rank DESC, id LIMIT 20
+    """
+
+
 @register(
     "galg_pagerank_top20",
-    oracle=None,  # iterative float fixed point; semantics unit-tested
+    oracle=_pagerank_oracle(),
     description="PageRank (10 iters, d=0.85, dangling redistribution); "
-    "top-20 by rank",
+    "top-20 by rank; oracle = unrolled power-iteration CTE chain, "
+    "8-dp rounded",
 )
 def galg_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
@@ -139,8 +227,8 @@ def galg_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "galg_triangle_count",
     oracle=f"""
-    WITH uedges AS ({_UEDGES_SQL}),
-    sym AS (
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    sym AS MATERIALIZED (
       SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
     ),
     canon AS (SELECT src, dst FROM sym WHERE src < dst)
@@ -157,11 +245,50 @@ def galg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(g)
 
 
+def _lpa_oracle(iters: int = 5) -> str:
+    """Unrolled synchronous label propagation: each round every vertex
+    adopts the modal label among messages over in-edges of the
+    symmetrized edge set, ties to the smallest label — the exact
+    update in :func:`graph.algorithms.label_propagation`. Vertices with
+    no messages keep their label. All-integer/string math, so the
+    replication is exact."""
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS community FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT s.id, COALESCE(b.lbl, s.community) AS community
+      FROM l{k - 1} s LEFT JOIN (
+        SELECT id, lbl FROM (
+          SELECT e.dst AS id, l.community AS lbl,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY COUNT(*) DESC, l.community ASC
+                 ) AS rn
+          FROM sym e JOIN l{k - 1} l ON l.id = e.src
+          GROUP BY e.dst, l.community
+        ) WHERE rn = 1
+      ) b ON b.id = s.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
+    ),
+    verts AS MATERIALIZED ({_UVERTS_SQL}),
+    {','.join(ctes)}
+    SELECT community, COUNT(*) AS n_nodes
+    FROM l{iters} GROUP BY community
+    ORDER BY n_nodes DESC, community
+    """
+
+
 @register(
     "galg_label_propagation",
-    oracle=None,  # modal-label fixed point; semantics unit-tested
+    oracle=_lpa_oracle(),
     description="label-propagation community detection on the Pregel "
-    "driver (mode-of-neighbors update)",
+    "driver (mode-of-neighbors update); oracle = unrolled synchronous "
+    "LP CTE chain with the same min-label tie-break",
 )
 def galg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)

@@ -192,17 +192,49 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLE_FRACTIONS = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+SAMPLE_SEED = 42
+
+
+def _hash_threshold(fraction: float) -> str:
+    """8-hex-digit keep-threshold for md5-hash sampling. A row is kept
+    when the first 8 hex chars of md5('<id>:<seed>') compare below the
+    threshold (lexicographic == numeric for fixed-width lower hex);
+    'g' sorts above every hex digit, so fraction>=1 keeps all rows."""
+    if fraction >= 1.0:
+        return "g"
+    return format(int(round(fraction * 16**8)), "08x")
 
 
 @register(
     "doc_stratified_sample",
-    oracle=None,  # seeded sampling is engine-specific; fraction accuracy
-    # and determinism are asserted in tests/test_llm_data_ops.py
-    description="seeded stratified sampling by language (training-data "
-    "rebalancing: downsample dominant strata, keep rare ones whole)",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':{SAMPLE_SEED}'), 1, 8)
+          < CASE lang
+      {' '.join(f"WHEN '{lang}' THEN '{_hash_threshold(f)}'"
+                for lang, f in sorted(SAMPLE_FRACTIONS.items()))}
+      ELSE '' END
+    ORDER BY doc_id
+    """,
+    description="deterministic stratified sampling by language via "
+    "md5-hash thresholds (training-data rebalancing: downsample "
+    "dominant strata, keep rare ones whole; hash-based so the sample "
+    "is stable across engines, partitionings, and reruns)",
 )
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return docs.sampleBy("lang", SAMPLE_FRACTIONS, seed=42).orderBy(
-        "doc_id"
+    thr = F.lit("")
+    for lang, frac in sorted(SAMPLE_FRACTIONS.items()):
+        thr = (
+            F.when(F.col("lang") == lang, F.lit(_hash_threshold(frac)))
+            .otherwise(thr)
+        )
+    key = F.substring(
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.lit(str(SAMPLE_SEED)))
+        ),
+        1,
+        8,
     )
+    return docs.filter(key < thr).orderBy("doc_id")
