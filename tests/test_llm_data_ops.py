@@ -59,8 +59,19 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     brute = [r.vec_id for r in ann_cosine_top10(spark, sf_dir).collect()]
     ivf = [r.vec_id for r in ann_ivf_top10(spark, sf_dir).collect()]
-    # IVF probes 3/8 clusters; require ≥half of true top-10 recalled
-    assert len(set(brute) & set(ivf)) >= 5
+    # trained (Lloyd) quantizer probing 3/8 clusters: ≥7 of true top-10
+    assert len(set(brute) & set(ivf)) >= 7
+
+
+def test_ivf_quantizer_deterministic(spark, sf_dir):
+    """Re-training from scratch reproduces identical centroids (seeded
+    init + 6-dp rounded means), so the ANN output is stable."""
+    from project_graphdb_spark.operators.similarity import _IVF_CACHE
+
+    a = [tuple(r) for r in ann_ivf_top10(spark, sf_dir).collect()]
+    _IVF_CACHE.clear()
+    b = [tuple(r) for r in ann_ivf_top10(spark, sf_dir).collect()]
+    assert a == b
 
 
 def test_pandas_cosine_matches_jvm_path(spark, sf_dir):
