@@ -139,6 +139,9 @@ def pregel(
     Each superstep localCheckpoints the state (lineage stays flat); the
     convergence check is one count against the just-checkpointed frame.
     """
+    # the edge frame is re-read every superstep — checkpoint it once so
+    # the per-iteration cost is one join, not (scan+distinct)+join
+    edges = edges.localCheckpoint(eager=True)
     state = vertices.select(
         "id", *[col.alias(name) for name, col in initial.items()]
     ).localCheckpoint(eager=True)
@@ -232,6 +235,7 @@ def label_propagation(
         vertices = unified_vertices(graph)
         edges = unified_edges(graph, undirected=True)
     assert vertices is not None and edges is not None
+    edges = edges.localCheckpoint(eager=True)
 
     state = vertices.select(
         "id", F.col("id").alias("community")
@@ -298,7 +302,7 @@ def pagerank(
     """(id, rank) — classic power iteration with dangling-mass
     redistribution, fixed iteration count (deterministic plan shape)."""
     vertices = unified_vertices(graph)
-    edges = unified_edges(graph)
+    edges = unified_edges(graph).localCheckpoint(eager=True)
     n = vertices.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_degree")
@@ -389,7 +393,9 @@ def bfs_distances(
     Frontier expansion: one join + subtract per level; visited set and
     frontier are checkpointed so lineage stays flat.
     """
-    edges = unified_edges(graph, undirected=undirected)
+    edges = unified_edges(graph, undirected=undirected).localCheckpoint(
+        eager=True
+    )
     visited = (
         unified_vertices(graph)
         .filter(F.col("id") == start_id)
