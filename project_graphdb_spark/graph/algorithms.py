@@ -339,9 +339,10 @@ def pagerank(
             )
             .drop("received", "__dangling_m")
         )
-        state = new_state
-        if (i + 1) % CHECKPOINT_EVERY == 0 or i == iterations - 1:
-            state = state.localCheckpoint(eager=True)
+        # Unlike the Pregel loop, each iteration references `state` twice
+        # (dangling-mass subtree + the main update), so un-checkpointed
+        # lineage doubles per iteration — checkpoint every step.
+        state = new_state.localCheckpoint(eager=True)
     return state.select("id", "rank")
 
 
