@@ -186,14 +186,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE block: exact word-3-gram Jaccard pairs >= threshold.
+# Used by the dedup_ngram_jaccard oracle and as the edge set of the
+# dedup_clusters oracle.
+_EXACT_PAIRS_CTES = f"""toks AS MATERIALIZED (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
              generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
       FROM toks a
       JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
@@ -204,15 +204,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
       FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
-    FROM inter
-    JOIN sizes s1 ON doc_a = s1.doc_id
-    JOIN sizes s2 ON doc_b = s2.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common)
-          >= {JACCARD_THRESHOLD}
-    ORDER BY doc_a, doc_b
+    ), pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common) AS jaccard
+      FROM inter
+      JOIN sizes s1 ON doc_a = s1.doc_id
+      JOIN sizes s2 ON doc_b = s2.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_EXACT_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
     """,
     description="exact word-3-gram Jaccard near-duplicate pairs",
 )
@@ -409,4 +416,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
         "doc_a", "doc_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Duplicate clustering: pairs -> connected components -> keep-list
+# ---------------------------------------------------------------------------
+
+
+def _clusters_oracle(iters: int = 16) -> str:
+    """Unrolled min-label propagation over the exact-Jaccard pair graph
+    (same CTE-chain technique as the galg_connected_components oracle).
+    ``iters`` must exceed the diameter of the largest duplicate cluster;
+    near-dup clusters are near-cliques, so 16 is far beyond safe."""
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+      SELECT t.id, MIN(t.c) AS comp FROM (
+        SELECT id, comp AS c FROM l{k - 1}
+        UNION ALL
+        SELECT s.dst AS id, l.comp AS c
+        FROM sym s JOIN l{k - 1} l ON l.id = s.src
+      ) t GROUP BY t.id
+    )"""
+        )
+    return f"""
+    WITH {_EXACT_PAIRS_CTES},
+    sym AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+    {','.join(ctes)}
+    SELECT id AS doc_id, comp AS cluster_id,
+           COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
+           id = comp AS is_canonical
+    FROM l{iters} ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    description="duplicate clustering: exact-Jaccard pairs -> connected "
+    "components -> canonical keep-list (the decision layer of corpus "
+    "dedup; at 100 TB the same composition runs over the LSH candidate "
+    "pairs instead of the exact ones)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) for every doc in
+    >=1 near-dup pair: transitive closure of the pair relation via
+    min-id label propagation (graph.algorithms.connected_components on
+    the pair graph), canonical = min doc_id per cluster.
+
+    This is what turns pairwise dedup output into actions a pipeline can
+    take (keep one representative per cluster). Reference has no corpus
+    dedup at all (SURVEY §2.E); pairs here are the exact oracle-tier
+    ones so the whole operator is hash-checkable against DuckDB.
+    """
+    from project_graphdb_spark.graph.algorithms import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _pair_jaccard(doc_shingles(docs)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(vertices=verts, edges=edges)
+    return (
+        cc.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn(
+            "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .orderBy("doc_id")
     )

@@ -238,3 +238,204 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     return docs.filter(key < thr).orderBy("doc_id")
+
+
+# DuckDB CTE producing (doc_id, w, i): one row per token with position.
+_TOKS_CTE = """toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS i
+      FROM documents
+    )"""
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    td AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_tok
+      FROM tc GROUP BY doc_id
+    ),
+    big AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+    bd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_big,
+             CAST(COUNT(*) AS BIGINT) AS n_dist
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.top_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+           b.n_bigrams,
+           CAST(b.n_bigrams - b.n_dist AS DOUBLE) / b.n_bigrams
+             AS dup_bigram_frac,
+           CAST(b.top_big AS DOUBLE) / b.n_bigrams AS top_bigram_frac
+    FROM td t JOIN bd b USING (doc_id) ORDER BY t.doc_id
+    """,
+    description="Gopher-style repetition stats: most-common-token "
+    "fraction, duplicate-bigram fraction, top-bigram fraction "
+    "(training-data quality heuristics; explode+groupBy so partial "
+    "aggregation keeps it linear at 100 TB, no per-row O(n^2) arrays)",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_counts = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    td = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_tok")
+    )
+    big_counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    bd = big_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_big"),
+        F.count("*").alias("n_dist"),
+    )
+    return (
+        td.join(bd, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_tok").cast("double") / F.col("n_tokens")).alias(
+                "top_token_frac"
+            ),
+            "n_bigrams",
+            (
+                (F.col("n_bigrams") - F.col("n_dist")).cast("double")
+                / F.col("n_bigrams")
+            ).alias("dup_bigram_frac"),
+            (F.col("top_big").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    counts AS (
+      SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY w
+    )
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER)
+             AS rank
+    FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+    """,
+    description="corpus vocabulary top-50 by frequency with deterministic "
+    "tie-break rank (BPE/vocab corpus analysis; TakeOrdered top-k, the "
+    "rank window runs on the already-reduced 50 rows)",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(VOCAB_TOP_K)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+    )
+
+
+# doc_quality_filter thresholds — chosen to split the synthetic corpus
+# into a meaningful keep/drop mix (not all-true/all-false).
+QF_MIN_TOKENS = 12
+QF_MAX_TOKENS = 4000
+QF_MIN_DISTINCT_RATIO = 0.45
+QF_MAX_TOP_TOKEN_FRAC = 0.125
+
+
+@register(
+    "doc_quality_filter",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    td AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_tok
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+             AS len_ok,
+           CAST(n_distinct AS DOUBLE) / n_tokens
+             >= {QF_MIN_DISTINCT_RATIO} AS diversity_ok,
+           CAST(top_tok AS DOUBLE) / n_tokens
+             < {QF_MAX_TOP_TOKEN_FRAC} AS repetition_ok,
+           (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS})
+             AND CAST(n_distinct AS DOUBLE) / n_tokens
+                 >= {QF_MIN_DISTINCT_RATIO}
+             AND CAST(top_tok AS DOUBLE) / n_tokens
+                 < {QF_MAX_TOP_TOKEN_FRAC} AS keep
+    FROM td ORDER BY doc_id
+    """,
+    description="composite quality filter: length + lexical-diversity + "
+    "repetition gates -> per-doc keep verdict (the decision layer of a "
+    "C4/Gopher-style cleaning pipeline)",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    td = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    len_ok = (F.col("n_tokens") >= QF_MIN_TOKENS) & (
+        F.col("n_tokens") <= QF_MAX_TOKENS
+    )
+    diversity_ok = (
+        F.col("n_distinct").cast("double") / F.col("n_tokens")
+    ) >= QF_MIN_DISTINCT_RATIO
+    repetition_ok = (
+        F.col("top_tok").cast("double") / F.col("n_tokens")
+    ) < QF_MAX_TOP_TOKEN_FRAC
+    return (
+        td.select(
+            "doc_id",
+            len_ok.alias("len_ok"),
+            diversity_ok.alias("diversity_ok"),
+            repetition_ok.alias("repetition_ok"),
+            (len_ok & diversity_ok & repetition_ok).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
