@@ -61,7 +61,8 @@ _TOKEN_RE = re.compile(
   | (?P<larrow>\]->)
   | (?P<ledge>-\[)
   | (?P<redge>\]-)
-  | (?P<op><>|<=|>=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:)
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><>|<=|>=|\+=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:)
   | (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -73,6 +74,9 @@ KEYWORDS = {
     "starts", "ends", "distinct", "asc", "ascending", "desc",
     "descending", "true", "false", "null", "case", "when", "then",
     "else", "end", "unwind", "is",
+    # write-path keywords (cypher/write.py); expect_name still accepts
+    # them as label / property names
+    "merge", "set",
 }
 
 
@@ -104,6 +108,8 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             tokens.append(("str", re.sub(r"\\(.)", r"\1", raw)))
         elif kind == "num":
             tokens.append(("num", val))
+        elif kind == "param":
+            tokens.append(("param", val[1:]))
         elif kind == "arrow_in":
             tokens.append(("<-[", val))
         elif kind == "larrow":
