@@ -479,8 +479,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from project_graphdb_spark.graph.algorithms import connected_components
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = _pair_jaccard(doc_shingles(docs)).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    # The pair frame is a shingle self-join; edges, verts AND pregel's
+    # initial state all read it — checkpoint once so the join runs once.
+    pairs = (
+        _pair_jaccard(doc_shingles(docs))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
