@@ -33,6 +33,40 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Apply the runtime-settable engine configs this library relies on.
+
+    Callers may supply their own SparkSession (the driver harness does),
+    built without ``get_spark()``'s defaults. Everything here is a
+    dynamic SQL conf, so setting it on a live session is safe, and each
+    one is required for correctness or sanity of the workload:
+
+    * ``nanosAsLong`` — events.parquet is TIMESTAMP(NANOS), which the
+      vectorized reader otherwise rejects outright;
+    * UTC session timezone — hour/date bucketing must agree with the
+      DuckDB oracle (which is TZ-naive over the same files);
+    * AQE + coalescing/skew handling — the plans are written assuming
+      runtime partition coalescing (tiny-SF tests) and skew splitting
+      (100 TB), matching get_spark();
+    * Arrow — the pandas_udf operators (similarity, multimodal) fall
+      back to pickle-per-row without it;
+    * shuffle partitions — only when still at Spark's untouched 200
+      default, drop to the local core count; a value the caller set
+      deliberately is left alone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. ``name`` must be in ``TABLE_NAMES``.
 
@@ -44,9 +78,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # Harmless for non-events tables; required here (not just in get_spark())
-    # because callers may supply their own SparkSession without the config.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Required here (not just in get_spark()) because callers may supply
+    # their own SparkSession without the configs this library needs.
+    ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

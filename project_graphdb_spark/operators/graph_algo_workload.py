@@ -298,3 +298,81 @@ def galg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "community")
     )
+
+
+SSSP_ITERS = 15
+
+
+def _sssp_oracle(iters: int = SSSP_ITERS) -> str:
+    """Unrolled Bellman-Ford (min-plus) from Customer:1 over the
+    symmetrized unified graph. Edge weight is derived from the numeric
+    key suffixes — pure integer arithmetic divided once, so both
+    engines build bit-identical doubles; path sums accumulate
+    source-outward in the same order on both sides, so no rounding is
+    needed. NULL plays infinity (MIN skips it). ``iters`` matches the
+    Spark side's max_iter so both compute min-over-<=K-hop paths even
+    if the fixed point is not reached."""
+    ctes = [
+        """d0 AS MATERIALIZED (
+      SELECT id,
+             CASE WHEN id = 'Customer:1' THEN CAST(0 AS DOUBLE) END AS d
+      FROM verts
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+      SELECT t.id, MIN(t.d) AS d FROM (
+        SELECT id, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.dst, l.d + e.w
+        FROM sym e JOIN d{k - 1} l ON l.id = e.src AND l.d IS NOT NULL
+      ) t GROUP BY t.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    sym AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(1 AS DOUBLE) +
+             (CAST((CAST(regexp_extract(src, '([0-9]+)$', 1) AS BIGINT)
+                  + CAST(regexp_extract(dst, '([0-9]+)$', 1) AS BIGINT))
+                  % 97 AS DOUBLE) / CAST(97 AS DOUBLE)) AS w
+      FROM (SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges)
+    ),
+    verts AS MATERIALIZED ({_UVERTS_SQL}),
+    {','.join(ctes)}
+    SELECT id, d AS dist FROM d{iters} ORDER BY id
+    """
+
+
+@register(
+    "galg_shortest_paths",
+    oracle=_sssp_oracle(),
+    description="weighted single-source shortest paths (Bellman-Ford "
+    "min-plus on the Pregel driver) with deterministic key-derived "
+    "edge weights; oracle = unrolled relaxation CTE chain",
+)
+def galg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.graph.algorithms import (
+        shortest_paths,
+        unified_edges,
+        unified_vertices,
+    )
+
+    g = tpch_graph(spark, sf_dir)
+
+    def keynum(c):
+        return F.regexp_extract(c, r"([0-9]+)$", 1).cast("bigint")
+
+    edges = unified_edges(g, undirected=True).withColumn(
+        "weight",
+        F.lit(1.0).cast("double")
+        + ((keynum(F.col("src")) + keynum(F.col("dst"))) % 97).cast(
+            "double"
+        )
+        / F.lit(97.0).cast("double"),
+    )
+    return shortest_paths(
+        unified_vertices(g), edges, "Customer:1", max_iter=SSSP_ITERS
+    ).orderBy("id")
