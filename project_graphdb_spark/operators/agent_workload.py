@@ -7,12 +7,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from project_graphdb_spark.agent.workflow import TemplatePlanner
 from project_graphdb_spark.cypher.compiler import compile_cypher
 from project_graphdb_spark.cypher.corrector import correct_directions
 from project_graphdb_spark.cypher.parser import parse
 from project_graphdb_spark.graph.builder import tpch_graph
-from project_graphdb_spark.operators.exact import SQL_DEC
+from project_graphdb_spark.operators.exact import SQL_DEC, SQL_REVENUE
 from project_graphdb_spark.workload import register
 
 
@@ -69,3 +71,59 @@ def agent_customers_without_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _ask(spark, sf_dir, "how many customers have no orders?")
+
+
+@register(
+    "rca_largest_drop_drilldown",
+    oracle=f"""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS y, SUM({SQL_REVENUE}) AS r
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1
+    ),
+    ratios AS (
+      SELECT a.y, CAST(a.r AS DOUBLE) / CAST(b.r AS DOUBLE) AS ratio
+      FROM rev a JOIN rev b ON b.y = a.y - 1
+      WHERE CAST(b.r AS DOUBLE) > 0
+    ),
+    target AS (SELECT y FROM ratios ORDER BY ratio, y LIMIT 1),
+    years AS (
+      SELECT y - 1 AS y FROM target UNION ALL SELECT y FROM target
+    )
+    SELECT CAST(years.y AS INTEGER) AS order_year,
+           o_orderstatus AS status, COUNT(*) AS n
+    FROM orders JOIN years ON year(o_orderdate) = years.y
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    description="D7-D11 end-to-end: full adaptive RCA stream (chatbot->"
+    "tools loop, query_tool dispatch, event generator), then the "
+    "drill-down frame for the data-chosen largest-drop year; the oracle "
+    "re-derives the same year choice in SQL, so the hash check covers "
+    "the adaptive decision itself (ref final/rca_final.py:130-264)",
+)
+def rca_largest_drop_drilldown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runs the REAL investigation (stream drained, all sub-queries
+    executed through the D1-D5 pipeline), then returns the status-count
+    comparison for the investigator's target year vs the prior year."""
+    from project_graphdb_spark.agent.rca import (
+        AdaptiveInvestigator,
+        stream_rca,
+    )
+
+    graph = tpch_graph(spark, sf_dir)
+    inv = AdaptiveInvestigator()
+    events = list(
+        stream_rca(graph, "why did revenue change?", investigator=inv)
+    )
+    if not events or not events[-1].get("final") or inv._target_year is None:
+        raise RuntimeError("RCA investigation did not complete")
+    frames = []
+    for yr in (inv._target_year - 1, inv._target_year):
+        df = _ask(spark, sf_dir, f"order status counts for year {yr}")
+        frames.append(
+            df.select(
+                F.lit(yr).cast("int").alias("order_year"), "status", "n"
+            )
+        )
+    return frames[0].unionByName(frames[1]).orderBy("order_year", "status")
