@@ -316,3 +316,45 @@ def cosine_scores_pandas(
     # annotations` would stringify hints the UDF inspector cannot eval
     cos = pandas_udf(_cos, "double")
     return emb.select("vec_id", cos(F.col("v")).alias("cos_sim"))
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt(list_aggregate(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum')), 8) AS l2_norm,
+           CAST(list_min(embedding) AS DOUBLE) AS min_c,
+           CAST(list_max(embedding) AS DOUBLE) AS max_c
+    FROM embeddings ORDER BY vec_id
+    """,
+    description="embedding hygiene stats: dimension, L2 norm, component "
+    "range per vector (the pre-flight validation an embedding-similarity "
+    "pipeline needs: catches unnormalized / truncated / NaN-polluted "
+    "vectors before they poison ANN indexes). float32 components are "
+    "widened to double before squaring (exact), so the only engine "
+    "divergence is summation order — bounded ~1e-16, rounded to 8 dp "
+    "on both sides",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("dim"),
+            F.round(F.sqrt(sq_sum), 8).alias("l2_norm"),
+            F.array_min("embedding").cast("double").alias("min_c"),
+            F.array_max("embedding").cast("double").alias("max_c"),
+        )
+        .orderBy("vec_id")
+    )
