@@ -253,3 +253,34 @@ def sql_over_graph_order_priority_revenue(
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@register(
+    "graph_sink_roundtrip",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{label}' AS label, ({sql}) AS n"
+        for label, sql in _NODE_COUNT_SQL.items()
+    )
+    + " ORDER BY n DESC, label",
+    description="A7/A8 driver-visible: save_graph -> per-label/type "
+    "parquet directories + schema manifest -> load_graph scan -> node "
+    "counts; proves the sink/scan round trip preserves every row "
+    "(oracle = the same per-label counts from the base tables)",
+)
+def graph_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes to a fresh temp dir, reads back lazily, then
+    localCheckpoints the tiny result so the directory can be removed
+    before returning (the frame must outlive the files)."""
+    import shutil
+    import tempfile
+
+    from project_graphdb_spark.graph.storage import load_graph, save_graph
+
+    g = tpch_graph(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="graph_sink_roundtrip_")
+    try:
+        save_graph(g, path)
+        out = load_graph(spark, path).node_counts()
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
