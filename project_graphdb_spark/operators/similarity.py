@@ -164,7 +164,34 @@ IVF_K = 8
 IVF_NPROBE = 3
 IVF_LLOYD_ITERS = 3
 
-_IVF_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _nearest_cid(cents: list[list[float]]) -> Column:
+    """Argmax-by-cosine over driver-side centroids as ONE expression.
+
+    Centroids are O(k·dim) — tiny at any data scale — so they ship as
+    literal arrays inside the plan (the degenerate broadcast). The
+    nearest-centroid pick is then a narrow map over the big side: no
+    join, no per-vector window, no shuffle. Tie-break on the smallest
+    cid via ``array_max(struct(sim, -cid))`` (largest -cid == smallest
+    cid), matching the row_number ordering the previous formulation
+    used.
+    """
+    sims = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col("v"), _lit_vec(cv)), 6).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cv in enumerate(cents)
+        ]
+    )
+    return (-F.array_max(sims)["nc"]).alias("cid")
 
 
 def lloyd_centroids(
@@ -172,8 +199,8 @@ def lloyd_centroids(
     emb: DataFrame,
     k: int = IVF_K,
     iters: int = IVF_LLOYD_ITERS,
-) -> DataFrame:
-    """(cid, cv) — deterministic k-means coarse quantizer.
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer → k centroid vectors.
 
     Seeds with the ``k`` lowest-``vec_id`` vectors, then runs ``iters``
     Lloyd rounds: assign every vector to its nearest centroid by
@@ -182,56 +209,41 @@ def lloyd_centroids(
     is bit-reproducible across partitionings; an emptied cluster keeps
     its previous centroid.
 
-    Scale: the only driver-side materialization is the centroid table
-    itself — O(k·dim) doubles per round, independent of data size (the
-    same cadence Spark MLlib's KMeans uses). Each round is one
-    broadcast join + one (cid, pos) aggregation over the big side.
+    Scale: the only driver-side materialization is the centroid list —
+    O(k·dim) doubles per round, independent of data size (the same
+    cadence Spark MLlib's KMeans uses). Each round is ONE Spark job:
+    assignment is a literal-centroid argmax expression (no join/window,
+    see :func:`_nearest_cid`) fused into a (cid, pos) mean aggregation
+    — a single narrow-map + one shuffle over the big side.
     """
     cents = [
-        r["v"]
+        list(r["v"])
         for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
-    schema = "cid INT, cv ARRAY<DOUBLE>"
     for _ in range(iters):
-        cf = spark.createDataFrame(list(enumerate(cents)), schema)
-        w = W.partitionBy("vec_id").orderBy(
-            F.col("c_sim").desc(), F.col("cid")
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cf))
-            .select(
-                "vec_id",
-                "v",
-                "cid",
-                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_sim"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-        )
         means = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            emb.select(_nearest_cid(cents), "v")
+            .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias(
-                    "pm"
-                )
-            )
-            .select("cid", F.expr("transform(pm, s -> s.m)").alias("cv"))
+            .collect()
         )
-        got = {r["cid"]: r["cv"] for r in means.collect()}
-        cents = [got.get(i, cents[i]) for i in range(k)]
-    return spark.createDataFrame(list(enumerate(cents)), schema)
+        got: dict[int, dict[int, float]] = {}
+        for r in means:
+            got.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [got[i][p] for p in sorted(got[i])] if i in got else cents[i]
+            for i in range(k)
+        ]
+    return cents
 
 
-def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized trained quantizer per (session, sf_dir) — repeated
-    calls (bench warm-up + timed pass) reuse the same centroid table."""
-    key = (id(spark), sf_dir)
-    if key not in _IVF_CACHE:
-        _IVF_CACHE[key] = lloyd_centroids(spark, _emb(spark, sf_dir))
-    return _IVF_CACHE[key]
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Memoized trained quantizer per sf_dir — repeated calls (bench
+    warm-up + timed pass) reuse the same centroids."""
+    if sf_dir not in _IVF_CACHE:
+        _IVF_CACHE[sf_dir] = lloyd_centroids(spark, _emb(spark, sf_dir))
+    return _IVF_CACHE[sf_dir]
 
 
 @register(
@@ -245,39 +257,32 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cents = _ivf_centroids(spark, sf_dir)
-    # assign every vector to its nearest centroid (rounded sim, id tie-break)
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "cid",
-            F.round(cosine(F.col("v"), F.col("cv")), 6).alias("c_sim"),
-        )
-        .withColumn("arnk", F.row_number().over(w_assign))
-        .filter(F.col("arnk") == 1)
-        .select("vec_id", "v", "cid")
-    )
-    # query = vec 0; probe the 3 centroids closest to it
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    probed = (
-        cents.crossJoin(F.broadcast(q))
-        .select("cid", F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("c_sim"))
-        .orderBy(F.col("c_sim").desc(), F.col("cid"))
-        .limit(3)
-        .select("cid")
-    )
+    # query = vec 0 (one tiny pruned-scan job); probe the 3 centroids
+    # closest to it — k is driver-side, so the probe choice is too
+    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["v"])
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(x * x for x in b) ** 0.5
+        return round(num / (da * db), 6)
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            enumerate(cents), key=lambda c: (-_cos(c[1], qv), c[0])
+        )[:IVF_NPROBE]
+    ]
+    # nearest-centroid assignment is a narrow map (literal centroids);
+    # the probe filter prunes the scan to nprobe/k of the data before
+    # any cosine against the query vector is computed
     w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        assigned.join(F.broadcast(probed), "cid", "left_semi")
-        .filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
+        emb.select("vec_id", "v", _nearest_cid(cents))
+        .filter(F.col("cid").isin(probed) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(cosine(F.col("v"), _lit_vec(qv)), 6).alias("cos_sim"),
         )
         # TakeOrdered top-k, then rank the 10 survivors
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
