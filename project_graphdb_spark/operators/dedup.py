@@ -74,18 +74,6 @@ def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def doc_shingles_hashed(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle bigint) exploded + distinct — the minhash-path
-    twin of :func:`doc_shingles` (same repartition rationale)."""
-    return (
-        docs.repartition("doc_id")
-        .select(
-            "doc_id", F.explode(hashed_shingle_array("text")).alias("shingle")
-        )
-        .distinct()
-    )
-
-
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded + distinct.
 
@@ -242,12 +230,34 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, h0..h{num_perm-1}) — min of seeded xxhash64 per shingle.
 
     One shuffle (groupBy doc_id); signature width is fixed and narrow.
+    Kept for parity tests; the operator path uses the shuffle-free
+    :func:`minhash_signature_arrays` (identical values).
     """
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_arrays(
+    doc_arrs: DataFrame, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(doc_id, h0..h{num_perm-1}) straight from the per-doc shingle
+    array: ``array_min(transform(sh_arr, s -> xxhash64(s, i)))``.
+
+    Same hash values as :func:`minhash_signatures` but a NARROW map —
+    the explode + 64-way groupBy shuffle disappears entirely. Per-doc
+    work is identical (num_perm hashes per shingle); at 100 TB this
+    keeps signature building inside the scan stage.
+    """
+    cols = [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return doc_arrs.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -291,8 +301,9 @@ def lsh_candidate_pairs(
 _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-def _shingles_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed-shingle frame, persisted once per (session, sf_dir).
+def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh_arr) per-doc hashed-shingle arrays, persisted once
+    per (session, sf_dir).
 
     Memoized so repeated calls (bench warm-up + timed pass, agent
     re-runs) share ONE cached copy instead of stacking identical
@@ -302,7 +313,11 @@ def _shingles_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        _SHINGLE_CACHE[key] = doc_shingles_hashed(docs).persist()
+        _SHINGLE_CACHE[key] = (
+            docs.repartition("doc_id")
+            .select("doc_id", hashed_shingle_array("text").alias("sh_arr"))
+            .persist()
+        )
     return _SHINGLE_CACHE[key]
 
 
@@ -322,17 +337,31 @@ def clear_shingle_cache() -> None:
     headline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shingle frame feeds the signature build AND both sides of the
-    # verify join — persist it once instead of re-tokenizing per branch
-    # (on a cluster this is the natural dataset-checkpoint boundary);
-    # hashed shingles: Jaccard over 64-bit shingle hashes == Jaccard
-    # over shingle strings (collisions negligible), and the frame is a
-    # narrow bigint instead of text
-    sh = _shingles_persisted(spark, sf_dir)
-    sig = minhash_signatures(sh)
+    # Per-doc hashed-shingle arrays feed the signature build AND both
+    # sides of the verify join — persist once (on a cluster this is the
+    # natural dataset-checkpoint boundary). Jaccard over 64-bit shingle
+    # hashes == Jaccard over shingle strings (collisions negligible),
+    # and keeping shingles as per-doc arrays makes the signature build
+    # a narrow map and the verify an array_intersect — the only
+    # shuffles left are the band bucket join and the two candidate
+    # equi-joins.
+    arrs = _shingle_arrays_persisted(spark, sf_dir)
+    sig = minhash_signature_arrays(arrs)
     candidates = lsh_candidate_pairs(sig)
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"))
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     return (
-        _pair_jaccard(sh, candidates=candidates)
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                n_common.cast("double")
+                / (F.size("sa") + F.size("sb") - n_common)
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )

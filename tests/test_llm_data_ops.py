@@ -136,3 +136,20 @@ def test_stratified_sample_fractions_and_determinism(spark):
     a = [r["doc_id"] for r in doc_stratified_sample(spark, sf).collect()]
     b = [r["doc_id"] for r in doc_stratified_sample(spark, sf).collect()]
     assert a == b
+
+
+def test_minhash_signature_paths_agree(spark):
+    """The narrow array formulation is value-identical to the exploded
+    groupBy one (dedup_minhash_lsh rides on the former)."""
+    from project_graphdb_spark.operators.dedup import (
+        _shingle_arrays_persisted,
+        minhash_signature_arrays,
+        minhash_signatures,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    arrs = _shingle_arrays_persisted(spark, sf)
+    sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
+    narrow = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature_arrays(arrs).collect()}
+    grouped = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(sh).collect()}
+    assert narrow == grouped
