@@ -1,0 +1,194 @@
+"""Corpus-preparation operators: contamination detection, token-window
+chunking, and PII scrubbing over the ``documents`` table.
+
+Training-data-pipeline surface (SURVEY.md §2.E) beyond dedup/quality:
+the steps that sit between "cleaned corpus" and "training samples" in a
+real 100 TB pipeline. The reference has no corpus tooling at all; these
+are built entirely from Spark array/string expressions (no Python UDFs).
+
+Scale story:
+
+* **contamination** — benchmark n-grams are a *tiny* frame (benchmarks
+  are thousands of docs, not billions), so the n-gram join broadcasts
+  the benchmark side; the corpus side is one narrow explode with no
+  pre-shuffle. Corpus-side aggregation is one groupBy on doc_id.
+* **chunking** — pure narrow map (sequence → filter → posexplode →
+  slice); zero shuffles, parallel in the input partitioning.
+* **pii scrub** — chained ``regexp_replace``, narrow, whole-stage
+  codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+from project_graphdb_spark.operators.text import tokens
+from project_graphdb_spark.workload import register
+
+# every doc_id divisible by 29 plays the role of a held-out benchmark
+# document; the contamination check scans the rest of the corpus for
+# verbatim n-gram overlap with them (the decontamination step an LLM
+# training pipeline runs against eval sets)
+BENCHMARK_MOD = 29
+CONTAM_NGRAM = 8  # overlap window (test docs are 10-99 words)
+
+CHUNK_SIZE = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def _ngram_array(col, n: int):
+    """Distinct word n-gram strings of a text column (JVM-side)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@register(
+    "doc_contamination_check",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - {CONTAM_NGRAM}, 1)) AS s
+      FROM toks WHERE len(t) >= {CONTAM_NGRAM}
+    ), grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[s + 1 : s + {CONTAM_NGRAM}], ' ') AS gram
+      FROM starts
+    ),
+    bench AS (SELECT doc_id, gram FROM grams WHERE doc_id % {BENCHMARK_MOD} = 0),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % {BENCHMARK_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.gram) AS n_contaminated_ngrams,
+           COUNT(DISTINCT b.doc_id) AS n_benchmark_docs,
+           CAST(MIN(b.doc_id) AS BIGINT) AS first_benchmark_doc
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    description="benchmark-contamination check: corpus docs sharing any "
+    f"verbatim {CONTAM_NGRAM}-gram with the held-out benchmark subset "
+    "(decontamination pass of an LLM training pipeline); benchmark "
+    "n-gram frame broadcasts, corpus side is one narrow explode",
+)
+def doc_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.explode(_ngram_array("text", CONTAM_NGRAM)).alias("gram"),
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_MOD == 0
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "gram"
+    )
+    corpus = grams.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_contaminated_ngrams"),
+            F.count_distinct("bench_doc").alias("n_benchmark_docs"),
+            F.min("bench_doc").alias("first_benchmark_doc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           array_to_string(t[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_SIZE}, len(t) - s) AS INT) AS n_tokens
+    FROM starts
+    WHERE s = 0 OR s - {CHUNK_STRIDE} + {CHUNK_SIZE} < len(t)
+    ORDER BY doc_id, chunk_id
+    """,
+    description=f"training-sample chunking: sliding {CHUNK_SIZE}-token "
+    f"windows, stride {CHUNK_STRIDE} (overlap "
+    f"{CHUNK_SIZE - CHUNK_STRIDE}); a window is emitted only if the "
+    "previous one did not already reach the end of the doc. Pure "
+    "narrow map — sequence/filter/posexplode/slice, zero shuffles",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 0) | (s - CHUNK_STRIDE + CHUNK_SIZE < n),
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("s") + 1, CHUNK_SIZE)
+            ).alias("chunk_text"),
+            F.least(F.lit(CHUNK_SIZE), F.size("t") - F.col("s"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# shared between Spark and the oracle verbatim (Java and DuckDB RE2-ish
+# dialects agree on this subset: classes, +, {m,}, alternation)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_LONGNUM_RE}', '<NUM>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))
+             + len(regexp_extract_all(text, '{_LONGNUM_RE}'))
+             AS n_redactions
+    FROM documents ORDER BY doc_id
+    """,
+    description="PII scrubbing: redact email addresses and long digit "
+    "runs with typed placeholders, count redactions per doc (chained "
+    "regexp_replace — narrow, whole-stage codegen; the regexes are "
+    "shared verbatim with the oracle)",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))) + F.size(
+        F.regexp_extract_all("text", F.lit(_LONGNUM_RE))
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_red.cast("bigint").alias("n_redactions"),
+    ).orderBy("doc_id")

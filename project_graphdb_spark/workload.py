@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
     from project_graphdb_spark.operators import (  # noqa: F401
         agent_workload,
         asof,
+        corpus,
         cypher_workload,
         dedup,
         graph_algo_workload,
