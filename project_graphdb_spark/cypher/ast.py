@@ -100,6 +100,16 @@ class Not(Expr):
 
 
 @dataclass
+class PatternPred(Expr):
+    """Pattern predicate ``exists((a)-[:T]->(b))`` — a correlated
+    semi-join against the enclosing MATCH. Appears only as a top-level
+    WHERE conjunct (possibly under NOT); the compiler rejects deeper
+    nesting."""
+
+    pattern: "PathPat"
+
+
+@dataclass
 class Case(Expr):
     """Searched CASE: WHEN cond THEN value ... [ELSE default] END.
     (Simple CASE ``CASE e WHEN v ...`` is desugared to ``e = v`` whens
@@ -216,6 +226,9 @@ class Query:
     order_by: list[OrderKey] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    # UNION chain: (query, is_all) per arm after the first; openCypher
+    # forbids mixing UNION and UNION ALL, so is_all is uniform
+    unions: list[tuple["Query", bool]] = field(default_factory=list)
 
     # convenience accessors over the first segment / the WITH chain
     # (the single-segment view most analysis code needs)

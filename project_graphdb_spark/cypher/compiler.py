@@ -836,6 +836,133 @@ def _bind_patterns(
     return df, vars
 
 
+def _contains_pattern_pred(e: A.Expr) -> bool:
+    if isinstance(e, A.PatternPred):
+        return True
+    for child in getattr(e, "__dict__", {}).values():
+        if isinstance(child, A.Expr) and _contains_pattern_pred(child):
+            return True
+        if isinstance(child, list) and any(
+            isinstance(c, A.Expr) and _contains_pattern_pred(c)
+            for c in child
+        ):
+            return True
+        if isinstance(child, tuple) and any(
+            isinstance(c, A.Expr) and _contains_pattern_pred(c)
+            for c in child
+        ):
+            return True
+    return False
+
+
+def _extract_pattern_preds(
+    e: A.Expr,
+) -> tuple[list[tuple[A.PathPat, bool]], A.Expr | None, list[str]]:
+    """Split a WHERE tree into (pattern predicates, residual predicate).
+
+    Pattern predicates are supported as top-level AND conjuncts,
+    optionally under NOT — the forms a semi/anti join can express. A
+    PatternPred anywhere deeper (inside OR, CASE, comparisons) is an
+    analysis error, not a silent drop.
+    """
+    preds: list[tuple[A.PathPat, bool]] = []
+    rest: list[A.Expr] = []
+    errors: list[str] = []
+
+    def visit(c: A.Expr) -> None:
+        if isinstance(c, A.PatternPred):
+            preds.append((c.pattern, False))
+        elif isinstance(c, A.Not) and isinstance(c.part, A.PatternPred):
+            preds.append((c.part.pattern, True))
+        elif isinstance(c, A.And):
+            for p in c.parts:
+                visit(p)
+        elif _contains_pattern_pred(c):
+            errors.append(
+                "pattern predicates (exists((...)-[...]->(...))) are only "
+                "supported as top-level WHERE conjuncts, optionally "
+                "under NOT"
+            )
+        else:
+            rest.append(c)
+
+    visit(e)
+    residual: A.Expr | None
+    if not rest:
+        residual = None
+    elif len(rest) == 1:
+        residual = rest[0]
+    else:
+        residual = A.And(rest)
+    return preds, residual, errors
+
+
+def _apply_pattern_pred(
+    graph: PropertyGraph,
+    df: DataFrame,
+    vars: dict[str, _BoundVar],
+    pattern: A.PathPat,
+    negated: bool,
+    anon_seed: int,
+) -> DataFrame:
+    """Apply ``exists(pattern)`` / ``NOT exists(pattern)`` as a
+    left-semi / left-anti join on the variables shared with the
+    enclosing MATCH.
+
+    The subpattern compiles to its own frame (same join machinery as a
+    MATCH clause); correlation keys are the shared node variables' key
+    columns. Semi/anti joins add no columns and preserve outer row
+    multiplicity — exactly openCypher's pattern-predicate semantics.
+    At scale this is a hash semi-join on node keys; Catalyst is free to
+    broadcast whichever side is small.
+    """
+    import dataclasses
+
+    errors: list[str] = []
+    # fill unlabeled shared node endpoints from the outer binding so
+    # the subpattern resolves to the same node frame (and key column)
+    nodes = []
+    for node in pattern.nodes:
+        if (
+            node.var
+            and node.label is None
+            and node.var in vars
+            and vars[node.var].kind == "node"
+        ):
+            node = dataclasses.replace(node, label=vars[node.var].label)
+        nodes.append(node)
+    pattern = dataclasses.replace(pattern, nodes=nodes)
+
+    sub_df, sub_vars = _bind_patterns(graph, [pattern], anon_seed=anon_seed)
+    shared = [v for v in sub_vars if v in vars]
+    if not shared:
+        raise CypherAnalysisError(
+            ["exists() pattern must share at least one bound variable "
+             "with the enclosing MATCH"]
+        )
+    keys: list[str] = []
+    for v in shared:
+        bo, bs = vars[v], sub_vars[v]
+        if bo.kind != "node" or bs.kind != "node":
+            errors.append(
+                f"relationship variable {v!r} cannot be shared into "
+                "exists()"
+            )
+            continue
+        if bo.label != bs.label:
+            errors.append(
+                f"exists() binds {v!r} as :{bs.label} but the enclosing "
+                f"MATCH binds it as :{bo.label}"
+            )
+            continue
+        if bo.key:
+            keys.append(f"{v}__{bo.key}")
+    if errors:
+        raise CypherAnalysisError(errors)
+    how = "left_anti" if negated else "left_semi"
+    return df.join(sub_df.select(*keys), on=keys, how=how)
+
+
 def _attach_optional(
     graph: PropertyGraph,
     df: DataFrame,
@@ -980,6 +1107,25 @@ def compile_cypher(
     from project_graphdb_spark.cypher.parser import parse
 
     q = parse(query) if isinstance(query, str) else query
+    if q.unions:
+        base = A.Query(
+            segments=q.segments, ret=q.ret, order_by=q.order_by,
+            skip=q.skip, limit=q.limit,
+        )
+        out = compile_cypher(graph, base, exact_decimal_sums)
+        is_all = q.unions[0][1]
+        for arm, _ in q.unions:
+            arm_df = compile_cypher(graph, arm, exact_decimal_sums)
+            if sorted(arm_df.columns) != sorted(out.columns):
+                raise CypherAnalysisError(
+                    [
+                        "UNION arms must return the same column names: "
+                        f"{out.columns} vs {arm_df.columns}"
+                    ]
+                )
+            out = out.unionByName(arm_df)
+        # UNION dedups across ALL arms (openCypher); UNION ALL keeps rows
+        return out if is_all else out.distinct()
     df: DataFrame | None = None
     vars: dict[str, _BoundVar] = {}
     flat: set[str] = set()
@@ -1025,12 +1171,22 @@ def compile_cypher(
             df = spark.range(1).select(F.lit(1).alias("__seed"))
         scope = _Scope(vars or None, flat or None, df)
         if seg.where is not None:
-            comp = _ExprCompiler(scope, exact_decimal_sums)
-            cond = comp.compile(seg.where)
-            if scope.errors:
-                raise CypherAnalysisError(scope.errors)
-            df = df.filter(cond)
-            scope.df = df
+            preds, residual, perrors = _extract_pattern_preds(seg.where)
+            if perrors:
+                raise CypherAnalysisError(perrors)
+            for pi, (pat, negated) in enumerate(preds):
+                df = _apply_pattern_pred(
+                    graph, df, vars, pat, negated,
+                    anon_seed=si * 10000 + 5000 + pi * 100,
+                )
+                scope.df = df
+            if residual is not None:
+                comp = _ExprCompiler(scope, exact_decimal_sums)
+                cond = comp.compile(residual)
+                if scope.errors:
+                    raise CypherAnalysisError(scope.errors)
+                df = df.filter(cond)
+                scope.df = df
         if seg.projection is not None:
             df, flat, vars = _project(
                 df, seg.projection, scope, exact_decimal_sums,

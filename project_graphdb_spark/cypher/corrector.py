@@ -15,8 +15,31 @@ from project_graphdb_spark.cypher import ast as A
 from project_graphdb_spark.graph.property_graph import PropertyGraph
 
 
+def _pattern_preds(e: A.Expr | None) -> list[A.PathPat]:
+    """PathPats inside exists() pattern predicates of a WHERE tree."""
+    if e is None:
+        return []
+    found: list[A.PathPat] = []
+    if isinstance(e, A.PatternPred):
+        found.append(e.pattern)
+    for child in getattr(e, "__dict__", {}).values():
+        if isinstance(child, A.Expr):
+            found.extend(_pattern_preds(child))
+        elif isinstance(child, (list, tuple)):
+            for c in child:
+                if isinstance(c, A.Expr):
+                    found.extend(_pattern_preds(c))
+    return found
+
+
 def _all_patterns(query: A.Query) -> list[A.PathPat]:
-    return query.all_patterns()
+    pats = list(query.all_patterns())
+    for seg in query.segments:
+        pats.extend(_pattern_preds(seg.where))
+        pats.extend(_pattern_preds(seg.proj_where))
+    for arm, _ in query.unions:
+        pats.extend(_all_patterns(arm))
+    return pats
 
 
 def _var_labels(patterns: list[A.PathPat]) -> dict[str, str]:

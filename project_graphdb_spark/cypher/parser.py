@@ -39,6 +39,7 @@ from project_graphdb_spark.cypher.ast import (
     Or,
     OrderKey,
     PathPat,
+    PatternPred,
     Projection,
     Prop,
     Query,
@@ -73,7 +74,7 @@ KEYWORDS = {
     "skip", "limit", "as", "and", "or", "not", "in", "contains",
     "starts", "ends", "distinct", "asc", "ascending", "desc",
     "descending", "true", "false", "null", "case", "when", "then",
-    "else", "end", "unwind", "is",
+    "else", "end", "unwind", "is", "union", "all",
     # write-path keywords (cypher/write.py); expect_name still accepts
     # them as label / property names
     "merge", "set",
@@ -172,6 +173,20 @@ class _Parser:
     # -- grammar ---------------------------------------------------------
 
     def parse_query(self) -> Query:
+        q = self.parse_single_query()
+        union_all: bool | None = None
+        while self.accept("kw", "union"):
+            is_all = bool(self.accept("kw", "all"))
+            if union_all is not None and union_all != is_all:
+                raise CypherSyntaxError(
+                    "cannot mix UNION and UNION ALL in one query"
+                )
+            union_all = is_all
+            q.unions.append((self.parse_single_query(), is_all))
+        self.expect("eof")
+        return q
+
+    def parse_single_query(self) -> Query:
         if not self.at_kw("match", "optional", "unwind", "return", "with"):
             self.expect("kw", "match")  # uniform error message
         segments = [self.parse_segment()]
@@ -202,7 +217,6 @@ class _Parser:
             q.skip = int(self.expect("num"))
         if self.accept("kw", "limit"):
             q.limit = int(self.expect("num"))
-        self.expect("eof")
         return q
 
     def parse_segment(self) -> Segment:
@@ -517,6 +531,15 @@ class _Parser:
         if k == "ident":
             self.next()
             if self.accept("("):
+                # exists((a)-[:T]->(b)) — pattern predicate: the
+                # argument starts with '(' (a node pattern); a
+                # parenthesized *expression* argument to exists() is
+                # indistinguishable at this point and not supported
+                # (use exists(x.prop) without extra parens)
+                if v.lower() == "exists" and self.peek()[0] == "(":
+                    pat = self.parse_pattern()
+                    self.expect(")")
+                    return PatternPred(pat)
                 distinct = bool(self.accept("kw", "distinct"))
                 args: list[Expr] = []
                 if not self.accept(")"):

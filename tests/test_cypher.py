@@ -763,3 +763,133 @@ def test_to_integer_to_float(spark, sf_dir):
         "toInteger(3.9) AS t",
     ).collect()[0]
     assert row["i"] == 42 and row["f"] == 2.5 and row["t"] == 3
+
+
+def test_union_all_keeps_duplicates(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    n_regions = g.nodes["Region"].count()
+    got = compile_cypher(
+        g,
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION ALL MATCH (r:Region) RETURN r.r_name AS name",
+    ).count()
+    assert got == 2 * n_regions
+
+
+def test_union_distinct_dedups_across_arms(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    n_regions = g.nodes["Region"].count()
+    got = compile_cypher(
+        g,
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION MATCH (r:Region) RETURN r.r_name AS name",
+    ).count()
+    assert got == n_regions
+
+
+def test_union_mixed_all_rejected(spark, sf_dir):
+    from project_graphdb_spark.cypher.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="mix UNION"):
+        parse(
+            "MATCH (r:Region) RETURN r.r_name AS x "
+            "UNION MATCH (n:Nation) RETURN n.n_name AS x "
+            "UNION ALL MATCH (n:Nation) RETURN n.n_name AS x"
+        )
+
+
+def test_union_column_mismatch_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="same column names"):
+        compile_cypher(
+            g,
+            "MATCH (r:Region) RETURN r.r_name AS a "
+            "UNION MATCH (n:Nation) RETURN n.n_name AS b",
+        )
+
+
+def test_exists_pattern_semi_join(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE exists((o:Orders)-[:PLACED_BY]->(c)) "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    exp = (
+        g.edges["PLACED_BY"].df.select("dst").distinct().count()
+    )
+    assert got == exp
+
+
+def test_not_exists_pattern_anti_join(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE NOT exists((o:Orders)-[:PLACED_BY]->(c)) "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    n_customers = g.nodes["Customer"].count()
+    with_orders = g.edges["PLACED_BY"].df.select("dst").distinct().count()
+    assert got == n_customers - with_orders
+
+
+def test_exists_pattern_direction_corrected(spark, sf_dir):
+    """A wrong-direction arrow inside exists() is flipped by the
+    corrector stage, same as a MATCH pattern."""
+    g = tpch_graph(spark, sf_dir)
+    q = parse(
+        "MATCH (c:Customer) "
+        "WHERE exists((o:Orders)<-[:PLACED_BY]-(c)) "
+        "RETURN count(c) AS n"
+    )
+    notes = correct_directions(g, q)
+    assert any("PLACED_BY" in n for n in notes)
+    got = compile_cypher(g, q).collect()[0]["n"]
+    exp = g.edges["PLACED_BY"].df.select("dst").distinct().count()
+    assert got == exp
+
+
+def test_exists_under_or_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="top-level WHERE"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) "
+            "WHERE exists((o:Orders)-[:PLACED_BY]->(c)) "
+            "OR c.c_acctbal > 0 RETURN count(c) AS n",
+        )
+
+
+def test_uncorrelated_exists_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="share at least one"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) "
+            "WHERE exists((o:Orders)-[:CONTAINS_ITEM]->(p:Part)) "
+            "RETURN count(c) AS n",
+        )
+
+
+def test_exists_with_residual_where(spark, sf_dir):
+    """Pattern predicate AND a plain predicate compose (semi-join plus
+    filter)."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE exists((o:Orders)-[:PLACED_BY]->(c)) "
+        "AND c.c_mktsegment = 'BUILDING' RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    placed = g.edges["PLACED_BY"].df.select(
+        F.col("dst").alias("c_custkey")
+    ).distinct()
+    exp = (
+        g.nodes["Customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(placed, "c_custkey", "left_semi")
+        .count()
+    )
+    assert got == exp
