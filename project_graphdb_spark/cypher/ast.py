@@ -157,6 +157,11 @@ class PathPat:
     # which MATCH clause of the segment this pattern came from —
     # relationship uniqueness applies within one clause only
     clause: int = 0
+    # ``p = shortestPath((a)-[:T*..n]-(b))``: BFS between the endpoint
+    # sets instead of a join chain; path_var binds the hop count for
+    # ``length(p)``
+    shortest: bool = False
+    path_var: str | None = None
 
 
 # -- clauses -----------------------------------------------------------------

@@ -121,6 +121,8 @@ class _Scope:
                 # count(r)/aggregates over a relationship variable: any
                 # always-present column stands in for the match row
                 return F.col(f"{name}__src")
+            if bound.kind == "path":
+                return F.col(f"{name}__len")
         self.errors.append(f"unknown identifier {name!r}")
         return F.lit(None)
 
@@ -284,6 +286,22 @@ class _ExprCompiler:
 
     def _fn(self, e: A.FnCall) -> Column:
         name = e.name
+        if name == "length":
+            # length(p) — hop count of a shortestPath binding. String
+            # length is size() in this dialect (CYPHER.md scalars).
+            if (
+                len(e.args) == 1
+                and isinstance(e.args[0], A.Var)
+                and self.scope.vars is not None
+                and e.args[0].name in self.scope.vars
+                and self.scope.vars[e.args[0].name].kind == "path"
+            ):
+                return F.col(f"{e.args[0].name}__len").cast("bigint")
+            self.scope.errors.append(
+                "length() takes a bound path variable "
+                "(p = shortestPath(...)); for string length use size()"
+            )
+            return F.lit(None)
         if name == "count":
             if len(e.args) == 1 and isinstance(e.args[0], A.Star):
                 return F.count(F.lit(1))
@@ -836,6 +854,166 @@ def _bind_patterns(
     return df, vars
 
 
+_SHORTEST_DEFAULT_MAX = 10
+
+
+def _attach_shortest_path(
+    graph: PropertyGraph,
+    df: DataFrame | None,
+    vars: dict[str, _BoundVar],
+    pat: A.PathPat,
+    exact_decimal_sums: bool,
+) -> tuple[DataFrame, dict[str, _BoundVar]]:
+    """Lower ``p = shortestPath((a:L1)-[:T*lo..hi]-(b:L2))``.
+
+    BFS (``multi_source_hops``) anchored on the left endpoint set in
+    the unified ``Label:key`` id space; the hop count binds to the path
+    variable for ``length(p)``. Semantics: one row per (a, b) pair with
+    the minimum hop count in [lo, hi] — the length/endpoint surface of
+    openCypher's shortestPath (the path's relationship list is not
+    materialized; binding it is rejected at parse level by having no
+    edge var).
+
+    Scale: frontier state is keyed (root, id) and checkpointed per
+    level; each level is one shuffle join against the (reusable) edge
+    frame. Anchor-set size multiplies state — anchor the selective side
+    (inline props / pre-bound variables make the left side selective in
+    the observed query shapes).
+    """
+    from project_graphdb_spark.graph.algorithms import multi_source_hops
+
+    errors: list[str] = []
+    edge = pat.edges[0]
+    left, right = pat.nodes
+    if edge.reversed:
+        left, right = right, left
+    lo = edge.min_hops if edge.min_hops is not None else 1
+    hi = edge.max_hops if edge.max_hops is not None else (
+        _SHORTEST_DEFAULT_MAX if edge.var_length else 1
+    )
+    if edge.var is not None:
+        errors.append(
+            "shortestPath cannot bind a relationship variable; bind the "
+            "path (p = shortestPath(...)) and use length(p)"
+        )
+
+    # edge frame in the unified id space, restricted to the rel type
+    if edge.rel_type is not None:
+        if edge.rel_type not in graph.edges:
+            raise CypherAnalysisError(
+                [f"unknown relationship type {edge.rel_type!r}"]
+            )
+        ef = graph.edges[edge.rel_type]
+        frame = ef.df.select(
+            F.concat_ws(
+                ":", F.lit(ef.meta.source), F.col("src").cast("string")
+            ).alias("src"),
+            F.concat_ws(
+                ":", F.lit(ef.meta.target), F.col("dst").cast("string")
+            ).alias("dst"),
+        ).distinct()
+    else:
+        from project_graphdb_spark.graph.algorithms import unified_edges
+
+        frame = unified_edges(graph)
+    if edge.undirected:
+        frame = frame.unionByName(
+            frame.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def endpoint(node: A.NodePat) -> tuple[str, str, DataFrame, str]:
+        """(var, label, frame with var__cols + uid col, uid_col)."""
+        var = node.var
+        label = node.label
+        if label is None and var is not None and var in vars:
+            label = vars[var].label
+        if label is None:
+            raise CypherAnalysisError(
+                ["shortestPath endpoints need a label (or an "
+                 "already-bound variable)"]
+            )
+        if label not in graph.nodes:
+            raise CypherAnalysisError([f"unknown label {label!r}"])
+        if var is None:
+            var = f"__sp{id(node) % 10000}"
+        node_def = graph.schema.node(label)
+        nf = graph.nodes[label]
+        for prop, expr in node.props:
+            if not isinstance(expr, A.Lit):
+                errors.append(
+                    "shortestPath endpoint property maps must be "
+                    f"literals; got {expr!r}"
+                )
+                continue
+            if prop not in nf.columns:
+                errors.append(f"unknown property {prop!r} on :{label}")
+                continue
+            nf = nf.filter(F.col(prop) == F.lit(expr.value))
+        uid = f"{var}__uid"
+        out = nf.select(
+            *[F.col(c).alias(f"{var}__{c}") for c in nf.columns],
+            F.concat_ws(
+                ":", F.lit(label), F.col(node_def.key).cast("string")
+            ).alias(uid),
+        )
+        return var, label, out, uid
+
+    a_var, a_label, a_frame, a_uid = endpoint(left)
+    b_var, b_label, b_frame, b_uid = endpoint(right)
+    if errors:
+        raise CypherAnalysisError(errors)
+
+    roots = a_frame.select(F.col(a_uid).alias("root")).distinct()
+    hops = multi_source_hops(frame, roots, max_depth=hi)
+    pairs = hops.filter((F.col("dist") >= lo) & (F.col("dist") <= hi))
+
+    res = (
+        a_frame.join(pairs, a_frame[a_uid] == pairs["root"])
+        .join(b_frame, pairs["id"] == b_frame[b_uid])
+        .drop("root", "id", a_uid, b_uid)
+    )
+    plen = pat.path_var
+    if plen is not None:
+        res = res.withColumnRenamed("dist", f"{plen}__len")
+    else:
+        res = res.drop("dist")
+
+    new_vars = dict(vars)
+    for var, label in ((a_var, a_label), (b_var, b_label)):
+        if var in vars:
+            if vars[var].kind != "node" or vars[var].label != label:
+                raise CypherAnalysisError(
+                    [f"shortestPath endpoint {var!r} conflicts with an "
+                     "existing binding"]
+                )
+            continue
+        node_def = graph.schema.node(label)
+        new_vars[var] = _BoundVar(
+            kind="node",
+            label=label,
+            columns=list(graph.nodes[label].columns),
+            key=node_def.key,
+        )
+    if plen is not None:
+        new_vars[plen] = _BoundVar(
+            kind="path", label="", columns=["len"], key=None
+        )
+
+    if df is None:
+        return res, new_vars
+    shared = [
+        v for v in (a_var, b_var) if v in vars and vars[v].kind == "node"
+    ]
+    if not shared:
+        raise CypherAnalysisError(
+            ["shortestPath must share a bound variable with the "
+             "enclosing MATCH (or be the first pattern)"]
+        )
+    keys = [f"{v}__{vars[v].key}" for v in shared]
+    dup = [c for c in res.columns if c in df.columns and c not in keys]
+    return df.join(res.drop(*dup), on=keys), new_vars
+
+
 def _contains_pattern_pred(e: A.Expr) -> bool:
     if isinstance(e, A.PatternPred):
         return True
@@ -1131,13 +1309,19 @@ def compile_cypher(
     flat: set[str] = set()
 
     for si, seg in enumerate(q.segments):
-        if seg.patterns:
+        normal_pats = [p for p in seg.patterns if not p.shortest]
+        shortest_pats = [p for p in seg.patterns if p.shortest]
+        if normal_pats:
             df, vars = _bind_patterns(
                 graph,
-                seg.patterns,
+                normal_pats,
                 anon_seed=si * 10000,
                 init_df=df,
                 init_vars=vars,
+            )
+        for sp in shortest_pats:
+            df, vars = _attach_shortest_path(
+                graph, df, vars, sp, exact_decimal_sums
             )
         if seg.optional_patterns:
             if df is None:

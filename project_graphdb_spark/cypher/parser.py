@@ -257,6 +257,45 @@ class _Parser:
         return seg
 
     def parse_pattern(self) -> PathPat:
+        # `p = shortestPath((a)-[:T*..n]-(b))` or bare `shortestPath(...)`
+        k, v = self.peek()
+        if k == "ident":
+            path_var: str | None = None
+            save = self.i
+            name = self.next()[1]
+            if self.accept("="):
+                if self.peek()[0] != "ident":
+                    raise CypherSyntaxError(
+                        "path variables are only supported with "
+                        "shortestPath(...)"
+                    )
+                fn = self.expect("ident")
+                path_var = name
+            elif name.lower() == "shortestpath":
+                fn = name
+            else:
+                self.i = save
+                fn = None
+            if fn is not None:
+                if fn.lower() != "shortestpath":
+                    raise CypherSyntaxError(
+                        "path variables are only supported with "
+                        f"shortestPath(...); got {fn!r}"
+                    )
+                self.expect("(")
+                pat = self.parse_pattern_body()
+                self.expect(")")
+                if len(pat.nodes) != 2 or len(pat.edges) != 1:
+                    raise CypherSyntaxError(
+                        "shortestPath takes a single-relationship "
+                        "pattern: (a)-[:T*..n]->(b)"
+                    )
+                pat.shortest = True
+                pat.path_var = path_var
+                return pat
+        return self.parse_pattern_body()
+
+    def parse_pattern_body(self) -> PathPat:
         nodes = [self.parse_node()]
         edges: list[EdgePat] = []
         while True:

@@ -383,6 +383,43 @@ def shortest_paths(
     )
 
 
+def multi_source_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """(root, id, dist) — BFS hop counts from EVERY source at once.
+
+    ``edges``: (src, dst) in any consistent id space; ``sources``: one
+    column ``root`` (= starting vertex ids). The frontier/visited state
+    is keyed by (root, id), so a single pass serves all roots — the
+    Cypher shortestPath lowering uses this with the anchored endpoint
+    set as roots. Frontier joins shuffle on ``src``; state is
+    checkpointed per level so lineage stays flat (same cadence as
+    :func:`bfs_distances`). State size is O(sum of reachable sets),
+    which is why the compiler anchors BFS on the more selective
+    endpoint.
+    """
+    visited = sources.select(
+        "root", F.col("root").alias("id"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        neighbors = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, ["root", "id"], "left_anti")
+            .select("root", "id", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if neighbors.isEmpty():
+            break
+        visited = visited.unionByName(neighbors).localCheckpoint(eager=True)
+        frontier = neighbors
+    return visited
+
+
 def bfs_distances(
     graph: PropertyGraph,
     start_id: str,

@@ -893,3 +893,72 @@ def test_exists_with_residual_where(spark, sf_dir):
         .count()
     )
     assert got == exp
+
+
+def test_shortest_path_basic(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH p = shortestPath((c:Customer {c_custkey: 1})-[*1..4]-(r:Region)) "
+        "RETURN r.r_name AS region, length(p) AS hops",
+    ).collect()
+    # customer 1 reaches exactly its own region, via Nation (2 hops)
+    assert len(rows) == 1 and rows[0]["hops"] == 2
+
+
+def test_shortest_path_directed_typed(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH p = shortestPath((n:Nation)-[:IN_REGION*1..2]->(r:Region)) "
+        "RETURN count(p) AS n, min(length(p)) AS lo, max(length(p)) AS hi",
+    ).collect()[0]
+    n_nations = g.nodes["Nation"].count()
+    assert (got["n"], got["lo"], got["hi"]) == (n_nations, 1, 1)
+
+
+def test_shortest_path_anchored_on_bound_var(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer {c_custkey: 1}) "
+        "MATCH p = shortestPath((c)-[*1..2]-(s:Supplier)) "
+        "RETURN count(p) AS n",
+    ).collect()[0]["n"]
+    # suppliers co-located in customer 1's nation (C-N-S, 2 undirected hops)
+    cust_nation = (
+        g.nodes["Customer"]
+        .filter(F.col("c_custkey") == 1)
+        .collect()[0]["c_nationkey"]
+    )
+    exp = (
+        g.nodes["Supplier"]
+        .filter(F.col("s_nationkey") == cust_nation)
+        .count()
+    )
+    assert got == exp
+
+
+def test_shortest_path_edge_var_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="relationship variable"):
+        compile_cypher(
+            g,
+            "MATCH p = shortestPath((n:Nation)-[r:IN_REGION*1..2]->(b:Region)) "
+            "RETURN count(p) AS n",
+        )
+
+
+def test_plain_path_var_rejected(spark, sf_dir):
+    from project_graphdb_spark.cypher.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="shortestPath"):
+        parse("MATCH p = (a:Nation)-[:IN_REGION]->(b:Region) RETURN p")
+
+
+def test_length_on_non_path_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="length"):
+        compile_cypher(
+            g, "MATCH (n:Nation) RETURN length(n.n_name) AS x"
+        )
