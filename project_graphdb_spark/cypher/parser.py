@@ -271,13 +271,13 @@ class _Parser:
                     )
                 fn = self.expect("ident")
                 path_var = name
-            elif name.lower() == "shortestpath":
+            elif name.lower() in ("shortestpath", "allshortestpaths"):
                 fn = name
             else:
                 self.i = save
                 fn = None
             if fn is not None:
-                if fn.lower() != "shortestpath":
+                if fn.lower() not in ("shortestpath", "allshortestpaths"):
                     raise CypherSyntaxError(
                         "path variables are only supported with "
                         f"shortestPath(...); got {fn!r}"

@@ -962,3 +962,20 @@ def test_length_on_non_path_rejected(spark, sf_dir):
         compile_cypher(
             g, "MATCH (n:Nation) RETURN length(n.n_name) AS x"
         )
+
+
+def test_all_shortest_paths_alias(spark, sf_dir):
+    """allShortestPaths: at the length/endpoint surface our lowering
+    (min-hop per pair) already IS all-shortest-paths semantics."""
+    g = tpch_graph(spark, sf_dir)
+    a = compile_cypher(
+        g,
+        "MATCH p = allShortestPaths((n:Nation)-[:IN_REGION*1..2]->(r:Region)) "
+        "RETURN count(p) AS n",
+    ).collect()[0]["n"]
+    b = compile_cypher(
+        g,
+        "MATCH p = shortestPath((n:Nation)-[:IN_REGION*1..2]->(r:Region)) "
+        "RETURN count(p) AS n",
+    ).collect()[0]["n"]
+    assert a == b

@@ -110,3 +110,41 @@ def test_concurrent_query_execution(spark, sf_dir):
         results = dict(ex.map(run, names * 2))
     serial = {n: workload.REGISTRY[n].fn(spark, sf_dir).count() for n in names}
     assert results == serial
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark n-gram frame must broadcast — the corpus side is
+    the 100 TB side and must not shuffle on gram."""
+    df = workload.REGISTRY["doc_contamination_check"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_has_no_shuffle(spark, sf_dir):
+    """Chunking is a pure narrow map (the orderBy in the registered
+    query is display-only; the operator body adds no Exchange before
+    it)."""
+    from project_graphdb_spark.operators.corpus import doc_chunk_windows
+
+    df = doc_chunk_windows(spark, sf_dir)
+    plan = _plan(df)
+    # exactly the one Exchange required by the global orderBy, nothing
+    # from the chunking logic itself
+    assert plan.count("Exchange rangepartitioning") <= 1
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_minhash_verify_has_no_shingle_regroup(spark, sf_dir):
+    """The LSH verify path must not re-aggregate shingles: no groupBy
+    on (doc_a, doc_b) counting common shingles — intersection happens
+    array-side."""
+    from project_graphdb_spark.operators.dedup import (
+        clear_shingle_cache,
+        dedup_minhash_lsh,
+    )
+
+    df = dedup_minhash_lsh(spark, sf_dir)
+    plan = _plan(df)
+    assert "array_intersect" in plan
+    clear_shingle_cache()
