@@ -101,12 +101,15 @@ class Not(Expr):
 
 @dataclass
 class PatternPred(Expr):
-    """Pattern predicate ``exists((a)-[:T]->(b))`` — a correlated
+    """Pattern predicate ``exists((a)-[:T]->(b))`` or the block form
+    ``EXISTS { MATCH (a)-[:T]->(b) WHERE ... }`` — a correlated
     semi-join against the enclosing MATCH. Appears only as a top-level
     WHERE conjunct (possibly under NOT); the compiler rejects deeper
-    nesting."""
+    nesting. ``where`` (block form only) filters the subpattern frame
+    before the semi-join and may reference subpattern variables only."""
 
     pattern: "PathPat"
+    where: Expr | None = None
 
 
 @dataclass

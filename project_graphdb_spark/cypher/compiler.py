@@ -1035,7 +1035,7 @@ def _contains_pattern_pred(e: A.Expr) -> bool:
 
 def _extract_pattern_preds(
     e: A.Expr,
-) -> tuple[list[tuple[A.PathPat, bool]], A.Expr | None, list[str]]:
+) -> tuple[list[tuple[A.PatternPred, bool]], A.Expr | None, list[str]]:
     """Split a WHERE tree into (pattern predicates, residual predicate).
 
     Pattern predicates are supported as top-level AND conjuncts,
@@ -1043,15 +1043,15 @@ def _extract_pattern_preds(
     PatternPred anywhere deeper (inside OR, CASE, comparisons) is an
     analysis error, not a silent drop.
     """
-    preds: list[tuple[A.PathPat, bool]] = []
+    preds: list[tuple[A.PatternPred, bool]] = []
     rest: list[A.Expr] = []
     errors: list[str] = []
 
     def visit(c: A.Expr) -> None:
         if isinstance(c, A.PatternPred):
-            preds.append((c.pattern, False))
+            preds.append((c, False))
         elif isinstance(c, A.Not) and isinstance(c.part, A.PatternPred):
-            preds.append((c.part.pattern, True))
+            preds.append((c.part, True))
         elif isinstance(c, A.And):
             for p in c.parts:
                 visit(p)
@@ -1079,9 +1079,10 @@ def _apply_pattern_pred(
     graph: PropertyGraph,
     df: DataFrame,
     vars: dict[str, _BoundVar],
-    pattern: A.PathPat,
+    pred: A.PatternPred,
     negated: bool,
     anon_seed: int,
+    exact_decimal_sums: bool = True,
 ) -> DataFrame:
     """Apply ``exists(pattern)`` / ``NOT exists(pattern)`` as a
     left-semi / left-anti join on the variables shared with the
@@ -1096,6 +1097,7 @@ def _apply_pattern_pred(
     """
     import dataclasses
 
+    pattern = pred.pattern
     errors: list[str] = []
     # fill unlabeled shared node endpoints from the outer binding so
     # the subpattern resolves to the same node frame (and key column)
@@ -1112,6 +1114,21 @@ def _apply_pattern_pred(
     pattern = dataclasses.replace(pattern, nodes=nodes)
 
     sub_df, sub_vars = _bind_patterns(graph, [pattern], anon_seed=anon_seed)
+    if pred.where is not None:
+        # block-form WHERE filters the subpattern before the semi-join;
+        # it resolves against subpattern variables only (an outer-only
+        # variable reference is reported as unknown)
+        sub_scope = _Scope(sub_vars, None, sub_df)
+        sub_comp = _ExprCompiler(sub_scope, exact_decimal_sums)
+        cond = sub_comp.compile(pred.where)
+        if sub_scope.errors:
+            raise CypherAnalysisError(
+                [
+                    f"in EXISTS block WHERE (subpattern variables only): {m}"
+                    for m in sub_scope.errors
+                ]
+            )
+        sub_df = sub_df.filter(cond)
     shared = [v for v in sub_vars if v in vars]
     if not shared:
         raise CypherAnalysisError(
@@ -1358,10 +1375,11 @@ def compile_cypher(
             preds, residual, perrors = _extract_pattern_preds(seg.where)
             if perrors:
                 raise CypherAnalysisError(perrors)
-            for pi, (pat, negated) in enumerate(preds):
+            for pi, (pp, negated) in enumerate(preds):
                 df = _apply_pattern_pred(
-                    graph, df, vars, pat, negated,
+                    graph, df, vars, pp, negated,
                     anon_seed=si * 10000 + 5000 + pi * 100,
+                    exact_decimal_sums=exact_decimal_sums,
                 )
                 scope.df = df
             if residual is not None:

@@ -569,6 +569,16 @@ class _Parser:
             return ListExpr(items)
         if k == "ident":
             self.next()
+            # EXISTS { MATCH (a)-[:T]->(b) [WHERE expr] } — block form
+            if v.lower() == "exists" and self.peek()[0] == "{":
+                self.next()
+                self.accept("kw", "match")
+                pat = self.parse_pattern()
+                blk_where = (
+                    self.parse_expr() if self.accept("kw", "where") else None
+                )
+                self.expect("}")
+                return PatternPred(pat, where=blk_where)
             if self.accept("("):
                 # exists((a)-[:T]->(b)) — pattern predicate: the
                 # argument starts with '(' (a node pattern); a

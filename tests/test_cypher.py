@@ -979,3 +979,32 @@ def test_all_shortest_paths_alias(spark, sf_dir):
         "RETURN count(p) AS n",
     ).collect()[0]["n"]
     assert a == b
+
+
+def test_exists_block_with_where(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) WHERE EXISTS { "
+        "MATCH (o:Orders)-[:PLACED_BY]->(c) WHERE o.o_totalprice > 200000 "
+        "} RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    big = (
+        g.nodes["Orders"]
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .count()
+    )
+    assert got == big
+
+
+def test_exists_block_outer_var_in_where_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="EXISTS block WHERE"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) WHERE EXISTS { "
+            "MATCH (o:Orders)-[:PLACED_BY]->(x:Customer) "
+            "WHERE c.c_acctbal > 0 } RETURN count(c) AS n",
+        )
