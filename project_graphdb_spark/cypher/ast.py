@@ -113,6 +113,18 @@ class PatternPred(Expr):
 
 
 @dataclass
+class PatternCount(Expr):
+    """``COUNT { (a)-[:T]->(b) [WHERE ...] }`` — per-row match count of
+    a correlated subpattern (the degree-query idiom). Lowered to a
+    groupBy-count on the shared variables' keys + left join +
+    coalesce(0); usable anywhere an expression is (WHERE comparisons,
+    WITH/RETURN items, inside aggregates)."""
+
+    pattern: "PathPat"
+    where: Expr | None = None
+
+
+@dataclass
 class Case(Expr):
     """Searched CASE: WHEN cond THEN value ... [ELSE default] END.
     (Simple CASE ``CASE e WHEN v ...`` is desugared to ``e = v`` whens

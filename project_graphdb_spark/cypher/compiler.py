@@ -174,11 +174,27 @@ _DEC = "decimal(18,2)"
 
 
 class _ExprCompiler:
-    def __init__(self, scope: _Scope, exact_decimal_sums: bool):
+    def __init__(
+        self,
+        scope: _Scope,
+        exact_decimal_sums: bool,
+        pattern_counts: dict[int, str] | None = None,
+    ):
         self.scope = scope
         self.exact = exact_decimal_sums
+        # id(PatternCount node) -> pre-joined count column name; filled
+        # by _attach_pattern_counts before expressions compile
+        self.pattern_counts = pattern_counts or {}
 
     def compile(self, e: A.Expr, decimal_ctx: bool = False) -> Column:
+        if isinstance(e, A.PatternCount):
+            col = self.pattern_counts.get(id(e))
+            if col is None:
+                self.scope.errors.append(
+                    "COUNT { pattern } is not supported in this position"
+                )
+                return F.lit(None)
+            return F.col(col)
         if isinstance(e, A.Lit):
             col = F.lit(e.value)
             if decimal_ctx and isinstance(e.value, (int, float)):
@@ -1075,29 +1091,22 @@ def _extract_pattern_preds(
     return preds, residual, errors
 
 
-def _apply_pattern_pred(
+def _correlated_subframe(
     graph: PropertyGraph,
-    df: DataFrame,
     vars: dict[str, _BoundVar],
-    pred: A.PatternPred,
-    negated: bool,
+    pattern: A.PathPat,
+    where: A.Expr | None,
     anon_seed: int,
-    exact_decimal_sums: bool = True,
-) -> DataFrame:
-    """Apply ``exists(pattern)`` / ``NOT exists(pattern)`` as a
-    left-semi / left-anti join on the variables shared with the
-    enclosing MATCH.
-
-    The subpattern compiles to its own frame (same join machinery as a
-    MATCH clause); correlation keys are the shared node variables' key
-    columns. Semi/anti joins add no columns and preserve outer row
-    multiplicity — exactly openCypher's pattern-predicate semantics.
-    At scale this is a hash semi-join on node keys; Catalyst is free to
-    broadcast whichever side is small.
-    """
+    exact_decimal_sums: bool,
+    what: str,
+) -> tuple[DataFrame, list[str]]:
+    """Shared lowering for EXISTS / COUNT subqueries: bind the pattern
+    in isolation, apply the block WHERE (subpattern variables only),
+    and return (frame, correlation key columns) — the keys are the
+    shared node variables\' key columns, present under the same names
+    in both the subframe and the outer frame."""
     import dataclasses
 
-    pattern = pred.pattern
     errors: list[str] = []
     # fill unlabeled shared node endpoints from the outer binding so
     # the subpattern resolves to the same node frame (and key column)
@@ -1114,17 +1123,18 @@ def _apply_pattern_pred(
     pattern = dataclasses.replace(pattern, nodes=nodes)
 
     sub_df, sub_vars = _bind_patterns(graph, [pattern], anon_seed=anon_seed)
-    if pred.where is not None:
-        # block-form WHERE filters the subpattern before the semi-join;
-        # it resolves against subpattern variables only (an outer-only
+    if where is not None:
+        # the block WHERE filters the subpattern before the join; it
+        # resolves against subpattern variables only (an outer-only
         # variable reference is reported as unknown)
         sub_scope = _Scope(sub_vars, None, sub_df)
         sub_comp = _ExprCompiler(sub_scope, exact_decimal_sums)
-        cond = sub_comp.compile(pred.where)
+        cond = sub_comp.compile(where)
         if sub_scope.errors:
             raise CypherAnalysisError(
                 [
-                    f"in EXISTS block WHERE (subpattern variables only): {m}"
+                    f"in {what} block WHERE (subpattern variables only):"
+                    f" {m}"
                     for m in sub_scope.errors
                 ]
             )
@@ -1132,7 +1142,7 @@ def _apply_pattern_pred(
     shared = [v for v in sub_vars if v in vars]
     if not shared:
         raise CypherAnalysisError(
-            ["exists() pattern must share at least one bound variable "
+            [f"{what} pattern must share at least one bound variable "
              "with the enclosing MATCH"]
         )
     keys: list[str] = []
@@ -1141,12 +1151,12 @@ def _apply_pattern_pred(
         if bo.kind != "node" or bs.kind != "node":
             errors.append(
                 f"relationship variable {v!r} cannot be shared into "
-                "exists()"
+                f"{what}"
             )
             continue
         if bo.label != bs.label:
             errors.append(
-                f"exists() binds {v!r} as :{bs.label} but the enclosing "
+                f"{what} binds {v!r} as :{bs.label} but the enclosing "
                 f"MATCH binds it as :{bo.label}"
             )
             continue
@@ -1154,8 +1164,96 @@ def _apply_pattern_pred(
             keys.append(f"{v}__{bo.key}")
     if errors:
         raise CypherAnalysisError(errors)
+    return sub_df, keys
+
+
+def _apply_pattern_pred(
+    graph: PropertyGraph,
+    df: DataFrame,
+    vars: dict[str, _BoundVar],
+    pred: A.PatternPred,
+    negated: bool,
+    anon_seed: int,
+    exact_decimal_sums: bool = True,
+) -> DataFrame:
+    """Apply ``exists(pattern)`` / ``NOT exists(pattern)`` as a
+    left-semi / left-anti join on the variables shared with the
+    enclosing MATCH.
+
+    Semi/anti joins add no columns and preserve outer row
+    multiplicity — exactly openCypher\'s pattern-predicate semantics.
+    At scale this is a hash semi-join on node keys; Catalyst is free to
+    broadcast whichever side is small.
+    """
+    sub_df, keys = _correlated_subframe(
+        graph, vars, pred.pattern, pred.where, anon_seed,
+        exact_decimal_sums, what="exists()" if pred.where is None else "EXISTS",
+    )
     how = "left_anti" if negated else "left_semi"
     return df.join(sub_df.select(*keys), on=keys, how=how)
+
+
+def _collect_pattern_counts(exprs: list[A.Expr]) -> list[A.PatternCount]:
+    """Every PatternCount node in the given expression trees (document
+    order)."""
+    found: list[A.PatternCount] = []
+
+    def walk(e: A.Expr) -> None:
+        if isinstance(e, A.PatternCount):
+            found.append(e)
+            return  # nested COUNT{} inside a COUNT{} WHERE unsupported
+        for child in getattr(e, "__dict__", {}).values():
+            if isinstance(child, A.Expr):
+                walk(child)
+            elif isinstance(child, (list, tuple)):
+                for c in child:
+                    if isinstance(c, A.Expr):
+                        walk(c)
+                    elif isinstance(c, tuple):
+                        for cc in c:
+                            if isinstance(cc, A.Expr):
+                                walk(cc)
+
+    for e in exprs:
+        if e is not None:
+            walk(e)
+    return found
+
+
+def _attach_pattern_counts(
+    graph: PropertyGraph,
+    df: DataFrame,
+    vars: dict[str, _BoundVar],
+    exprs: list[A.Expr],
+    anon_seed: int,
+    exact_decimal_sums: bool,
+    pattern_counts: dict[int, str],
+) -> DataFrame:
+    """Pre-join ``COUNT { pattern }`` subqueries: one groupBy-count on
+    the correlation keys + left join + coalesce(0) per distinct block.
+    The mapping id(node) -> joined column name lets the expression
+    compiler treat each block as a plain column afterwards (so it
+    composes with arithmetic, comparisons, and outer aggregates).
+
+    Scale: the count frame is an aggregation of the subpattern join —
+    one shuffle on the correlation key, the same shape as the
+    OPTIONAL MATCH + count() idiom it replaces."""
+    for ci, pc in enumerate(_collect_pattern_counts(exprs)):
+        if id(pc) in pattern_counts:
+            continue
+        sub_df, keys = _correlated_subframe(
+            graph, vars, pc.pattern, pc.where,
+            anon_seed + ci * 100, exact_decimal_sums, what="COUNT",
+        )
+        col = f"__pc{anon_seed}_{ci}"
+        counts = sub_df.groupBy(*[F.col(k) for k in keys]).agg(
+            F.count(F.lit(1)).alias(col)
+        )
+        df = df.join(counts, on=keys, how="left").withColumn(
+            col, F.coalesce(F.col(col), F.lit(0))
+        )
+        pattern_counts[id(pc)] = col
+    return df
 
 
 def _attach_optional(
@@ -1234,6 +1332,7 @@ def _project(
     scope: _Scope,
     exact: bool,
     allow_passthrough: bool = False,
+    pattern_counts: dict[int, str] | None = None,
 ) -> tuple[DataFrame, set[str], dict[str, _BoundVar]]:
     """Compile a WITH/RETURN projection.
 
@@ -1243,7 +1342,7 @@ def _project(
     can still use ``var.prop``. RETURN projections flatten everything.
     Returns (frame, flat output names, surviving variable bindings).
     """
-    comp = _ExprCompiler(scope, exact)
+    comp = _ExprCompiler(scope, exact, pattern_counts)
     passthrough: list[str] = []
     flat_items: list[tuple[A.Item, str]] = []
     for item in proj.items:
@@ -1302,6 +1401,7 @@ def compile_cypher(
     from project_graphdb_spark.cypher.parser import parse
 
     q = parse(query) if isinstance(query, str) else query
+    pattern_counts: dict[int, str] = {}
     if q.unions:
         base = A.Query(
             segments=q.segments, ret=q.ret, order_by=q.order_by,
@@ -1383,16 +1483,34 @@ def compile_cypher(
                 )
                 scope.df = df
             if residual is not None:
-                comp = _ExprCompiler(scope, exact_decimal_sums)
+                df = _attach_pattern_counts(
+                    graph, df, vars, [residual],
+                    anon_seed=si * 10000 + 7000,
+                    exact_decimal_sums=exact_decimal_sums,
+                    pattern_counts=pattern_counts,
+                )
+                scope.df = df
+                comp = _ExprCompiler(
+                    scope, exact_decimal_sums, pattern_counts
+                )
                 cond = comp.compile(residual)
                 if scope.errors:
                     raise CypherAnalysisError(scope.errors)
                 df = df.filter(cond)
                 scope.df = df
         if seg.projection is not None:
+            df = _attach_pattern_counts(
+                graph, df, vars,
+                [i.expr for i in seg.projection.items],
+                anon_seed=si * 10000 + 8000,
+                exact_decimal_sums=exact_decimal_sums,
+                pattern_counts=pattern_counts,
+            )
+            scope.df = df
             df, flat, vars = _project(
                 df, seg.projection, scope, exact_decimal_sums,
                 allow_passthrough=True,
+                pattern_counts=pattern_counts,
             )
             scope = _Scope(vars or None, flat or None, df)
             if seg.proj_order:
@@ -1421,8 +1539,17 @@ def compile_cypher(
                 scope.df = df
 
     assert q.ret is not None and df is not None
+    df = _attach_pattern_counts(
+        graph, df, vars, [i.expr for i in q.ret.items],
+        anon_seed=90000,
+        exact_decimal_sums=exact_decimal_sums,
+        pattern_counts=pattern_counts,
+    )
     scope = _Scope(vars or None, flat or None, df)
-    df, out_names, _ = _project(df, q.ret, scope, exact_decimal_sums)
+    df, out_names, _ = _project(
+        df, q.ret, scope, exact_decimal_sums,
+        pattern_counts=pattern_counts,
+    )
 
     if q.order_by:
         out_scope = _Scope(None, out_names, df)

@@ -39,6 +39,7 @@ from project_graphdb_spark.cypher.ast import (
     Or,
     OrderKey,
     PathPat,
+    PatternCount,
     PatternPred,
     Projection,
     Prop,
@@ -569,8 +570,9 @@ class _Parser:
             return ListExpr(items)
         if k == "ident":
             self.next()
-            # EXISTS { MATCH (a)-[:T]->(b) [WHERE expr] } — block form
-            if v.lower() == "exists" and self.peek()[0] == "{":
+            # EXISTS { MATCH (a)-[:T]->(b) [WHERE expr] } and
+            # COUNT { ... } — block subquery forms
+            if v.lower() in ("exists", "count") and self.peek()[0] == "{":
                 self.next()
                 self.accept("kw", "match")
                 pat = self.parse_pattern()
@@ -578,6 +580,8 @@ class _Parser:
                     self.parse_expr() if self.accept("kw", "where") else None
                 )
                 self.expect("}")
+                if v.lower() == "count":
+                    return PatternCount(pat, where=blk_where)
                 return PatternPred(pat, where=blk_where)
             if self.accept("("):
                 # exists((a)-[:T]->(b)) — pattern predicate: the

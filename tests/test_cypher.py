@@ -1008,3 +1008,69 @@ def test_exists_block_outer_var_in_where_rejected(spark, sf_dir):
             "MATCH (o:Orders)-[:PLACED_BY]->(x:Customer) "
             "WHERE c.c_acctbal > 0 } RETURN count(c) AS n",
         )
+
+
+def test_count_block_in_return(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN c.c_custkey AS k, "
+        "COUNT { (o:Orders)-[:PLACED_BY]->(c) } AS n",
+    ).collect()
+    exp = {
+        r["src"]: r["n"]
+        for r in g.edges["PLACED_BY"]
+        .df.groupBy(F.col("dst").alias("src"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r["k"]: r["n"] for r in rows}
+    assert len(got) == g.nodes["Customer"].count()
+    for k, n in got.items():
+        assert n == exp.get(k, 0)
+
+
+def test_count_block_in_where(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE COUNT { (o:Orders)-[:PLACED_BY]->(c) } >= 10 "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    exp = (
+        g.edges["PLACED_BY"]
+        .df.groupBy("dst")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+        .count()
+    )
+    assert got == exp
+
+
+def test_count_block_zero_for_unmatched(spark, sf_dir):
+    """Parts never ordered must count 0, not drop out."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (p:Part) "
+        "WHERE COUNT { (o:Orders)-[:CONTAINS_ITEM]->(p) } = 0 "
+        "RETURN count(p) AS n",
+    ).collect()
+    n_parts = g.nodes["Part"].count()
+    with_orders = (
+        g.edges["CONTAINS_ITEM"].df.select("dst").distinct().count()
+    )
+    assert rows[0]["n"] == n_parts - with_orders
+
+
+def test_count_block_inside_outer_aggregate(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) RETURN c.c_mktsegment AS seg, "
+        "sum(COUNT { (o:Orders)-[:PLACED_BY]->(c) }) AS total "
+        "ORDER BY seg",
+    ).collect()
+    total = sum(r["total"] for r in rows)
+    assert total == g.edges["PLACED_BY"].df.count()
