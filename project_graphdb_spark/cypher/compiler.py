@@ -158,6 +158,30 @@ _SCALAR_FNS = {
     "exists": lambda args: args[0].isNotNull(),
     "head": lambda args: F.element_at(args[0], 1),
     "last": lambda args: F.element_at(args[0], -1),
+    # list/sequence
+    "range": lambda args: F.sequence(
+        args[0].cast("bigint"), args[1].cast("bigint"),
+        *( [args[2].cast("bigint")] if len(args) == 3 else [] )
+    ),
+    "reverse": lambda args: F.reverse(args[0]),
+    # string extras
+    "ltrim": lambda args: F.ltrim(args[0]),
+    "rtrim": lambda args: F.rtrim(args[0]),
+    "lower": lambda args: F.lower(args[0]),  # alias of toLower
+    "upper": lambda args: F.upper(args[0]),  # alias of toUpper
+    # math
+    "exp": lambda args: F.exp(args[0]),
+    "log": lambda args: F.log(args[0]),
+    "log10": lambda args: F.log10(args[0]),
+    "sin": lambda args: F.sin(args[0]),
+    "cos": lambda args: F.cos(args[0]),
+    "tan": lambda args: F.tan(args[0]),
+    "asin": lambda args: F.asin(args[0]),
+    "acos": lambda args: F.acos(args[0]),
+    "atan": lambda args: F.atan(args[0]),
+    "atan2": lambda args: F.atan2(args[0], args[1]),
+    "pi": lambda args: F.lit(3.141592653589793),
+    "e": lambda args: F.lit(2.718281828459045),
 }
 
 # date(x).year-style component access on date/datetime results
@@ -318,6 +342,36 @@ class _ExprCompiler:
                 "(p = shortestPath(...)); for string length use size()"
             )
             return F.lit(None)
+        if name in ("id", "elementid", "keys", "properties"):
+            # node-variable introspection; ids use the unified
+            # 'Label:key' space (same as the graph algorithms)
+            bound = None
+            if (
+                len(e.args) == 1
+                and isinstance(e.args[0], A.Var)
+                and self.scope.vars is not None
+            ):
+                bound = self.scope.vars.get(e.args[0].name)
+            if bound is None or bound.kind != "node":
+                self.scope.errors.append(
+                    f"{name}() takes a bound node variable"
+                )
+                return F.lit(None)
+            var = e.args[0].name
+            if name in ("id", "elementid"):
+                return F.concat_ws(
+                    ":",
+                    F.lit(bound.label),
+                    F.col(f"{var}__{bound.key}").cast("string"),
+                )
+            if name == "keys":
+                return F.array(*[F.lit(c) for c in bound.columns])
+            return F.struct(
+                *[
+                    F.col(f"{var}__{c}").alias(c)
+                    for c in bound.columns
+                ]
+            )
         if name == "count":
             if len(e.args) == 1 and isinstance(e.args[0], A.Star):
                 return F.count(F.lit(1))

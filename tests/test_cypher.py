@@ -1074,3 +1074,46 @@ def test_count_block_inside_outer_aggregate(spark, sf_dir):
     ).collect()
     total = sum(r["total"] for r in rows)
     assert total == g.edges["PLACED_BY"].df.count()
+
+
+def test_scalar_fn_surface_extras(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "RETURN range(1, 5) AS r, range(0, 10, 5) AS r2, "
+        "reverse('abc') AS rev, ltrim('  x') AS lt, rtrim('x  ') AS rt, "
+        "round(exp(log(7.0)), 6) AS e7, round(log10(100), 6) AS l10, "
+        "round(sin(0), 6) AS s0, round(pi(), 4) AS p",
+    ).collect()[0]
+    assert list(row["r"]) == [1, 2, 3, 4, 5]
+    assert list(row["r2"]) == [0, 5, 10]
+    assert (row["rev"], row["lt"], row["rt"]) == ("cba", "x", "x")
+    assert (row["e7"], row["l10"], row["s0"], row["p"]) == (
+        7.0, 2.0, 0.0, 3.1416,
+    )
+
+
+def test_unwind_range(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g, "UNWIND range(1, 4) AS x RETURN x ORDER BY x"
+    ).collect()
+    assert [r["x"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_node_introspection_fns(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "MATCH (r:Region) WHERE r.r_regionkey = 0 "
+        "RETURN id(r) AS rid, keys(r) AS ks, properties(r) AS props",
+    ).collect()[0]
+    assert row["rid"] == "Region:0"
+    assert "r_name" in list(row["ks"])
+    assert row["props"]["r_regionkey"] == 0
+
+
+def test_introspection_on_non_node_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="bound node variable"):
+        compile_cypher(g, "RETURN id(42) AS x")

@@ -93,3 +93,26 @@ def test_approx_count_distinct_accuracy(spark):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n")
     ).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Date-partitioned event writes → a day filter must prune at the
+    directory level (PartitionFilters), not scan-and-discard. This is
+    the layout the events table would use at 100 TB (daily partitions,
+    late data co-located by event date)."""
+    path = str(tmp_path / "events_by_day")
+    events = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    events.write.mode("overwrite").partitionBy("event_date").parquet(path)
+
+    first_day = events.agg(F.min("event_date")).collect()[0][0]
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit(first_day)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    # correctness: pruned read returns exactly that day's rows
+    exp = events.filter(F.col("event_date") == F.lit(first_day)).count()
+    assert back.count() == exp
