@@ -16,6 +16,9 @@ Scale story:
   slice); zero shuffles, parallel in the input partitioning.
 * **pii scrub** — chained ``regexp_replace``, narrow, whole-stage
   codegen.
+* **sequence packing** — running-sum window PARTITIONED BY lang (no
+  global sort funnel); at 100 TB the same shape packs within
+  (lang, shard) partitions.
 """
 
 from __future__ import annotations
@@ -192,3 +195,61 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         n_red.cast("bigint").alias("n_redactions"),
     ).orderBy("doc_id")
+
+
+PACK_BUDGET = 256  # token budget per training bin
+
+
+@register(
+    "doc_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_total
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((run_total - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+             AS bin_id
+    FROM runs ORDER BY doc_id
+    """,
+    description=f"sequence packing: assign docs to ~{PACK_BUDGET}-token "
+    "training bins, packing contiguously in doc_id order WITHIN each "
+    "language partition (fixed-boundary packing). The window is "
+    "partitioned by lang — no global sort funnel; at 100 TB the same "
+    "shape packs within (lang, shard) partitions",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    n_tokens = F.size(tokens("text"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("run_total", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(
+                (F.col("run_total") - F.col("n_tokens")) / PACK_BUDGET
+            )
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )
