@@ -85,6 +85,38 @@ class Index(Expr):
 
 
 @dataclass
+class ListComp(Expr):
+    """``[x IN src WHERE pred | expr]`` — filter and/or map over a list
+    (both parts optional)."""
+
+    var: str
+    source: Expr
+    where: Expr | None = None
+    map_expr: Expr | None = None
+
+
+@dataclass
+class ListPred(Expr):
+    """``any/all/none/single(x IN src WHERE pred)``."""
+
+    kind: str  # any | all | none | single
+    var: str
+    source: Expr
+    pred: Expr
+
+
+@dataclass
+class Reduce(Expr):
+    """``reduce(acc = init, x IN src | expr)``."""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    expr: Expr
+
+
+@dataclass
 class And(Expr):
     parts: list[Expr]
 

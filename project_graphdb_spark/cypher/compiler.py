@@ -209,8 +209,76 @@ class _ExprCompiler:
         # id(PatternCount node) -> pre-joined count column name; filled
         # by _attach_pattern_counts before expressions compile
         self.pattern_counts = pattern_counts or {}
+        # lambda variables of enclosing list comprehensions / reduce()
+        # (innermost binding shadows, same-name outer vars included)
+        self.lambda_bindings: dict[str, Column] = {}
+
+    def _with_bindings(self, extra: dict[str, Column]):
+        import contextlib
+
+        @contextlib.contextmanager
+        def ctx():
+            saved = dict(self.lambda_bindings)
+            self.lambda_bindings.update(extra)
+            try:
+                yield
+            finally:
+                self.lambda_bindings = saved
+
+        return ctx()
 
     def compile(self, e: A.Expr, decimal_ctx: bool = False) -> Column:
+        if isinstance(e, A.ListComp):
+            src = self.compile(e.source)
+            if e.where is not None:
+
+                def _pred(x: Column) -> Column:
+                    with self._with_bindings({e.var: x}):
+                        return self.compile(e.where)
+
+                src = F.filter(src, _pred)
+            if e.map_expr is not None:
+
+                def _map(x: Column) -> Column:
+                    with self._with_bindings({e.var: x}):
+                        return self.compile(e.map_expr)
+
+                src = F.transform(src, _map)
+            return src
+        if isinstance(e, A.ListPred):
+            src = self.compile(e.source)
+
+            def _pred(x: Column) -> Column:
+                with self._with_bindings({e.var: x}):
+                    return self.compile(e.pred)
+
+            if e.kind == "any":
+                return F.exists(src, _pred)
+            if e.kind == "all":
+                return F.forall(src, _pred)
+            if e.kind == "none":
+                return ~F.exists(src, _pred)
+            return F.size(F.filter(src, _pred)) == 1  # single
+        if isinstance(e, A.Reduce):
+            src = self.compile(e.source)
+            init = self.compile(e.init)
+            # Spark's aggregate() requires init and merge-result types
+            # to match exactly; widen numeric literal accumulators so
+            # `reduce(t = 0, x IN range(...) | t + x)` type-checks
+            # (range() yields bigint, arithmetic on doubles → double)
+            if isinstance(e.init, A.Lit):
+                if isinstance(e.init.value, bool):
+                    pass
+                elif isinstance(e.init.value, int):
+                    init = init.cast("bigint")
+                elif isinstance(e.init.value, float):
+                    init = init.cast("double")
+
+            def _merge(acc: Column, x: Column) -> Column:
+                with self._with_bindings({e.acc: acc, e.var: x}):
+                    return self.compile(e.expr)
+
+            return F.aggregate(src, init, _merge)
         if isinstance(e, A.PatternCount):
             col = self.pattern_counts.get(id(e))
             if col is None:
@@ -225,6 +293,8 @@ class _ExprCompiler:
                 col = col.cast(_DEC)
             return col
         if isinstance(e, A.Var):
+            if e.name in self.lambda_bindings:
+                return self.lambda_bindings[e.name]
             return self.scope.var(e.name)
         if isinstance(e, A.Prop):
             if isinstance(e.base, str):
@@ -342,6 +412,25 @@ class _ExprCompiler:
                 "(p = shortestPath(...)); for string length use size()"
             )
             return F.lit(None)
+        if name == "size" and len(e.args) == 1:
+            # size(): element count on lists/maps, character count on
+            # strings. The argument's type is resolved against the
+            # current frame's schema (driver-side analysis only); when
+            # unresolvable (e.g. inside a lambda), string semantics
+            # apply, matching CYPHER.md's documented default.
+            arg_col = self.compile(e.args[0])
+            dt = None
+            try:
+                dt = (
+                    self.scope.df.select(arg_col.alias("__t"))
+                    .schema[0]
+                    .dataType.simpleString()
+                )
+            except Exception:
+                pass
+            if dt is not None and dt.startswith(("array", "map")):
+                return F.size(arg_col)
+            return F.length(arg_col)
         if name in ("id", "elementid", "keys", "properties"):
             # node-variable introspection; ids use the unified
             # 'Label:key' space (same as the graph algorithms)

@@ -32,7 +32,9 @@ from project_graphdb_spark.cypher.ast import (
     Index,
     IsNull,
     Item,
+    ListComp,
     ListExpr,
+    ListPred,
     Lit,
     NodePat,
     Not,
@@ -44,6 +46,7 @@ from project_graphdb_spark.cypher.ast import (
     Projection,
     Prop,
     Query,
+    Reduce,
     Segment,
     Star,
     Var,
@@ -64,7 +67,7 @@ _TOKEN_RE = re.compile(
   | (?P<ledge>-\[)
   | (?P<redge>\]-)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><>|<=|>=|\+=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:)
+  | (?P<op><>|<=|>=|\+=|=|<|>|\+|-|\*|/|%|\||\(|\)|\[|\]|\{|\}|,|\.|:)
   | (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -561,6 +564,21 @@ class _Parser:
             return e
         if k == "[":
             self.next()
+            # [x IN src ...] — list comprehension (2-token lookahead)
+            if (
+                self.peek()[0] == "ident"
+                and self.toks[self.i + 1][0] == "kw"
+                and self.toks[self.i + 1][1].lower() == "in"
+            ):
+                var = self.next()[1]
+                self.expect("kw", "in")
+                source = self.parse_expr()
+                where = (
+                    self.parse_expr() if self.accept("kw", "where") else None
+                )
+                map_expr = self.parse_expr() if self.accept("|") else None
+                self.expect("]")
+                return ListComp(var, source, where, map_expr)
             items = []
             if not self.accept("]"):
                 items.append(self.parse_expr())
@@ -568,6 +586,18 @@ class _Parser:
                     items.append(self.parse_expr())
                 self.expect("]")
             return ListExpr(items)
+        if k == "kw" and v.lower() == "all" and self.toks[self.i + 1][0] == "(":
+            # all(x IN src WHERE pred) — `all` doubles as the UNION ALL
+            # keyword, so it arrives as a kw token here
+            self.next()
+            self.expect("(")
+            lvar = self.expect("ident")
+            self.expect("kw", "in")
+            source = self.parse_expr()
+            self.expect("kw", "where")
+            pred = self.parse_expr()
+            self.expect(")")
+            return ListPred("all", lvar, source, pred)
         if k == "ident":
             self.next()
             # EXISTS { MATCH (a)-[:T]->(b) [WHERE expr] } and
@@ -593,6 +623,33 @@ class _Parser:
                     pat = self.parse_pattern()
                     self.expect(")")
                     return PatternPred(pat)
+                # any/all/none/single(x IN src WHERE pred)
+                if (
+                    v.lower() in ("any", "all", "none", "single")
+                    and self.peek()[0] == "ident"
+                    and self.toks[self.i + 1][0] == "kw"
+                    and self.toks[self.i + 1][1].lower() == "in"
+                ):
+                    lvar = self.next()[1]
+                    self.expect("kw", "in")
+                    source = self.parse_expr()
+                    self.expect("kw", "where")
+                    pred = self.parse_expr()
+                    self.expect(")")
+                    return ListPred(v.lower(), lvar, source, pred)
+                # reduce(acc = init, x IN src | expr)
+                if v.lower() == "reduce":
+                    acc = self.expect("ident")
+                    self.expect("=")
+                    init = self.parse_expr()
+                    self.expect(",")
+                    lvar = self.expect("ident")
+                    self.expect("kw", "in")
+                    source = self.parse_expr()
+                    self.expect("|")
+                    expr = self.parse_expr()
+                    self.expect(")")
+                    return Reduce(acc, init, lvar, source, expr)
                 distinct = bool(self.accept("kw", "distinct"))
                 args: list[Expr] = []
                 if not self.accept(")"):

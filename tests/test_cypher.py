@@ -1117,3 +1117,50 @@ def test_introspection_on_non_node_rejected(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     with pytest.raises(CypherAnalysisError, match="bound node variable"):
         compile_cypher(g, "RETURN id(42) AS x")
+
+
+def test_list_comprehension_filter_map(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "RETURN [x IN range(1, 6) WHERE x % 2 = 0 | x * 10] AS xs, "
+        "[x IN range(1, 3)] AS plain, "
+        "[x IN range(1, 5) WHERE x > 3] AS filt, "
+        "[x IN range(1, 3) | x + 1] AS mapped",
+    ).collect()[0]
+    assert list(row["xs"]) == [20, 40, 60]
+    assert list(row["plain"]) == [1, 2, 3]
+    assert list(row["filt"]) == [4, 5]
+    assert list(row["mapped"]) == [2, 3, 4]
+
+
+def test_reduce_and_list_predicates(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "RETURN reduce(t = 0, x IN range(1, 5) | t + x) AS total, "
+        "reduce(s = 0.0, x IN [1.5, 2.5] | s + x) AS fsum, "
+        "any(x IN [1, 2, 3] WHERE x > 2) AS a, "
+        "all(x IN [1, 2, 3] WHERE x > 0) AS al, "
+        "none(x IN [1, 2, 3] WHERE x > 5) AS no, "
+        "single(x IN [1, 2, 3] WHERE x = 2) AS si",
+    ).collect()[0]
+    assert row["total"] == 15 and row["fsum"] == 4.0
+    assert (row["a"], row["al"], row["no"], row["si"]) == (
+        True, True, True, True,
+    )
+
+
+def test_comprehension_over_collected_column(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    row = compile_cypher(
+        g,
+        "MATCH (n:Nation) WITH collect(n.n_name) AS names "
+        "RETURN size(names) AS n, "
+        "size([x IN names WHERE x CONTAINS 'a']) AS with_a",
+    ).collect()[0]
+    n_nations = g.nodes["Nation"].count()
+    exp_a = (
+        g.nodes["Nation"].filter(F.col("n_name").contains("a")).count()
+    )
+    assert row["n"] == n_nations and row["with_a"] == exp_a
