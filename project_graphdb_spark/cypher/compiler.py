@@ -228,6 +228,12 @@ class _ExprCompiler:
         return ctx()
 
     def compile(self, e: A.Expr, decimal_ctx: bool = False) -> Column:
+        if isinstance(e, A.PatternPred):
+            self.scope.errors.append(
+                "exists(pattern) / EXISTS { } is only supported in a "
+                "MATCH clause's WHERE, as a top-level conjunct"
+            )
+            return F.lit(None)
         if isinstance(e, A.ListComp):
             src = self.compile(e.source)
             if e.where is not None:
