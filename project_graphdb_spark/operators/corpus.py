@@ -253,3 +253,42 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(log10(f.n)), 6) AS avg_log_freq
+    FROM tok t JOIN freq f ON t.w = f.w
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+    description="unigram LM quality proxy: score each doc by the mean "
+    "log10 corpus frequency of its tokens (low = rare/garbled text, "
+    "the cheap first-pass perplexity stand-in an LLM pipeline uses "
+    "before a real LM). Two shuffles: one vocab count, one per-doc "
+    "aggregation; the vocab join is a plain equi-join Catalyst can "
+    "broadcast when the vocabulary fits",
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").alias("n"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log10("n")), 6).alias("avg_log_freq"),
+        )
+        .orderBy("doc_id")
+    )

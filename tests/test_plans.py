@@ -148,3 +148,17 @@ def test_minhash_verify_has_no_shingle_regroup(spark, sf_dir):
     plan = _plan(df)
     assert "array_intersect" in plan
     clear_shingle_cache()
+
+
+def test_pack_bins_window_is_partitioned(spark, sf_dir):
+    """The packing window must partition by lang — a global ORDER BY
+    window (Exchange SinglePartition) would funnel the corpus through
+    one task at scale."""
+    from project_graphdb_spark.operators.corpus import doc_pack_bins
+
+    df = doc_pack_bins(spark, sf_dir)
+    plan = _plan(df)
+    window_part = plan.split("Window")[0] if "Window" in plan else plan
+    # the only SinglePartition allowed is the presentation orderBy's
+    # final range exchange, never upstream of the window
+    assert "Exchange SinglePartition" not in window_part
