@@ -1494,7 +1494,23 @@ def _project(
     comp = _ExprCompiler(scope, exact, pattern_counts)
     passthrough: list[str] = []
     flat_items: list[tuple[A.Item, str]] = []
-    for item in proj.items:
+    items = list(proj.items)
+    # WITH * / RETURN *: expand to every bound variable (sorted for
+    # deterministic column order) plus every flat alias in scope
+    if any(isinstance(i.expr, A.Star) for i in items):
+        expanded: list[A.Item] = []
+        for v in sorted(scope.vars or {}):
+            expanded.append(A.Item(A.Var(v), alias=None))
+        for f in sorted(scope.flat or ()):
+            expanded.append(A.Item(A.Var(f), alias=f))
+        items = expanded + [
+            i for i in items if not isinstance(i.expr, A.Star)
+        ]
+        if not items:
+            raise CypherAnalysisError(
+                ["RETURN * requires at least one bound variable"]
+            )
+    for item in items:
         e = item.expr
         if (
             allow_passthrough

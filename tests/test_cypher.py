@@ -1164,3 +1164,31 @@ def test_comprehension_over_collected_column(spark, sf_dir):
         g.nodes["Nation"].filter(F.col("n_name").contains("a")).count()
     )
     assert row["n"] == n_nations and row["with_a"] == exp_a
+
+
+def test_return_star(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(g, "MATCH (r:Region) RETURN * ORDER BY r")
+    assert df.columns == ["r"]
+    assert df.count() == g.nodes["Region"].count()
+
+
+def test_with_star_passthrough(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (n:Nation)-[:IN_REGION]->(r:Region) WITH * "
+        "RETURN n.n_name AS nn, r.r_name AS rn ORDER BY nn LIMIT 3",
+    ).collect()
+    assert len(rows) == 3 and rows[0]["rn"] is not None
+
+
+def test_return_star_with_flat_aliases(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(
+        g,
+        "MATCH (n:Nation) WITH n, n.n_nationkey AS k WHERE k < 5 "
+        "RETURN * ORDER BY k",
+    )
+    assert df.columns == ["n", "k"]
+    assert df.count() == 5
