@@ -1682,7 +1682,15 @@ def compile_cypher(
                 ocomp = _ExprCompiler(scope, exact_decimal_sums)
                 keys = []
                 for ok in seg.proj_order:
-                    col = ocomp.compile(ok.expr)
+                    col = None
+                    for item in seg.projection.items:
+                        if ok.expr == item.expr:
+                            col = F.col(
+                                item.out_name().replace(".", "_")
+                            )
+                            break
+                    if col is None:
+                        col = ocomp.compile(ok.expr)
                     keys.append(col.asc() if ok.ascending else col.desc())
                 if scope.errors:
                     raise CypherAnalysisError(scope.errors)
@@ -1721,7 +1729,17 @@ def compile_cypher(
         ocomp = _ExprCompiler(out_scope, exact_decimal_sums)
         keys = []
         for ok in q.order_by:
-            col = ocomp.compile(ok.expr)
+            # ORDER BY <expr identical to a projected item> resolves to
+            # that item's output column (Neo4j allows re-stating the
+            # aggregate instead of its alias); dataclass equality gives
+            # exact structural matching
+            col = None
+            for item in q.ret.items:
+                if ok.expr == item.expr:
+                    col = F.col(item.out_name().replace(".", "_"))
+                    break
+            if col is None:
+                col = ocomp.compile(ok.expr)
             keys.append(col.asc() if ok.ascending else col.desc())
         if out_scope.errors:
             raise CypherAnalysisError(out_scope.errors)

@@ -1192,3 +1192,33 @@ def test_return_star_with_flat_aliases(spark, sf_dir):
     )
     assert df.columns == ["n", "k"]
     assert df.count() == 5
+
+
+def test_order_by_restated_aggregate(spark, sf_dir):
+    """ORDER BY sum(...) re-stating a projected aggregate resolves to
+    that item's output column (Neo4j-compatible)."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (o:Orders) RETURN o.o_orderstatus AS st, "
+        "sum(o.o_totalprice) AS t "
+        "ORDER BY sum(o.o_totalprice) DESC LIMIT 2",
+    ).collect()
+    assert len(rows) == 2 and rows[0]["t"] >= rows[1]["t"]
+
+
+def test_with_order_by_restated_aggregate(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) WITH c.c_mktsegment AS seg, count(*) AS n "
+        "ORDER BY count(*) DESC LIMIT 1 RETURN seg, n",
+    ).collect()
+    exp = (
+        g.nodes["Customer"]
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc())
+        .collect()[0]["n"]
+    )
+    assert rows[0]["n"] == exp
