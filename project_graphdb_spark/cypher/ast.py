@@ -38,6 +38,14 @@ class Var(Expr):
 
 
 @dataclass
+class Param(Expr):
+    """``$name`` — query parameter, substituted with a literal before
+    compilation (compile_cypher's ``params`` argument)."""
+
+    name: str
+
+
+@dataclass
 class FnCall(Expr):
     name: str  # lower-cased
     args: list[Expr]

@@ -1557,15 +1557,67 @@ def _project(
     return out, {n for _, n in flat_items}, kept
 
 
+def _substitute_params(
+    obj: object, params: dict[str, object] | None, missing: set[str]
+) -> None:
+    """Replace every A.Param in the AST with a literal, in place.
+
+    Generic dataclass walk: any field (or list/tuple element) that IS a
+    Param becomes Lit(params[name]); unsupplied names collect into
+    ``missing``. Runs before compilation so the rest of the compiler
+    never sees parameters."""
+
+    def resolve(p: A.Param) -> A.Expr:
+        if params is not None and p.name in params:
+            v = params[p.name]
+            if isinstance(v, (list, tuple)):
+                # list parameters become list literals so `x IN $list`
+                # compiles through the same path as an inline list
+                return A.ListExpr([A.Lit(x) for x in v])
+            return A.Lit(v)
+        missing.add(p.name)
+        return A.Lit(None)
+
+    def map_val(v: object) -> object:
+        if isinstance(v, A.Param):
+            return resolve(v)
+        if isinstance(v, list):
+            return [map_val(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(map_val(x) for x in v)
+        walk(v)
+        return v
+
+    def walk(node: object) -> None:
+        if isinstance(node, (list, tuple)) or not hasattr(node, "__dict__"):
+            return
+        for field, value in list(node.__dict__.items()):
+            if isinstance(value, A.Param):
+                setattr(node, field, resolve(value))
+            elif isinstance(value, (list, tuple)):
+                setattr(node, field, map_val(value))
+            elif hasattr(value, "__dict__"):
+                walk(value)
+
+    walk(obj)
+
+
 def compile_cypher(
     graph: PropertyGraph,
     query: A.Query | str,
     exact_decimal_sums: bool = True,
+    params: dict[str, object] | None = None,
 ) -> DataFrame:
     """Compile a parsed (or source-text) Cypher query to a DataFrame."""
     from project_graphdb_spark.cypher.parser import parse
 
     q = parse(query) if isinstance(query, str) else query
+    missing: set[str] = set()
+    _substitute_params(q, params, missing)
+    if missing:
+        raise CypherAnalysisError(
+            [f"parameter ${name} not supplied" for name in sorted(missing)]
+        )
     pattern_counts: dict[int, str] = {}
     if q.unions:
         base = A.Query(

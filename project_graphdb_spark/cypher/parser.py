@@ -40,6 +40,7 @@ from project_graphdb_spark.cypher.ast import (
     Not,
     Or,
     OrderKey,
+    Param,
     PathPat,
     PatternCount,
     PatternPred,
@@ -557,6 +558,9 @@ class _Parser:
         if k == "*":
             self.next()
             return Star()
+        if k == "param":
+            self.next()
+            return Param(v)
         if k == "(":
             self.next()
             e = self.parse_expr()

@@ -1222,3 +1222,34 @@ def test_with_order_by_restated_aggregate(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert rows[0]["n"] == exp
+
+
+def test_query_parameters(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    n = compile_cypher(
+        g,
+        "MATCH (c:Customer {c_mktsegment: $seg}) RETURN count(c) AS n",
+        params={"seg": "BUILDING"},
+    ).collect()[0]["n"]
+    exp = (
+        g.nodes["Customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .count()
+    )
+    assert n == exp
+    # list parameter through IN
+    k = compile_cypher(
+        g,
+        "MATCH (x:Nation) WHERE x.n_nationkey IN $keys "
+        "RETURN count(x) AS n",
+        params={"keys": [1, 2, 3]},
+    ).collect()[0]["n"]
+    assert k == 3
+
+
+def test_missing_parameter_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match=r"parameter \$x"):
+        compile_cypher(
+            g, "MATCH (c:Customer) WHERE c.c_acctbal > $x RETURN count(c) AS n"
+        )
