@@ -289,6 +289,12 @@ class Query:
     # UNION chain: (query, is_all) per arm after the first; openCypher
     # forbids mixing UNION and UNION ALL, so is_all is uniform
     unions: list[tuple["Query", bool]] = field(default_factory=list)
+    # union-wide ORDER BY / SKIP / LIMIT (openCypher: a trailing ORDER
+    # BY after the last arm sorts the whole union; arms themselves may
+    # not carry one). Keys may reference output column names only.
+    union_order_by: list[OrderKey] = field(default_factory=list)
+    union_skip: int | None = None
+    union_limit: int | None = None
 
     # convenience accessors over the first segment / the WITH chain
     # (the single-segment view most analysis code needs)

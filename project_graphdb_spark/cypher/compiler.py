@@ -1637,7 +1637,25 @@ def compile_cypher(
                 )
             out = out.unionByName(arm_df)
         # UNION dedups across ALL arms (openCypher); UNION ALL keeps rows
-        return out if is_all else out.distinct()
+        out = out if is_all else out.distinct()
+        # union-wide ORDER BY / SKIP / LIMIT (hoisted from the trailing
+        # clause by the parser); keys resolve against output columns
+        if q.union_order_by:
+            uscope = _Scope(None, set(out.columns), out)
+            ucomp = _ExprCompiler(uscope, exact_decimal_sums)
+            keys = [
+                (c.asc() if ok.ascending else c.desc())
+                for ok in q.union_order_by
+                for c in (ucomp.compile(ok.expr),)
+            ]
+            if uscope.errors:
+                raise CypherAnalysisError(uscope.errors)
+            out = out.orderBy(*keys)
+        if q.union_skip is not None:
+            out = out.offset(q.union_skip)
+        if q.union_limit is not None:
+            out = out.limit(q.union_limit)
+        return out
     df: DataFrame | None = None
     vars: dict[str, _BoundVar] = {}
     flat: set[str] = set()
@@ -1737,9 +1755,14 @@ def compile_cypher(
                     col = None
                     for item in seg.projection.items:
                         if ok.expr == item.expr:
-                            col = F.col(
-                                item.out_name().replace(".", "_")
-                            )
+                            # output-column shortcut only when the item
+                            # was flattened to a real column; a
+                            # passed-through node var (bare Var, no
+                            # alias) keeps only its n__* columns, so
+                            # fall through to the scope resolver
+                            name = item.out_name().replace(".", "_")
+                            if name in df.columns:
+                                col = F.col(name)
                             break
                     if col is None:
                         col = ocomp.compile(ok.expr)
@@ -1788,7 +1811,10 @@ def compile_cypher(
             col = None
             for item in q.ret.items:
                 if ok.expr == item.expr:
-                    col = F.col(item.out_name().replace(".", "_"))
+                    # same flattened-column guard as the WITH path
+                    name = item.out_name().replace(".", "_")
+                    if name in df.columns:
+                        col = F.col(name)
                     break
             if col is None:
                 col = ocomp.compile(ok.expr)

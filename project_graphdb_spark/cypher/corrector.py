@@ -22,6 +22,11 @@ def _pattern_preds(e: A.Expr | None) -> list[A.PathPat]:
     found: list[A.PathPat] = []
     if isinstance(e, A.PatternPred):
         found.append(e.pattern)
+    if isinstance(e, A.PatternCount):
+        # COUNT { pattern [WHERE ...] } — pattern is a PathPat, not an
+        # Expr child, so the generic walk below never reaches it (the
+        # WHERE is an Expr field and is walked normally)
+        found.append(e.pattern)
     for child in getattr(e, "__dict__", {}).values():
         if isinstance(child, A.Expr):
             found.extend(_pattern_preds(child))
@@ -37,6 +42,12 @@ def _all_patterns(query: A.Query) -> list[A.PathPat]:
     for seg in query.segments:
         pats.extend(_pattern_preds(seg.where))
         pats.extend(_pattern_preds(seg.proj_where))
+        if seg.projection is not None:
+            for item in seg.projection.items:
+                pats.extend(_pattern_preds(item.expr))
+    if query.ret is not None:
+        for item in query.ret.items:
+            pats.extend(_pattern_preds(item.expr))
     for arm, _ in query.unions:
         pats.extend(_all_patterns(arm))
     return pats

@@ -189,6 +189,27 @@ class _Parser:
             union_all = is_all
             q.unions.append((self.parse_single_query(), is_all))
         self.expect("eof")
+        if q.unions:
+            # openCypher: ORDER BY/SKIP/LIMIT after the LAST arm applies
+            # to the whole union; inside any other arm it is an error.
+            # parse_single_query consumes them greedily per arm, so
+            # hoist the last arm's and reject the rest.
+            for arm in (q, *(a for a, _ in q.unions[:-1])):
+                if arm.order_by or arm.skip is not None or (
+                    arm.limit is not None
+                ):
+                    raise CypherSyntaxError(
+                        "ORDER BY / SKIP / LIMIT is not allowed inside a "
+                        "UNION arm; place it after the last arm to sort "
+                        "the whole union"
+                    )
+            last = q.unions[-1][0]
+            q.union_order_by = last.order_by
+            q.union_skip = last.skip
+            q.union_limit = last.limit
+            last.order_by = []
+            last.skip = None
+            last.limit = None
         return q
 
     def parse_single_query(self) -> Query:

@@ -257,7 +257,11 @@ def minhash_signature_arrays(
         ).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return doc_arrs.select("doc_id", *cols)
+    # docs shorter than the shingle width have an empty sh_arr; their
+    # signature would be all-null and every such doc would collide in
+    # every LSH band (O(m²) candidate blowup among short docs). The
+    # explode path emits no rows for them, so drop them here too.
+    return doc_arrs.filter(F.size("sh_arr") > 0).select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(

@@ -220,6 +220,12 @@ def lloyd_centroids(
         list(r["v"])
         for r in emb.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
+    if not cents:
+        raise ValueError(
+            "lloyd_centroids: no seed vectors (vec_id < k) in the "
+            "embedding frame — cannot train a quantizer on empty input"
+        )
+    k = len(cents)  # fewer than k seeds → shrink k, don't crash
     for _ in range(iters):
         means = (
             emb.select(_nearest_cid(cents), "v")
@@ -259,7 +265,14 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     # query = vec 0 (one tiny pruned-scan job); probe the 3 centroids
     # closest to it — k is driver-side, so the probe choice is too
-    qv = list(emb.filter(F.col("vec_id") == 0).collect()[0]["v"])
+    qrows = emb.filter(F.col("vec_id") == 0).collect()
+    if not qrows:
+        # query vector absent → empty result with the output schema,
+        # matching the graceful degradation of the crossJoin form
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cos_sim double, rnk int"
+        )
+    qv = list(qrows[0]["v"])
 
     def _cos(a: list[float], b: list[float]) -> float:
         num = sum(x * y for x, y in zip(a, b))

@@ -1253,3 +1253,90 @@ def test_missing_parameter_rejected(spark, sf_dir):
         compile_cypher(
             g, "MATCH (c:Customer) WHERE c.c_acctbal > $x RETURN count(c) AS n"
         )
+
+
+# -- round-3 ADVICE regression tests ------------------------------------
+
+
+def test_with_passthrough_var_order_by(spark, sf_dir):
+    """WITH n ORDER BY n on a passthrough node var must resolve via the
+    scope (key column), not the flattened out-name (ADVICE r2 medium:
+    compiler ORDER BY item-matching regression)."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (n:Nation) WITH n ORDER BY n LIMIT 3 "
+        "RETURN n.n_nationkey AS k",
+    ).collect()
+    assert [r["k"] for r in rows] == [0, 1, 2]
+
+
+def test_return_passthrough_order_by_restated_item(spark, sf_dir):
+    """ORDER BY re-stating a projected expression still matches the
+    output column when it WAS flattened."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (n:Nation) RETURN n.n_name AS nm "
+        "ORDER BY n.n_name DESC LIMIT 2",
+    ).collect()
+    names = [r["nm"] for r in rows]
+    assert names == sorted(names, reverse=True) and len(names) == 2
+
+
+def test_union_trailing_order_by_sorts_whole_union(spark, sf_dir):
+    """Trailing ORDER BY/LIMIT after the last arm applies to the whole
+    union (ADVICE r2: previously silently attached to the last arm and
+    destroyed)."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (r:Region) RETURN r.r_name AS name "
+        "UNION MATCH (n:Nation) RETURN n.n_name AS name "
+        "ORDER BY name LIMIT 4",
+    ).collect()
+    got = [r["name"] for r in rows]
+    union_sorted = sorted(
+        {r["r_name"] for r in g.nodes["Region"].collect()}
+        | {r["n_name"] for r in g.nodes["Nation"].collect()}
+    )
+    assert got == union_sorted[:4]
+
+
+def test_union_order_by_inside_arm_rejected():
+    with pytest.raises(CypherSyntaxError, match="UNION arm"):
+        parse(
+            "MATCH (r:Region) RETURN r.r_name AS name ORDER BY name "
+            "UNION MATCH (n:Nation) RETURN n.n_name AS name"
+        )
+
+
+def test_corrector_descends_into_count_subquery(spark, sf_dir):
+    """COUNT { (c)<-[:PLACED_BY]-(o:Orders) } with a schema-reversed
+    arrow gets flipped (ADVICE r2: PatternCount.pattern was never
+    visited)."""
+    g = tpch_graph(spark, sf_dir)
+    q = parse(
+        "MATCH (c:Customer) "
+        "WHERE COUNT { (c)-[:PLACED_BY]->(o:Orders) } > 0 "
+        "RETURN count(c) AS n"
+    )
+    notes = correct_directions(g, q)
+    assert any("PLACED_BY" in note for note in notes)
+    got = compile_cypher(g, q).collect()[0]["n"]
+    exp = g.edges["PLACED_BY"].df.select("dst").distinct().count()
+    assert got == exp
+
+
+def test_corrector_scans_return_position_count(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    q = parse(
+        "MATCH (c:Customer) "
+        "RETURN c.c_custkey AS k, "
+        "COUNT { (c)-[:PLACED_BY]->(o:Orders) } AS deg "
+        "ORDER BY k LIMIT 5"
+    )
+    notes = correct_directions(g, q)
+    assert any("PLACED_BY" in note for note in notes)
+    rows = compile_cypher(g, q).collect()
+    assert len(rows) == 5
