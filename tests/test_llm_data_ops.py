@@ -153,3 +153,40 @@ def test_minhash_signature_paths_agree(spark):
     narrow = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature_arrays(arrs).collect()}
     grouped = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(sh).collect()}
     assert narrow == grouped
+
+
+def test_embedding_blocked_recall_vs_brute(spark, oracle_sf_dir):
+    """The IVF-centroid blocked near-dup operator must recover >=95% of
+    the brute-force pairs at sf0.01 (the brute scan is its recall
+    oracle), and never invent a pair — verification is exact cosine."""
+    from project_graphdb_spark.operators.similarity import (
+        embedding_near_dup_blocked,
+        embedding_near_dup_pairs,
+    )
+
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(spark, oracle_sf_dir).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_blocked(spark, oracle_sf_dir).collect()
+    }
+    assert brute, "sf0.01 embeddings should contain near-dup pairs"
+    assert blocked <= brute  # exact verify: no false positives
+    recall = len(blocked & brute) / len(brute)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+
+
+def test_embedding_blocked_plan_shape(spark, sf_dir):
+    """No cartesian / broadcast-nested-loop anywhere: candidates come
+    from an equi-join on centroid id (the property that lets this run
+    at 100 TB while the brute tier cannot)."""
+    from project_graphdb_spark.operators.similarity import (
+        embedding_near_dup_blocked,
+    )
+
+    df = embedding_near_dup_blocked(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
