@@ -3,16 +3,20 @@
 Usage: ``python bench.py`` — honors ``SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) and ``SPARK_GRAFT_CPUS`` (default 32).
 
-Each headline query is executed to completion (foreach-noop action, so
-results are materialized but not collected to the driver) and timed
-individually after one untimed warm-up of the session (JVM + parquet
-footer reads).
+Each headline query is executed to completion (count action, so results
+are materialized but not collected to the driver) and timed individually
+after one untimed warm-up of the session (JVM + parquet footer reads).
+Every query is timed over ``SPARK_GRAFT_BENCH_PASSES`` (default 3)
+passes; the headline number is the per-query MEDIAN (single-run timings
+at sub-second magnitudes are noise — a +30% delta on one pass means
+nothing), with min/max spread reported alongside.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,14 +45,26 @@ def main() -> None:
     for fn in heads.values():
         _run_once(fn(spark, sf_dir))
 
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in heads}
+    for _ in range(passes):
+        for name, fn in heads.items():
+            t0 = time.perf_counter()
+            _run_once(fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
+
     per_query: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     total = 0.0
-    for name, fn in heads.items():
-        t0 = time.perf_counter()
-        _run_once(fn(spark, sf_dir))
-        dt = round(time.perf_counter() - t0, 4)
-        per_query[name] = dt
-        total += dt
+    for name, ts in samples.items():
+        med = statistics.median(ts)
+        per_query[name] = round(med, 4)
+        spread[name] = {
+            "median": round(med, 4),
+            "min": round(min(ts), 4),
+            "max": round(max(ts), 4),
+        }
+        total += med
 
     print(
         json.dumps(
@@ -57,6 +73,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "passes": passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

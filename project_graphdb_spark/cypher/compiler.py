@@ -541,14 +541,18 @@ class _ExprCompiler:
                 self.compile(e.args[0]), self.compile(e.args[1])
             )
         if name == "percentiledisc":
-            # percentile_approx at max accuracy is EXACT nearest-rank
-            # (smallest element with cume_dist >= p) — matches Neo4j's
-            # discrete percentile, deterministic for the oracle gate.
-            return F.percentile_approx(
-                self.compile(e.args[0]),
-                self.compile(e.args[1]),
-                F.lit(2147483647),
+            # exact nearest-rank (smallest element with cume_dist >= p),
+            # matching Neo4j's discrete percentile, with NO accuracy
+            # parameter to caveat: sort the group's values and pick the
+            # ceil(p*n)-th (1-based; p=0 -> min). Exact rank statistics
+            # need group-local order by definition; collect_list bounds
+            # memory by group size, same as any exact sort-within-group.
+            arr = F.sort_array(F.collect_list(self.compile(e.args[0])))
+            n = F.size(arr)
+            idx = F.greatest(
+                F.lit(1), F.ceil(self.compile(e.args[1]) * n).cast("int")
             )
+            return F.when(n > 0, F.element_at(arr, idx))
         if name in _SCALAR_FNS:
             return _SCALAR_FNS[name]([self.compile(a) for a in e.args])
         self.scope.errors.append(f"unknown function {name}()")

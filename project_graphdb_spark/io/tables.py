@@ -41,8 +41,17 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     dynamic SQL conf, so setting it on a live session is safe, and each
     one is required for correctness or sanity of the workload:
 
-    * ``nanosAsLong`` — events.parquet is TIMESTAMP(NANOS), which the
-      vectorized reader otherwise rejects outright;
+    * ``nanosAsLong`` — an events.parquet written as TIMESTAMP(NANOS)
+      (earlier testdata generations) is otherwise rejected outright by
+      the vectorized reader;
+    * ``inferTimestampNTZ`` off — the current events.parquet writes
+      ``ts`` as TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+      would surface as TIMESTAMP_NTZ; reading it as plain TIMESTAMP
+      (with the UTC session timezone the two are the same instant)
+      keeps every downstream ``unix_micros``/window operator working
+      AND keeps ts-range predicates pushable at the parquet scan — a
+      driver-supplied session without this conf was the round-3 events
+      crash;
     * UTC session timezone — hour/date bucketing must agree with the
       DuckDB oracle (which is TZ-naive over the same files);
     * AQE + coalescing/skew handling — the plans are written assuming
@@ -55,6 +64,7 @@ def ensure_engine_conf(spark: SparkSession) -> None:
       deliberately is left alone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -82,10 +92,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # their own SparkSession without the configs this library needs.
     ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":  # caller pre-set NTZ inference
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

