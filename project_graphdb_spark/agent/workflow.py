@@ -155,6 +155,65 @@ def _first_year(text: str) -> int | None:
 
 
 # ---------------------------------------------------------------------------
+# deterministic typo repair (the correct_cypher stage, D3)
+# ---------------------------------------------------------------------------
+
+
+def repair_property_typos(cypher: str, errors: list[str], schema: str) -> str:
+    """Deterministic analog of the reference's LLM ``correct_cypher``
+    (ref final/langraph_neo4j3.py:393-451): the error list + schema
+    string go in, a repaired statement comes out. Each ``unknown
+    property 'X' on var:Label`` error is repaired by replacing X with
+    its closest match among Label's properties as printed in the schema
+    string — exactly the signal an LLM uses, minus the stochasticity.
+    """
+    import difflib
+
+    fixed = cypher
+    for err in errors:
+        m = re.search(r"unknown property '(\w+)' on \w+:(\w+)", err)
+        if not m:
+            continue
+        bad, label = m.group(1), m.group(2)
+        sm = re.search(
+            rf"\(:{re.escape(label)} \{{([^}}]*)\}}\)", schema
+        )
+        if not sm:
+            continue
+        props = [p.strip() for p in sm.group(1).split(",")]
+        close = difflib.get_close_matches(bad, props, n=1, cutoff=0.6)
+        if close:
+            fixed = re.sub(rf"\b{re.escape(bad)}\b", close[0], fixed)
+    return fixed
+
+
+@dataclass
+class FaultyPlanner:
+    """Planner simulating an LLM that misremembers the schema: the
+    first generation is a FIXED broken statement (as supplied — e.g. a
+    reversed arrow plus a misspelled property), so the workflow is
+    forced through the full validate → correct → re-validate → execute
+    loop (D2→D3→D4; ref final/langraph_neo4j3.py:310-451). Repairs are
+    the deterministic typo fixer above; answers delegate to the
+    template planner."""
+
+    cypher: str
+
+    def generate_cypher(self, question: str, schema: str) -> str:
+        return self.cypher
+
+    def correct_cypher(
+        self, question: str, cypher: str, errors: list[str], schema: str
+    ) -> str:
+        return repair_property_typos(cypher, errors, schema)
+
+    def synthesize_answer(
+        self, question: str, records: list[dict] | str
+    ) -> str:
+        return TemplatePlanner().synthesize_answer(question, records)
+
+
+# ---------------------------------------------------------------------------
 # validate stage (d): filter-value existence mapping
 # ---------------------------------------------------------------------------
 

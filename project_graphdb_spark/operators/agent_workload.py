@@ -73,6 +73,53 @@ def agent_customers_without_orders(
     return _ask(spark, sf_dir, "how many customers have no orders?")
 
 
+BROKEN_TOP5 = (
+    # two deliberate faults vs the schema: the arrow is reversed
+    # (PLACED_BY goes Orders->Customer) and o_totalprice is misspelled
+    "MATCH (c:Customer)-[:PLACED_BY]->(o:Orders) "
+    "RETURN c.c_name AS name, sum(o.o_totalpryce) AS revenue "
+    "ORDER BY revenue DESC, name LIMIT 5"
+)
+
+
+@register(
+    "agent_correction_loop_top5",
+    oracle=f"""
+    SELECT c_name AS name,
+           CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY revenue DESC, name LIMIT 5
+    """,
+    description="the full D2->D3->D4 loop live-fired: generation carries "
+    "a reversed arrow AND a misspelled property; direction correction "
+    "(validate stage b) fixes the arrow, the bounded correct_cypher loop "
+    "repairs the typo from the error list + schema string, and the "
+    "repaired statement executes (ref final/langraph_neo4j3.py:310-451)",
+)
+def agent_correction_loop_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.agent.state import new_state
+    from project_graphdb_spark.agent.workflow import (
+        FaultyPlanner,
+        run_agent_workflow,
+    )
+
+    graph = tpch_graph(spark, sf_dir)
+    state = run_agent_workflow(
+        new_state("top 5 customers by revenue"),
+        graph,
+        FaultyPlanner(BROKEN_TOP5),
+    )
+    steps = state["steps"]
+    if "correct_cypher" not in steps or "execute_cypher" not in steps:
+        raise RuntimeError(f"correction loop not exercised: {steps}")
+    if "o_totalpryce" in state["cypher_statement"]:
+        raise RuntimeError("typo survived the correction loop")
+    final = parse(state["cypher_statement"])
+    if not correct_directions(graph, final):
+        raise RuntimeError("expected the reversed arrow to need flipping")
+    return compile_cypher(graph, final)
+
+
 @register(
     "rca_largest_drop_drilldown",
     oracle=f"""

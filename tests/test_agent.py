@@ -202,3 +202,46 @@ def test_llm_planner_from_env_gating(monkeypatch):
     p = llm_planner.LLMPlanner.from_env()
     assert p is not None and p.model == "m-x"
     assert isinstance(llm_planner.default_planner(), llm_planner.LLMPlanner)
+
+
+def test_correction_loop_trace_reversed_arrow_and_typo(graph):
+    """Live-fire D2->D3->D4 (ref final/langraph_neo4j3.py:310-451): a
+    generation with a reversed arrow AND a misspelled property must walk
+    generate -> validate (direction flip noted) -> correct_cypher (typo
+    repaired from errors+schema) -> validate -> execute, and the final
+    statement must carry the repaired property name."""
+    from project_graphdb_spark.agent.workflow import FaultyPlanner
+    from project_graphdb_spark.operators.agent_workload import BROKEN_TOP5
+
+    state = run_agent_workflow(
+        new_state("top 5 customers by revenue"), graph,
+        FaultyPlanner(BROKEN_TOP5),
+    )
+    steps = state["steps"]
+    assert steps[0] == "generate_cypher"
+    i_correct = steps.index("correct_cypher")
+    i_exec = steps.index("execute_cypher")
+    assert steps.index("validate_cypher") < i_correct < i_exec
+    # exactly one repair round: the typo fix converges immediately
+    assert steps.count("correct_cypher") == 1
+    # both faults were exercised: the direction stage fired, and the
+    # final statement carries the corrected property
+    assert "correct_direction" in steps
+    assert "o_totalpryce" not in state["cypher_statement"]
+    assert "o_totalprice" in state["cypher_statement"]
+    assert len(state["database_records"]) == 5
+
+
+def test_repair_property_typos_unit():
+    from project_graphdb_spark.agent.workflow import repair_property_typos
+
+    schema = "(:Orders {o_orderkey, o_custkey, o_totalprice, o_orderdate})"
+    fixed = repair_property_typos(
+        "MATCH (o:Orders) RETURN sum(o.o_totalpryce) AS s",
+        ["unknown property 'o_totalpryce' on o:Orders"],
+        schema,
+    )
+    assert "o_totalprice" in fixed and "o_totalpryce" not in fixed
+    # unrepairable errors leave the statement alone
+    same = repair_property_typos("RETURN 1", ["syntax: boom"], schema)
+    assert same == "RETURN 1"

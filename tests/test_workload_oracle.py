@@ -33,3 +33,18 @@ def test_all_queries_return_rows(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.count()  # executes without error
+
+
+def test_workload_md_in_lockstep():
+    """WORKLOAD.md is generated from the registry; a registry change
+    without `python tools/gen_workload_md.py` is doc drift — regenerate
+    and commit the result."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "WORKLOAD.md")
+    with open(path) as f:
+        rows = re.findall(r"^\| `([a-z0-9_]+)` \|", f.read(), re.M)
+    assert sorted(rows) == sorted(workload.queries()), (
+        "WORKLOAD.md is stale — run: python tools/gen_workload_md.py"
+    )
