@@ -19,6 +19,9 @@ be written bucketed by cluster for repeated querying.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -228,8 +231,13 @@ def lloyd_centroids(
         )
     k = len(cents)  # fewer than k seeds → shrink k, don't crash
     for _ in range(iters):
+        assign = (
+            _nearest_cid(cents)
+            if k <= LITERAL_K_MAX
+            else F.element_at(_probe_cids_arrow(cents, 1), 1).alias("cid")
+        )
         means = (
-            emb.select(_nearest_cid(cents), "v")
+            emb.select(assign, "v")
             .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -308,6 +316,17 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOCK_NPROBE = 5
 
+# Above this many centroids the literal-argmax expression stops being
+# the right shape: the plan carries k·dim literals and k inlined
+# 64-element cosine folds, so analysis/codegen cost grows O(k·dim)
+# per query — fine for the fixed IVF_K=8, pathological for the
+# k≈sqrt(n) blocking quantizer (k=142 at 20k vectors stalled codegen
+# for minutes in the sf1 stress run). Past the cutoff, assignment
+# switches to an Arrow-vectorized pandas_udf: centroids ride along as
+# a numpy closure (O(k·dim) bytes broadcast once per task, not per
+# plan node) and each batch is ONE (batch × dim)·(dim × k) matmul.
+LITERAL_K_MAX = 16
+
 _BLOCK_CENT_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 
@@ -330,6 +349,44 @@ def _probe_cids(cents: list[list[float]], nprobe: int) -> Column:
         F.slice(F.sort_array(sims, asc=False), 1, nprobe),
         lambda x: -x["nc"],
     )
+
+
+def _probe_cids_arrow(cents: list[list[float]], nprobe: int) -> Column:
+    """Arrow-vectorized twin of :func:`_probe_cids` for large ``k``.
+
+    Same contract (top-``nprobe`` cids by cosine rounded to 6 dp, ties
+    on smallest cid — the stable argsort preserves ascending cid order
+    for equal similarities) but computed as one numpy matmul per Arrow
+    batch instead of k inlined expression folds. Still a narrow map:
+    no join, no window, no shuffle; the centroid matrix is a task-side
+    closure, O(k·dim) doubles regardless of data size.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype="float64")
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    take = min(nprobe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="object")
+        vmat = np.array(vs.tolist(), dtype="float64")
+        vn = np.linalg.norm(vmat, axis=1, keepdims=True)
+        np.maximum(vn, 1e-300, out=vn)
+        sims = np.round((vmat / vn) @ cnorm.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series([row.tolist() for row in order.astype("int32")])
+
+    return probes(F.col("v"))
+
+
+def probe_cids(cents: list[list[float]], nprobe: int) -> Column:
+    """Nearest-``nprobe`` centroid assignment, JVM expression for small
+    k, Arrow-vectorized past ``LITERAL_K_MAX`` (same result contract)."""
+    if len(cents) <= LITERAL_K_MAX:
+        return _probe_cids(cents, nprobe)
+    return _probe_cids_arrow(cents, nprobe)
 
 
 def _block_centroids(
@@ -379,7 +436,7 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(IVF_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n)), >= 8
     cents = _block_centroids(spark, sf_dir, emb, k)
     probes = emb.select(
-        "vec_id", F.explode(_probe_cids(cents, BLOCK_NPROBE)).alias("cid")
+        "vec_id", F.explode(probe_cids(cents, BLOCK_NPROBE)).alias("cid")
     )
     a = probes.alias("a")
     b = probes.alias("b")

@@ -42,6 +42,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # -- heap: local[N] packs driver+executors into ONE JVM, whose
+        # default 1g heap is sized for a cluster driver, not for N=32
+        # worker threads; only effective before the JVM starts ---------
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # -- parallelism / shuffle --------------------------------------
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
@@ -56,6 +63,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # -- read TIMESTAMP(NANOS) parquet (events.ts) as long ----------
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # -- NTZ-annotated micros surface as plain TIMESTAMP (UTC) ------
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # -- quieter local runs -----------------------------------------
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,86 @@
+"""Self-scaled stress run: time the headline set + the dedup/ANN stack
+at an arbitrary SF dir and report observed AQE decisions.
+
+Usage: python tools/run_scale_bench.py <sf_dir> [--json out.json]
+
+For each query: one untimed warm-up pass, one timed pass, then the
+*executed* (post-AQE) plan is scraped for the join strategies the
+runtime actually picked (broadcast vs sort-merge vs shuffled-hash, and
+whether the skew-join splitter fired). The quadratic recall-oracle
+tiers (dedup_ngram_jaccard, embedding_near_dup_pairs) are intentionally
+excluded above sf0.01 — they are test-scale verification operators, and
+excluding them is reported, not silent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from project_graphdb_spark import get_spark, workload  # noqa: E402
+
+EXTRA_STACK = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_cosine_top10",
+    "ann_ivf_top10",
+    "embedding_near_dup_blocked",
+    "knn_join_top3",
+]
+EXCLUDED = ["dedup_ngram_jaccard", "embedding_near_dup_pairs"]
+
+
+def plan_facts(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "skew_splits": len(re.findall(r"skew=true", plan)),
+        "cartesian": "CartesianProduct" in plan
+        or "BroadcastNestedLoopJoin" in plan,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    spark = get_spark(app_name="scale-bench")
+    workload._ensure_loaded()
+
+    names = list(workload.headline_queries()) + EXTRA_STACK
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = workload.REGISTRY[name].fn
+        df = fn(spark, sf_dir)
+        df.count()  # warm-up (also trains/caches IVF centroids)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
+        print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
+
+    payload = {
+        "sf_dir": sf_dir,
+        "results": results,
+        "excluded_quadratic_oracles": EXCLUDED,
+    }
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1)
+    print(json.dumps({k: v["sec"] for k, v in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
