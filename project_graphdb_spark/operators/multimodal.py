@@ -74,17 +74,33 @@ def decode_image(payload: bytes) -> dict:
         return {"format": "bmp", "width": w, "height": abs(h)}
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
         # JPEG: scan marker segments for the first SOF0-SOF15 frame
-        # header (height u16, width u16, big-endian, after precision)
+        # header (height u16, width u16, big-endian, after precision).
+        # Spec quirks handled (ITU-T T.81 §B.1.1.2): any number of 0xFF
+        # fill bytes may precede a marker, and TEM (0x01) / RSTn
+        # (0xD0-0xD7) / SOI / EOI are standalone markers with no length
+        # field.
         i = 2
-        while i + 9 <= len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            j = i + 1
+            while j < len(payload) and payload[j] == 0xFF:
+                j += 1  # skip fill bytes; j lands on the marker code
+            if j >= len(payload):
+                break
+            marker = payload[j]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                h, w = struct.unpack(">HH", payload[i + 5: i + 9])
+                if j + 8 > len(payload):
+                    break
+                h, w = struct.unpack(">HH", payload[j + 4: j + 8])
                 return {"format": "jpeg", "width": w, "height": h}
-            seg_len = struct.unpack(">H", payload[i + 2: i + 4])[0]
-            i += 2 + seg_len
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i = j + 1  # standalone marker: no length field follows
+                continue
+            if j + 3 > len(payload):
+                break
+            seg_len = struct.unpack(">H", payload[j + 1: j + 3])[0]
+            i = j + 1 + seg_len
         raise ValueError("JPEG payload has no SOF frame header")
     raise ValueError("unrecognized image payload")
 

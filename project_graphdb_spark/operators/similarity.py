@@ -360,11 +360,23 @@ def _probe_cids_arrow(cents: list[list[float]], nprobe: int) -> Column:
     batch instead of k inlined expression folds. Still a narrow map:
     no join, no window, no shuffle; the centroid matrix is a task-side
     closure, O(k·dim) doubles regardless of data size.
+
+    Value parity with the literal path (tested side by side in
+    ``tests/test_llm_data_ops.py``): rounding is HALF_UP to match
+    Spark's ``F.round`` (numpy's default is half-to-even). Degenerate
+    inputs are where the paths intentionally differ: under ANSI mode
+    the literal path's cosine raises DIVIDE_BY_ZERO on a zero-norm
+    vector, while this path guards vector AND centroid norms so one
+    bad row ranks deterministically (NaN->+inf pre-rank, ties to
+    ascending cid) instead of killing a 100 TB job — the batch's
+    healthy rows are unaffected.
     """
     from pyspark.sql.functions import pandas_udf
 
     cmat = np.asarray(cents, dtype="float64")
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    np.maximum(cn, 1e-300, out=cn)
+    cnorm = cmat / cn
     take = min(nprobe, len(cents))
 
     @pandas_udf("array<int>")
@@ -374,7 +386,11 @@ def _probe_cids_arrow(cents: list[list[float]], nprobe: int) -> Column:
         vmat = np.array(vs.tolist(), dtype="float64")
         vn = np.linalg.norm(vmat, axis=1, keepdims=True)
         np.maximum(vn, 1e-300, out=vn)
-        sims = np.round((vmat / vn) @ cnorm.T, 6)
+        sims = (vmat / vn) @ cnorm.T
+        # NaN (degenerate input) ranks first, as in Spark's desc sort
+        np.copyto(sims, np.inf, where=np.isnan(sims))
+        # HALF_UP at 6 dp, matching F.round (np.round is half-to-even)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
         order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
         return pd.Series([row.tolist() for row in order.astype("int32")])
 

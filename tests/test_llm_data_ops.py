@@ -228,3 +228,65 @@ def test_lsh_params_scurve_properties():
     for bad in (0.0, 1.0, -0.5, 2.0):
         with pytest.raises(ValueError):
             lsh_params(bad)
+
+
+def test_probe_cids_literal_vs_arrow_agree(spark, sf_dir):
+    """The Arrow matmul path must return exactly what the literal
+    expression path returns — forced here with k=20 > LITERAL_K_MAX
+    trained centroids, so the dispatch cutoff never hides the Arrow
+    branch from the suite (at suite scales k<=15 and only the literal
+    path would otherwise run)."""
+    from project_graphdb_spark.operators.similarity import (
+        LITERAL_K_MAX,
+        _emb,
+        _probe_cids,
+        _probe_cids_arrow,
+        lloyd_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = lloyd_centroids(spark, emb, k=20, iters=1)
+    assert len(cents) == 20 > LITERAL_K_MAX
+    lit = {
+        r["vec_id"]: list(r["p"])
+        for r in emb.select("vec_id", _probe_cids(cents, 5).alias("p")).collect()
+    }
+    arw = {
+        r["vec_id"]: list(r["p"])
+        for r in emb.select(
+            "vec_id", _probe_cids_arrow(cents, 5).alias("p")
+        ).collect()
+    }
+    assert lit == arw
+
+
+def test_probe_cids_arrow_degenerate_vectors(spark):
+    """Zero-norm vectors: under ANSI mode the literal expression path
+    raises DIVIDE_BY_ZERO (cosine divides by the norm), so graceful
+    handling is an Arrow-path-only property: the norm guard keeps the
+    division finite and the row ranks deterministically by ascending
+    cid instead of killing the job. Healthy rows in the same batch are
+    unaffected."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import ArithmeticException
+
+    from project_graphdb_spark.operators.similarity import (
+        _probe_cids,
+        _probe_cids_arrow,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [3.0, 4.0])], "vec_id int, v array<double>"
+    )
+    arw = {
+        r["vec_id"]: list(r["p"])
+        for r in df.select(
+            "vec_id", _probe_cids_arrow(cents, 3).alias("p")
+        ).collect()
+    }
+    assert arw[0] == [0, 1, 2]  # guarded: ties -> ascending cid
+    assert arw[1] == [2, 1, 0]  # healthy row ranked normally
+    with pytest.raises((ArithmeticException, Py4JJavaError)):
+        df.select("vec_id", _probe_cids(cents, 3).alias("p")).collect()

@@ -90,3 +90,29 @@ def test_image_dims_query_true_dimensions(spark, sf_dir):
         assert r["format"] == cycle[i % 3]
         assert r["width"] == i % 640 + 1
         assert r["height"] == (i * 7) % 480 + 1
+
+
+def test_decode_jpeg_fill_bytes_and_standalone_markers():
+    """ITU-T T.81 §B.1.1.2 quirks: 0xFF fill bytes may pad before any
+    marker, and TEM (0x01) / RSTn (0xD0-0xD7) are standalone markers
+    with no length field — the SOF scan must step over both instead of
+    misreading a length from the wrong offset."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 33, 77)
+        + b"\x01\x11\x00\x00"
+    )
+    # fill bytes before APP0 and before SOF0, a TEM and an RST in between
+    payload = (
+        b"\xff\xd8"
+        + b"\xff" * 3 + app0[1:]   # FF FF FF E0 ... (fill + marker)
+        + b"\xff\x01"              # TEM: standalone
+        + b"\xff\xd3"              # RST3: standalone
+        + b"\xff" + sof0[1:]       # one fill byte, then C0
+        + b"\xff\xd9"
+    )
+    got = decode_image(payload)
+    assert got == {"format": "jpeg", "width": 77, "height": 33}

@@ -57,7 +57,11 @@ def main() -> None:
     spark = get_spark(app_name="scale-bench")
     workload._ensure_loaded()
 
-    names = list(workload.headline_queries()) + EXTRA_STACK
+    # dedupe while preserving order: some EXTRA_STACK members are also
+    # headline queries and would otherwise run (and be timed) twice
+    names = list(
+        dict.fromkeys([*workload.headline_queries(), *EXTRA_STACK])
+    )
     results: dict[str, dict] = {}
     for name in names:
         fn = workload.REGISTRY[name].fn
