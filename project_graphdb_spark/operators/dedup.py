@@ -367,26 +367,29 @@ def clear_shingle_cache() -> None:
     _SHINGLE_CACHE.clear()
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures are Spark-specific; rows-only check.
-    # Recall vs the exact operator is asserted in tests/test_dedup.py.
-    description="MinHash(64)+LSH(16 bands) near-dup: shingle→signature→"
-    "band buckets→candidate join→exact verify (scale path)",
-    headline=True,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-doc hashed-shingle arrays feed the signature build AND both
-    # sides of the verify join — persist once (on a cluster this is the
-    # natural dataset-checkpoint boundary). Jaccard over 64-bit shingle
-    # hashes == Jaccard over shingle strings (collisions negligible),
-    # and keeping shingles as per-doc arrays makes the signature build
-    # a narrow map and the verify an array_intersect — the only
-    # shuffles left are the band bucket join and the two candidate
-    # equi-joins.
+def lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs at ``threshold`` via the
+    full MinHash+LSH pipeline, unordered (callers sort or consume).
+
+    Per-doc hashed-shingle arrays feed the signature build AND both
+    sides of the verify join — persisted once (on a cluster this is the
+    natural dataset-checkpoint boundary). Jaccard over 64-bit shingle
+    hashes == Jaccard over shingle strings (collisions negligible),
+    and keeping shingles as per-doc arrays makes the signature build
+    a narrow map and the verify an array_intersect — the only
+    shuffles left are the band bucket join and the two candidate
+    equi-joins.
+
+    The banding layout is *derived* from the threshold via
+    :func:`lsh_params` (MMDS s-curve inflection), so a stricter gate
+    automatically gets fewer/steeper bands and a smaller candidate set.
+    """
+    bands, _rows = lsh_params(threshold)
     arrs = _shingle_arrays_persisted(spark, sf_dir)
     sig = minhash_signature_arrays(arrs)
-    candidates = lsh_candidate_pairs(sig)
+    candidates = lsh_candidate_pairs(sig, bands=bands)
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sa"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sb"))
     n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -401,8 +404,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.size("sa") + F.size("sb") - n_common)
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures are Spark-specific; rows-only check.
+    # Recall vs the exact operator is asserted in tests/test_llm_data_ops.py.
+    description="MinHash(64)+LSH(16 bands) near-dup: shingle→signature→"
+    "band buckets→candidate join→exact verify (scale path)",
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+STRICT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_minhash_lsh_strict",
+    oracle=None,  # Spark-specific hashes; recall at j>=0.9 asserted in
+    # tests/test_llm_data_ops.py (8 bands of 8: ~99% collision at 0.9)
+    description="MinHash(64)+LSH near-dup at a strict 0.8 Jaccard gate: "
+    "lsh_params(0.8) derives 8 bands of 8 rows (steeper s-curve, far "
+    "smaller candidate set than the 0.5 default) — the banding knob is "
+    "load-bearing, not fixed",
+)
+def dedup_minhash_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_verified_pairs(spark, sf_dir, STRICT_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -525,35 +557,19 @@ def _clusters_oracle(iters: int = 16) -> str:
     """
 
 
-@register(
-    "dedup_clusters",
-    oracle=_clusters_oracle(),
-    description="duplicate clustering: exact-Jaccard pairs -> connected "
-    "components -> canonical keep-list (the decision layer of corpus "
-    "dedup; at 100 TB the same composition runs over the LSH candidate "
-    "pairs instead of the exact ones)",
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id, cluster_size, is_canonical) for every doc in
-    >=1 near-dup pair: transitive closure of the pair relation via
-    min-id label propagation (graph.algorithms.connected_components on
-    the pair graph), canonical = min doc_id per cluster.
+def cluster_assignments(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_canonical) from a near-dup
+    pair frame (doc_a, doc_b): transitive closure of the pair relation
+    via min-id label propagation (graph.algorithms.connected_components
+    on the pair graph), canonical = min doc_id per cluster.
 
-    This is what turns pairwise dedup output into actions a pipeline can
-    take (keep one representative per cluster). Reference has no corpus
-    dedup at all (SURVEY §2.E); pairs here are the exact oracle-tier
-    ones so the whole operator is hash-checkable against DuckDB.
+    The pair frame is typically the result of a multi-stage join; edges,
+    verts AND pregel's initial state all read it — checkpoint once so
+    the upstream plan runs once.
     """
     from project_graphdb_spark.graph.algorithms import connected_components
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The pair frame is a shingle self-join; edges, verts AND pregel's
-    # initial state all read it — checkpoint once so the join runs once.
-    pairs = (
-        _pair_jaccard(doc_shingles(docs))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .localCheckpoint(eager=True)
-    )
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -573,3 +589,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=_clusters_oracle(),
+    description="duplicate clustering: exact-Jaccard pairs -> connected "
+    "components -> canonical keep-list. The exact pair tier makes this "
+    "hash-checkable against DuckDB — it is the equivalence ORACLE for "
+    "dedup_clusters_lsh, which is the form that runs at 100 TB",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-tier clustering: pairs from the quadratic shingle self-join
+    (test-scale verification operator), clusters via
+    :func:`cluster_assignments`.
+
+    This is what turns pairwise dedup output into actions a pipeline can
+    take (keep one representative per cluster). Reference has no corpus
+    dedup at all (SURVEY §2.E); pairs here are the exact oracle-tier
+    ones so the whole operator is hash-checkable against DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _pair_jaccard(doc_shingles(docs)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return cluster_assignments(pairs)
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=None,  # Spark-specific hashes in the LSH tier; cluster-pair
+    # agreement >=0.95 vs the exact-fed dedup_clusters is asserted in
+    # tests/test_llm_data_ops.py
+    description="duplicate clustering over MinHash+LSH verified pairs: "
+    "connected components + canonical keep-list with NO all-pairs join "
+    "anywhere in the plan — the 100 TB composition (dedup_clusters is "
+    "its exact-tier equivalence oracle)",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-tier clustering: same decision layer as
+    :func:`dedup_clusters`, but the edge set comes from
+    :func:`lsh_verified_pairs` — signatures, banded bucket join,
+    candidate verify — so the whole composition is sub-quadratic: the
+    only pair-shaped frames ever materialized are band-bucket
+    collisions, never the co-shingle blowup. Clusters agree with the
+    exact-fed form wherever LSH recall holds (near-dup clusters are
+    near-cliques, so a single recalled edge usually suffices to keep a
+    cluster connected).
+    """
+    return cluster_assignments(lsh_verified_pairs(spark, sf_dir))

@@ -290,3 +290,84 @@ def test_probe_cids_arrow_degenerate_vectors(spark):
     assert arw[1] == [2, 1, 0]  # healthy row ranked normally
     with pytest.raises((ArithmeticException, Py4JJavaError)):
         df.select("vec_id", _probe_cids(cents, 3).alias("p")).collect()
+
+
+def test_dedup_clusters_lsh_agreement(spark, oracle_sf_dir):
+    """The LSH-fed clustering (the 100 TB composition) must reproduce
+    the exact-fed clustering's same-cluster pair relation at >=0.95
+    Jaccard agreement (observed: 1.0 at sf0.001 and sf0.01 — near-dup
+    clusters are near-cliques, so LSH recall carries over)."""
+    import itertools
+
+    from project_graphdb_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_lsh,
+    )
+
+    def same_cluster_pairs(rows):
+        byc: dict = {}
+        for r in rows:
+            byc.setdefault(r.cluster_id, []).append(r.doc_id)
+        return {
+            p
+            for ids in byc.values()
+            for p in itertools.combinations(sorted(ids), 2)
+        }
+
+    exact = same_cluster_pairs(dedup_clusters(spark, oracle_sf_dir).collect())
+    lsh = same_cluster_pairs(
+        dedup_clusters_lsh(spark, oracle_sf_dir).collect()
+    )
+    assert exact, "sf0.01 should contain duplicate clusters"
+    agreement = len(exact & lsh) / len(exact | lsh)
+    assert agreement >= 0.95, f"cluster-pair agreement {agreement:.3f}"
+
+
+def test_lsh_pairs_plan_no_allpairs_join(spark, sf_dir):
+    """The LSH pair pipeline (which feeds dedup_clusters_lsh) must
+    never materialize the co-shingle self-join: no exploded `shingle`
+    column and no cartesian anywhere in the plan — band-bucket
+    collisions are the only pair-shaped frames."""
+    from project_graphdb_spark.operators.dedup import lsh_verified_pairs
+
+    df = lsh_verified_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "shingle#" not in plan  # the exact tier's exploded column
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_lsh_strict_recall(spark, sf_dir):
+    """The 0.8-threshold variant: lsh_params(0.8) -> 8 bands of 8 rows
+    (s-curve inflection 0.771). Collision probability at j=0.9 is
+    1-(1-0.9^8)^8 ~ 0.99, so the strict operator must recover >=90% of
+    exact pairs at j>=0.9 (observed: 1.0), and exact verification means
+    it never emits a pair below the 0.8 gate."""
+    from project_graphdb_spark.operators.dedup import (
+        STRICT_THRESHOLD,
+        dedup_minhash_lsh_strict,
+        dedup_ngram_jaccard,
+        lsh_params,
+    )
+
+    assert lsh_params(STRICT_THRESHOLD) == (8, 8)
+    exact9 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.9)
+        .collect()
+    }
+    exact8 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= STRICT_THRESHOLD)
+        .collect()
+    }
+    strict = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_strict(spark, sf_dir).collect()
+    }
+    assert exact9, "test data should contain high-similarity pairs"
+    assert strict <= exact8  # exact verify: no false positives
+    recall = len(strict & exact9) / len(exact9)
+    assert recall >= 0.9, f"strict recall@0.9 = {recall:.3f}"

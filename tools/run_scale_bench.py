@@ -27,8 +27,10 @@ from project_graphdb_spark import get_spark, workload  # noqa: E402
 EXTRA_STACK = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_strict",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_lsh",
     "ann_cosine_top10",
     "ann_ivf_top10",
     "embedding_near_dup_blocked",
