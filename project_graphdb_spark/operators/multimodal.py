@@ -149,6 +149,31 @@ def encode_bmp(width: int, height: int) -> bytes:
     return file_hdr + info
 
 
+def encode_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + APP0/JFIF + SOF0 (one grayscale component)
+    + EOI, same header-only style as :func:`encode_bmp`. A spec-legal
+    0xFF fill byte pads the SOF0 marker (ITU-T T.81 §B.1.1.2), so the
+    registered query exercises the decoder's fill-byte skip, not just
+    the happy path."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)  # 8 + 3 * components
+        + b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x01" + b"\x01\x11\x00"  # 1 component: id, sampling, qtable
+    )
+    return b"\xff\xd8" + app0 + b"\xff" + sof0 + b"\xff\xd9"
+
+
 def extract_payload_features(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -205,8 +230,13 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIMS_SCHEMA = "doc_id bigint, format string, width bigint, height bigint"
 
-_ENCODERS = {"png": encode_png, "gif": encode_gif, "bmp": encode_bmp}
-_FORMAT_CYCLE = ("png", "gif", "bmp")
+_ENCODERS = {
+    "png": encode_png,
+    "gif": encode_gif,
+    "bmp": encode_bmp,
+    "jpeg": encode_jpeg,
+}
+_FORMAT_CYCLE = ("png", "gif", "bmp", "jpeg")
 
 
 def synthesize_image_payloads(
@@ -215,15 +245,15 @@ def synthesize_image_payloads(
     """mapInPandas operator: doc_id → deterministic image payload.
 
     Stands in for a parquet scan of a real media table (TESTDATA.md has
-    none): format cycles png/gif/bmp by ``doc_id % 3`` and dimensions
-    derive from ``doc_id``, so an oracle can recompute the expectation
-    from the id alone. Payloads are built executor-side inside the Arrow
-    batch — the driver never sees a byte of media.
+    none): format cycles png/gif/bmp/jpeg by ``doc_id % 4`` and
+    dimensions derive from ``doc_id``, so an oracle can recompute the
+    expectation from the id alone. Payloads are built executor-side
+    inside the Arrow batch — the driver never sees a byte of media.
     """
     for pdf in batches:
         ids = pdf["doc_id"]
         payloads = [
-            _ENCODERS[_FORMAT_CYCLE[i % 3]](i % 640 + 1, (i * 7) % 480 + 1)
+            _ENCODERS[_FORMAT_CYCLE[i % 4]](i % 640 + 1, (i * 7) % 480 + 1)
             for i in ids
         ]
         yield pd.DataFrame({"doc_id": ids, "payload": payloads})
@@ -250,14 +280,16 @@ def extract_image_dims(
     "multimodal_image_dims",
     oracle="""
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
-                WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+           CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png'
+                WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+                ELSE 'jpeg' END AS format,
            doc_id % 640 + 1 AS width,
            (doc_id * 7) % 480 + 1 AS height
     FROM documents ORDER BY doc_id
     """,
-    description="multimodal image decode: synthetic PNG/GIF/BMP payloads "
-    "built executor-side, then REAL stdlib header parsing (struct-level "
+    description="multimodal image decode: synthetic PNG/GIF/BMP/JPEG "
+    "payloads built executor-side (the JPEG carries a spec-legal fill "
+    "byte before SOF0), then REAL stdlib header parsing (struct-level "
     "width/height/format, no stub constants) via chained mapInPandas",
 )
 def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,10 +84,10 @@ def test_image_dims_query_true_dimensions(spark, sf_dir):
     which must equal the id-derived ground truth for every row."""
     rows = multimodal_image_dims(spark, sf_dir).collect()
     assert rows
-    cycle = ("png", "gif", "bmp")
+    cycle = ("png", "gif", "bmp", "jpeg")
     for r in rows:
         i = r["doc_id"]
-        assert r["format"] == cycle[i % 3]
+        assert r["format"] == cycle[i % 4]
         assert r["width"] == i % 640 + 1
         assert r["height"] == (i * 7) % 480 + 1
 
