@@ -197,6 +197,32 @@ _DATE_COMPONENTS = {
 _DEC = "decimal(18,2)"
 
 
+def _collect_pdisc(e: object) -> list[A.FnCall]:
+    """Every non-DISTINCT ``percentileDisc`` call node under ``e``
+    (generic dataclass walk, document order)."""
+    found: list[A.FnCall] = []
+
+    def walk(node: object) -> None:
+        if isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+            return
+        if not hasattr(node, "__dict__"):
+            return
+        if (
+            isinstance(node, A.FnCall)
+            and node.name == "percentiledisc"
+            and not node.distinct
+            and len(node.args) == 2
+        ):
+            found.append(node)
+        for value in node.__dict__.values():
+            walk(value)
+
+    walk(e)
+    return found
+
+
 class _ExprCompiler:
     def __init__(
         self,
@@ -209,6 +235,9 @@ class _ExprCompiler:
         # id(PatternCount node) -> pre-joined count column name; filled
         # by _attach_pattern_counts before expressions compile
         self.pattern_counts = pattern_counts or {}
+        # id(percentileDisc FnCall) -> pre-agg window helper column;
+        # filled by _project before aggregate expressions compile
+        self.pdisc_cols: dict[int, str] = {}
         # lambda variables of enclosing list comprehensions / reduce()
         # (innermost binding shadows, same-name outer vars included)
         self.lambda_bindings: dict[str, Column] = {}
@@ -543,10 +572,19 @@ class _ExprCompiler:
         if name == "percentiledisc":
             # exact nearest-rank (smallest element with cume_dist >= p),
             # matching Neo4j's discrete percentile, with NO accuracy
-            # parameter to caveat: sort the group's values and pick the
-            # ceil(p*n)-th (1-based; p=0 -> min). Exact rank statistics
-            # need group-local order by definition; collect_list bounds
-            # memory by group size, same as any exact sort-within-group.
+            # parameter to caveat. _project rewrites grouped calls to a
+            # pre-aggregation window helper (see there): the window sort
+            # is spillable, so a single giant group cannot blow an
+            # aggregation buffer the way collect_list can.
+            pre = self.pdisc_cols.get(id(e))
+            if pre is not None:
+                # helper holds the value only on rows at/above the
+                # nearest-rank cutoff; min() picks the exact percentile
+                # with O(1) aggregate state
+                return F.min(F.col(pre))
+            # fallback for contexts _project does not rewrite: sort the
+            # group's values and pick the ceil(p*n)-th (1-based; p=0 ->
+            # min). Memory O(group) — exactness over boundedness.
             arr = F.sort_array(F.collect_list(self.compile(e.args[0])))
             n = F.size(arr)
             idx = F.greatest(
@@ -1542,6 +1580,32 @@ def _project(
         key_cols = [F.col(c) for c in pass_cols] + [
             comp.compile(i.expr).alias(n) for i, n in keys
         ]
+        # Bounded-memory percentileDisc: exact nearest-rank needs the
+        # group's value order, but sort_array(collect_list(...)) holds
+        # the whole group in ONE aggregation buffer row — a skewed group
+        # OOMs at scale. Rewrite each grouped call as a pre-aggregation
+        # window over the same keys (WindowExec's sort spills to disk)
+        # plus a plain min() in the aggregate: with cnt_le = running
+        # ties-inclusive count of non-null values and grp_n the group's
+        # non-null count, the smallest value whose cnt_le reaches
+        # ceil(p * grp_n) IS the nearest-rank pick (p=0 -> min).
+        pdisc_nodes = [
+            node for i, _ in aggs for node in _collect_pdisc(i.expr)
+        ]
+        if pdisc_nodes:
+            from pyspark.sql import Window
+        for j, node in enumerate(pdisc_nodes):
+            val = comp.compile(node.args[0])
+            pct = comp.compile(node.args[1])
+            wp = Window.partitionBy(*key_cols)
+            grp_n = F.count(val).over(wp)
+            cnt_le = F.count(val).over(wp.orderBy(val))
+            idx = F.greatest(F.lit(1).cast("bigint"), F.ceil(pct * grp_n))
+            cname = f"__pdisc_{j}"
+            df = df.withColumn(
+                cname, F.when(val.isNotNull() & (cnt_le >= idx), val)
+            )
+            comp.pdisc_cols[id(node)] = cname
         agg_cols = [comp.compile(i.expr).alias(n) for i, n in aggs]
         if scope.errors:
             raise CypherAnalysisError(scope.errors)

@@ -1377,3 +1377,46 @@ def test_corrector_scans_return_position_count(spark, sf_dir):
     assert any("PLACED_BY" in note for note in notes)
     rows = compile_cypher(g, q).collect()
     assert len(rows) == 5
+
+
+def test_percentile_disc_skewed_group_bounded_memory(spark, sf_dir):
+    """One group vastly larger than the others: grouped percentileDisc
+    must stay exact AND compile to the window rewrite (no collect_list
+    in the aggregate), so the giant group's values live in a spillable
+    window sort, never in one aggregation buffer row."""
+    import math
+
+    from project_graphdb_spark.graph.property_graph import PropertyGraph
+    from project_graphdb_spark.schema.graph_schema import (
+        GraphSchema,
+        NodeDef,
+    )
+
+    # 10k rows in group 'big', 3 rows in 'small', plus nulls to skip
+    rows = [(i, "big", float(i % 997)) for i in range(10_000)]
+    rows += [(20_000, "small", 7.0), (20_001, "small", 1.0),
+             (20_002, "small", 9.0), (20_003, "small", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, x double")
+    schema = GraphSchema(
+        nodes=[NodeDef("T", "id", ["grp", "x"])], relationships=[]
+    )
+    g = PropertyGraph(schema, nodes={"T": df}, edges={})
+    q = ("MATCH (t:T) RETURN t.grp AS grp, "
+         "percentileDisc(t.x, 0.5) AS p50, "
+         "percentileDisc(t.x, 0.9) AS p90")
+    out = compile_cypher(g, q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan  # rewritten to the window form
+    assert "Window" in plan
+
+    got = {r["grp"]: (r["p50"], r["p90"]) for r in out.collect()}
+    by_grp: dict[str, list[float]] = {}
+    for _id, grp, x in rows:
+        if x is not None:
+            by_grp.setdefault(grp, []).append(x)
+    for grp, vals in by_grp.items():
+        vals.sort()
+        exp = tuple(
+            vals[max(0, math.ceil(p * len(vals)) - 1)] for p in (0.5, 0.9)
+        )
+        assert got[grp] == exp, grp
