@@ -414,6 +414,63 @@ def _block_centroids(
     return _BLOCK_CENT_CACHE[key]
 
 
+def _blocked_candidates(
+    spark: SparkSession, sf_dir: str, nprobe: int = BLOCK_NPROBE
+) -> tuple[DataFrame | None, int, int]:
+    """(candidate-pair frame, n_vectors, k_centroids) for the blocked
+    near-dup path: every vector lands in its top-``nprobe`` of
+    ``k ~ sqrt(n)`` trained centroids; candidates are the distinct
+    same-centroid (vec_a < vec_b) pairs from an equi-join on centroid
+    id. The frame carries only ids — vectors join back later."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n == 0:
+        return None, 0, 0
+    k = max(IVF_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n)), >= 8
+    cents = _block_centroids(spark, sf_dir, emb, k)
+    probes = emb.select(
+        "vec_id", F.explode(probe_cids(cents, nprobe)).alias("cid")
+    )
+    a = probes.alias("a")
+    b = probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return cand, n, k
+
+
+def blocked_candidate_stats(
+    spark: SparkSession, sf_dir: str, nprobe: int = BLOCK_NPROBE
+) -> dict:
+    """Measured vs predicted candidate volume for the blocked near-dup
+    path — the observability hook the scale bench records so SCALE.md
+    can track whether the P^2 * n^2 / k envelope actually holds as data
+    grows (one count job over the id-only candidate frame; never part
+    of the registered query's plan)."""
+    cand, n, k = _blocked_candidates(spark, sf_dir, nprobe)
+    measured = cand.count() if cand is not None else 0
+    predicted = nprobe * nprobe * n * n / k if k else 0.0
+    return {
+        "n_vectors": n,
+        "k_centroids": k,
+        "nprobe": nprobe,
+        "candidate_pairs": measured,
+        "predicted_pairs": round(predicted, 1),
+        "all_pairs": n * (n - 1) // 2,
+    }
+
+
 @register(
     "embedding_near_dup_blocked",
     oracle=None,  # approximate by construction; recall >= 0.95 vs the
@@ -433,7 +490,8 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no cartesian / broadcast-nested-loop anywhere in the plan).
     Candidate generation carries only (vec_id, cid); vectors are joined
     back for the exact-cosine verify, mirroring the candidate-first
-    LSH verify in ``operators/dedup.py``.
+    LSH verify in ``operators/dedup.py``. Measured-vs-predicted
+    candidate volume is observable via :func:`blocked_candidate_stats`.
 
     Honesty note: at the test threshold (0.4 — nearly random cosine on
     this synthetic data) blocking prunes little *locally*; the prune
@@ -441,33 +499,12 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups are true duplicates (cos >= 0.85) as in a real corpus.
     Recall vs the brute tier at sf0.01 is ~0.98 (asserted >= 0.95).
     """
-    import math
-
-    emb = _emb(spark, sf_dir)
-    n = emb.count()
-    if n == 0:
+    cand, n, _k = _blocked_candidates(spark, sf_dir)
+    if cand is None:
         return spark.createDataFrame(
             [], "vec_a long, vec_b long, cos_sim double"
         )
-    k = max(IVF_K, math.isqrt(max(n - 1, 0)) + 1)  # ceil(sqrt(n)), >= 8
-    cents = _block_centroids(spark, sf_dir, emb, k)
-    probes = emb.select(
-        "vec_id", F.explode(probe_cids(cents, BLOCK_NPROBE)).alias("cid")
-    )
-    a = probes.alias("a")
-    b = probes.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
+    emb = _emb(spark, sf_dir)
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (

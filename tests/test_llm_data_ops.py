@@ -371,3 +371,18 @@ def test_minhash_lsh_strict_recall(spark, sf_dir):
     assert strict <= exact8  # exact verify: no false positives
     recall = len(strict & exact9) / len(exact9)
     assert recall >= 0.9, f"strict recall@0.9 = {recall:.3f}"
+
+
+def test_blocked_candidate_stats(spark, sf_dir):
+    """Telemetry for the blocked near-dup path: measured candidate
+    volume is positive, bounded by all-pairs, and the nprobe knob
+    monotonically widens the candidate set."""
+    from project_graphdb_spark.operators.similarity import (
+        blocked_candidate_stats,
+    )
+
+    s = blocked_candidate_stats(spark, sf_dir)
+    assert s["n_vectors"] > 0 and s["k_centroids"] >= 8
+    assert 0 < s["candidate_pairs"] <= s["all_pairs"]
+    narrow = blocked_candidate_stats(spark, sf_dir, nprobe=1)
+    assert narrow["candidate_pairs"] <= s["candidate_pairs"]

@@ -76,9 +76,20 @@ def main() -> None:
         results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
         print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
 
+    # candidate-volume telemetry for the blocked embedding dedup path:
+    # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
+    # track whether the sub-quadratic envelope holds as data grows
+    from project_graphdb_spark.operators.similarity import (
+        blocked_candidate_stats,
+    )
+
+    cand_stats = blocked_candidate_stats(spark, sf_dir)
+    print("blocked_candidate_stats:", json.dumps(cand_stats))
+
     payload = {
         "sf_dir": sf_dir,
         "results": results,
+        "blocked_candidate_stats": cand_stats,
         "excluded_quadratic_oracles": EXCLUDED,
     }
     if out_json:
