@@ -24,12 +24,63 @@ unions into one id space (same construction as the oracle SQL).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.graph.property_graph import PropertyGraph
 
 CHECKPOINT_EVERY = 5
+
+# Per-iteration wall-times of the most recent run of each iterative
+# algorithm, keyed by algorithm name. Because every superstep ends in an
+# eager localCheckpoint (and, when converging, an eager count), the loop
+# body boundaries ARE the superstep boundaries, so a perf_counter pair
+# per iteration is an accurate per-superstep timer. Driver-side
+# bookkeeping only — negligible cost, always on. The scale-bench tooling
+# (tools/run_iterative_bench.py) reads this to report how superstep cost
+# grows with data size.
+LAST_ITER_SECONDS: dict[str, list[float]] = {}
+
+
+def _record_iter(name: str, seconds: list[float]) -> None:
+    LAST_ITER_SECONDS[name] = [round(s, 3) for s in seconds]
+
+
+def _persistent_ids(sc) -> set[int]:
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """Eager localCheckpoint that also reports which block-manager RDD
+    ids the checkpoint created, so the caller can free superseded
+    superstep state with :func:`_unpersist`.
+
+    Why: ``localCheckpoint`` pins its blocks until the RDD is GC'd, and
+    the Python-side DataFrame wrapper gives no handle on the underlying
+    checkpointed RDD — so without tracking, an N-iteration algorithm
+    pins N copies of vertex state in block storage. Harmless-looking at
+    test scale, but measurably toxic even at sf0.1: running the seven
+    galg_* algorithms back-to-back in one session made late BFS
+    supersteps ~12x slower (31s vs 2.5s) from eviction/GC pressure —
+    and at 100 TB it is an executor OOM. The id-diff is safe here
+    because these loops run single-threaded on the driver; nothing else
+    persists RDDs between the before/after snapshots.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_ids(sc) - before
+
+
+def _unpersist(sc, ids: set[int]) -> None:
+    """Free the given block-manager RDD ids (non-blocking)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def unified_vertices(graph: PropertyGraph) -> DataFrame:
@@ -126,6 +177,7 @@ def pregel(
     update: dict[str, Column],
     max_iter: int = 20,
     converge_on: str | None = None,
+    telemetry_name: str = "pregel",
 ) -> DataFrame:
     """Generic Pregel loop on DataFrames.
 
@@ -141,16 +193,22 @@ def pregel(
     """
     # the edge frame is re-read every superstep — checkpoint it once so
     # the per-iteration cost is one join, not (scan+distinct)+join
-    edges = edges.localCheckpoint(eager=True)
-    state = vertices.select(
-        "id", *[col.alias(name) for name, col in initial.items()]
-    ).localCheckpoint(eager=True)
+    sc = vertices.sparkSession.sparkContext
+    edges, edge_ids = _ckpt(edges)
+    state, state_ids = _ckpt(
+        vertices.select(
+            "id", *[col.alias(name) for name, col in initial.items()]
+        )
+    )
+    iter_secs: list[float] = []
     for _ in range(max_iter):
+        t0 = time.perf_counter()
         msgs = aggregate_messages(state, edges, message, agg)
         updated = state.join(msgs, "id", "left").select(
             "id", *[col.alias(name) for name, col in update.items()]
         )
-        updated = updated.localCheckpoint(eager=True)
+        updated, new_ids = _ckpt(updated)
+        changed = None
         if converge_on is not None:
             changed = (
                 updated.alias("u")
@@ -160,11 +218,15 @@ def pregel(
                 )
                 .count()
             )
-            state = updated
-            if changed == 0:
-                break
-        else:
-            state = updated
+        # the old state is superseded the moment its successor is
+        # materialized (and the convergence diff, which reads it, ran)
+        _unpersist(sc, state_ids)
+        state, state_ids = updated, new_ids
+        iter_secs.append(time.perf_counter() - t0)
+        if changed == 0:
+            break
+    _unpersist(sc, edge_ids)
+    _record_iter(telemetry_name, iter_secs)
     return state
 
 
@@ -202,6 +264,7 @@ def connected_components(
         },
         max_iter=max_iter,
         converge_on="component",
+        telemetry_name="connected_components",
     )
 
 
@@ -235,12 +298,15 @@ def label_propagation(
         vertices = unified_vertices(graph)
         edges = unified_edges(graph, undirected=True)
     assert vertices is not None and edges is not None
-    edges = edges.localCheckpoint(eager=True)
+    sc = vertices.sparkSession.sparkContext
+    edges, edge_ids = _ckpt(edges)
 
-    state = vertices.select(
-        "id", F.col("id").alias("community")
-    ).localCheckpoint(eager=True)
+    state, state_ids = _ckpt(
+        vertices.select("id", F.col("id").alias("community"))
+    )
+    iter_secs: list[float] = []
     for _ in range(max_iter):
+        t0 = time.perf_counter()
         counts = (
             send_messages(state, edges, F.col("v_community"))
             .groupBy("id", "__msg")
@@ -252,16 +318,19 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("id", F.col("__msg").alias("__agg"))
         )
-        state = (
-            state.join(best, "id", "left")
-            .select(
+        updated, new_ids = _ckpt(
+            state.join(best, "id", "left").select(
                 "id",
                 F.coalesce(F.col("__agg"), F.col("community")).alias(
                     "community"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        _unpersist(sc, state_ids)
+        state, state_ids = updated, new_ids
+        iter_secs.append(time.perf_counter() - t0)
+    _unpersist(sc, edge_ids)
+    _record_iter("label_propagation", iter_secs)
     return state
 
 
@@ -302,17 +371,18 @@ def pagerank(
     """(id, rank) — classic power iteration with dangling-mass
     redistribution, fixed iteration count (deterministic plan shape)."""
     vertices = unified_vertices(graph)
-    edges = unified_edges(graph).localCheckpoint(eager=True)
+    sc = vertices.sparkSession.sparkContext
+    edges, edge_ids = _ckpt(unified_edges(graph))
     n = vertices.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_degree")
     )
     state = vertices.join(out_deg, "id", "left").na.fill(0, ["out_degree"])
-    state = state.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
-    )
+    state, state_ids = _ckpt(state.withColumn("rank", F.lit(1.0 / n)))
 
+    iter_secs: list[float] = []
     for i in range(iterations):
+        t0 = time.perf_counter()
         contribs = (
             edges.join(state, edges.src == state.id)
             .select("dst", (F.col("rank") / F.col("out_degree")).alias("c"))
@@ -342,7 +412,12 @@ def pagerank(
         # Unlike the Pregel loop, each iteration references `state` twice
         # (dangling-mass subtree + the main update), so un-checkpointed
         # lineage doubles per iteration — checkpoint every step.
-        state = new_state.localCheckpoint(eager=True)
+        new_state, new_ids = _ckpt(new_state)
+        _unpersist(sc, state_ids)
+        state, state_ids = new_state, new_ids
+        iter_secs.append(time.perf_counter() - t0)
+    _unpersist(sc, edge_ids)
+    _record_iter("pagerank", iter_secs)
     return state.select("id", "rank")
 
 
@@ -374,6 +449,7 @@ def shortest_paths(
         },
         max_iter=max_iter,
         converge_on="dist",
+        telemetry_name="shortest_paths",
     )
     return out.select(
         "id",
@@ -400,23 +476,36 @@ def multi_source_hops(
     which is why the compiler anchors BFS on the more selective
     endpoint.
     """
-    visited = sources.select(
-        "root", F.col("root").alias("id"), F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
+    sc = sources.sparkSession.sparkContext
+    visited, visited_ids = _ckpt(
+        sources.select(
+            "root", F.col("root").alias("id"), F.lit(0).alias("dist")
+        )
+    )
     frontier = visited
+    frontier_ids: set[int] = set()  # depth-0 frontier shares visited's blocks
+    iter_secs: list[float] = []
     for depth in range(1, max_depth + 1):
-        neighbors = (
+        t0 = time.perf_counter()
+        neighbors, n_ids = _ckpt(
             edges.join(frontier, edges.src == frontier.id)
             .select("root", F.col("dst").alias("id"))
             .distinct()
             .join(visited, ["root", "id"], "left_anti")
             .select("root", "id", F.lit(depth).alias("dist"))
-            .localCheckpoint(eager=True)
         )
         if neighbors.isEmpty():
+            _unpersist(sc, n_ids)
+            iter_secs.append(time.perf_counter() - t0)
             break
-        visited = visited.unionByName(neighbors).localCheckpoint(eager=True)
-        frontier = neighbors
+        new_visited, v_ids = _ckpt(visited.unionByName(neighbors))
+        _unpersist(sc, visited_ids)
+        _unpersist(sc, frontier_ids)
+        visited, visited_ids = new_visited, v_ids
+        frontier, frontier_ids = neighbors, n_ids
+        iter_secs.append(time.perf_counter() - t0)
+    _unpersist(sc, frontier_ids)
+    _record_iter("multi_source_hops", iter_secs)
     return visited
 
 
@@ -431,27 +520,37 @@ def bfs_distances(
     Frontier expansion: one join + subtract per level; visited set and
     frontier are checkpointed so lineage stays flat.
     """
-    edges = unified_edges(graph, undirected=undirected).localCheckpoint(
-        eager=True
-    )
-    visited = (
+    raw_edges = unified_edges(graph, undirected=undirected)
+    sc = raw_edges.sparkSession.sparkContext
+    edges, edge_ids = _ckpt(raw_edges)
+    visited, visited_ids = _ckpt(
         unified_vertices(graph)
         .filter(F.col("id") == start_id)
         .select("id", F.lit(0).alias("dist"))
-        .localCheckpoint(eager=True)
     )
     frontier = visited
+    frontier_ids: set[int] = set()  # depth-0 frontier shares visited's blocks
+    iter_secs: list[float] = []
     for depth in range(1, max_depth + 1):
-        neighbors = (
+        t0 = time.perf_counter()
+        neighbors, n_ids = _ckpt(
             edges.join(frontier, edges.src == frontier.id)
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
             .select("id", F.lit(depth).alias("dist"))
         )
-        neighbors = neighbors.localCheckpoint(eager=True)
         if neighbors.isEmpty():
+            _unpersist(sc, n_ids)
+            iter_secs.append(time.perf_counter() - t0)
             break
-        visited = visited.unionByName(neighbors).localCheckpoint(eager=True)
-        frontier = neighbors
+        new_visited, v_ids = _ckpt(visited.unionByName(neighbors))
+        _unpersist(sc, visited_ids)
+        _unpersist(sc, frontier_ids)
+        visited, visited_ids = new_visited, v_ids
+        frontier, frontier_ids = neighbors, n_ids
+        iter_secs.append(time.perf_counter() - t0)
+    _unpersist(sc, frontier_ids)
+    _unpersist(sc, edge_ids)
+    _record_iter("bfs_distances", iter_secs)
     return visited

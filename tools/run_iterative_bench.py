@@ -1,0 +1,96 @@
+"""Self-scaled stress run for the ITERATIVE graph family.
+
+The headline scale bench (tools/run_scale_bench.py) covers the
+single-pass relational/dedup/ANN stack; this runner covers the family
+where 10x data bites differently — one shuffle + eager localCheckpoint
+per superstep: the 7 ``galg_*`` algorithms plus the two Cypher queries
+that lower to BFS / bounded var-length self-joins.
+
+Usage: python tools/run_iterative_bench.py <sf_dir> [--json out.json]
+       [--only name1,name2]
+
+For each query: ONE timed pass, no warm-up. Unlike the lazy single-plan
+headline queries there is no cold/warm plan distinction to control for —
+every superstep materializes eagerly — and at sf1 a warm-up pass would
+double a multi-minute run for no signal. JVM/codegen warm-up is absorbed
+by the cheap ``galg_degrees`` query running first. After each query the
+per-superstep wall-times recorded by ``graph.algorithms
+.LAST_ITER_SECONDS`` are captured, so the output shows not just the
+total but how superstep cost evolves (frontier growth/decay, convergence
+round) — the per-iteration timing SCALE.md cites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from project_graphdb_spark import get_spark, workload  # noqa: E402
+from project_graphdb_spark.graph import algorithms  # noqa: E402
+
+ITERATIVE = [
+    "galg_degrees",  # non-iterative but same graph build: warm-up + floor
+    "galg_bfs_from_customer1",
+    "galg_connected_components",
+    "galg_shortest_paths",
+    "galg_pagerank_top20",
+    "galg_label_propagation",
+    "galg_triangle_count",
+    "cypher_shortestpath_nation_pairs",
+    "cypher_varlength_customers_per_region",
+]
+
+
+def clear_persistent(spark) -> None:
+    """Free every pinned block between queries: the algorithms free their
+    own superseded superstep state, but each returned result frame keeps
+    its final checkpoint alive — fine inside one query, unfair memory
+    pressure on the next one's timing."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in list(jmap.keySet().toArray()):
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    out_json = None
+    if "--json" in sys.argv:
+        out_json = sys.argv[sys.argv.index("--json") + 1]
+    names = ITERATIVE
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+
+    spark = get_spark(app_name="iterative-bench")
+    workload._ensure_loaded()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = workload.REGISTRY[name].fn
+        algorithms.LAST_ITER_SECONDS.clear()
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        iters = {k: v for k, v in algorithms.LAST_ITER_SECONDS.items()}
+        results[name] = {"sec": dt, "rows": n, "iter_secs": iters}
+        clear_persistent(spark)
+        print(f"{name:40s} {dt:9.3f}s {n:>10d} rows")
+        for algo, secs in iters.items():
+            print(f"    {algo}: {len(secs)} iters {secs}")
+
+    payload = {"sf_dir": sf_dir, "results": results}
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1)
+    print(json.dumps({k: v["sec"] for k, v in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,13 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
         print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
+        # free blocks pinned by checkpointing queries (dedup_clusters*)
+        # so they don't tax the next query's timing
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in list(jmap.keySet().toArray()):
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(True)
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
