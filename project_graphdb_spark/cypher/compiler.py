@@ -957,7 +957,13 @@ def _bind_patterns(
 
             edge_var = edge_pat.var or fresh("r")
             edge_pat.var = edge_var
-            eframe = graph.edges[edge_pat.rel_type].df
+            # join_df: this path always inner-joins BOTH endpoint node
+            # frames on the edge keys (below), which subsumes the
+            # resolved frame's dangling-FK semi-joins — the raw tier
+            # saves two joins per hop. Paths that consume edges without
+            # endpoint joins (any_edge_frame, shortestPath/var-length
+            # pairs) stay on the resolved .df.
+            eframe = graph.edges[edge_pat.rel_type].join_df
             if symmetric:
                 # self-type undirected: each edge matches both ways
                 swapped = eframe.select(

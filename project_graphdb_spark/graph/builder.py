@@ -130,23 +130,29 @@ def build_graph(
         dst_keys = nodes[rel.target].select(
             F.col(schema.node(rel.target).key).alias("__k")
         )
-        df = (
-            t.na.drop(subset=[rel.key_s, rel.key_t])
-            .join(src_keys, t[rel.key_s] == src_keys["__k"], "left_semi")
-            .join(dst_keys, t[rel.key_t] == dst_keys["__k"], "left_semi")
-            .select(
-                F.col(rel.key_s).alias("src"),
-                F.col(rel.key_t).alias("dst"),
-                *rel.properties,
-            )
+        # raw tier: null-key drop (+ full-row dedup when the PK doesn't
+        # prove uniqueness). The dedup commutes with the semi filters
+        # below because it covers every selected column.
+        raw = t.na.drop(subset=[rel.key_s, rel.key_t]).select(
+            F.col(rel.key_s).alias("src"),
+            F.col(rel.key_t).alias("dst"),
+            *rel.properties,
         )
         if not _pk_guarantees_unique(
             relational,
             rel.table_name,
             {rel.key_s, rel.key_t, *rel.properties},
         ):
-            df = df.dropDuplicates(["src", "dst", *rel.properties])
-        edges[rel.label] = EdgeFrame(meta=rel, df=df)
+            raw = raw.dropDuplicates(["src", "dst", *rel.properties])
+        # resolved tier: drop dangling FKs via key-only left-semi joins
+        # (reference inject_relationship.py:636-644 MATCH-resolution
+        # parity). Pattern matches that inner-join both endpoint node
+        # frames consume ``raw`` instead (EdgeFrame.join_df) — the inner
+        # joins subsume the semis.
+        df = raw.join(
+            src_keys, raw["src"] == src_keys["__k"], "left_semi"
+        ).join(dst_keys, raw["dst"] == dst_keys["__k"], "left_semi")
+        edges[rel.label] = EdgeFrame(meta=rel, df=df, raw_df=raw)
 
     return PropertyGraph(schema=schema, nodes=nodes, edges=edges)
 

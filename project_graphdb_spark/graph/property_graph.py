@@ -36,7 +36,20 @@ from project_graphdb_spark.schema.graph_schema import (
 @dataclass
 class EdgeFrame:
     meta: RelationshipDef
-    df: DataFrame  # columns: src, dst, *meta.properties
+    df: DataFrame  # columns: src, dst, *meta.properties (endpoint-resolved)
+    # Pre-resolution form: null keys dropped and deduped, but WITHOUT the
+    # two dangling-FK left-semi joins. Only valid to consume when the
+    # query inner-joins BOTH endpoint node frames on their keys — node
+    # keys are unique by construction (build_node_frame dedups or the
+    # PK proves it), so those inner joins drop exactly the rows the
+    # semi-joins would, and the semis become pure plan overhead (two
+    # extra broadcast builds + probes per hop at fact scale).
+    raw_df: DataFrame | None = None
+
+    @property
+    def join_df(self) -> DataFrame:
+        """The frame to use when both endpoints get inner-joined."""
+        return self.raw_df if self.raw_df is not None else self.df
 
 
 class PropertyGraph:
@@ -94,6 +107,8 @@ class PropertyGraph:
             df.persist()
         for ef in self.edges.values():
             ef.df.persist()
+            if ef.raw_df is not None:
+                ef.raw_df.persist()
         return self
 
     def unpersist(self) -> "PropertyGraph":
@@ -101,6 +116,8 @@ class PropertyGraph:
             df.unpersist()
         for ef in self.edges.values():
             ef.df.unpersist()
+            if ef.raw_df is not None:
+                ef.raw_df.unpersist()
         return self
 
     # -- SQL surface --------------------------------------------------------
@@ -150,7 +167,10 @@ class PropertyGraph:
         dst_nodes = self.nodes[dst_label].alias("t")
         src_key = self.schema.node(src_label).key
         dst_key = self.schema.node(dst_label).key
-        edge = ef.df.alias("e")
+        # join_df: both endpoints are inner-joined below, which drops
+        # dangling FKs exactly like the resolved frame's semi-joins —
+        # using the raw tier removes two redundant joins from every hop.
+        edge = ef.join_df.alias("e")
         # explicit aliases: edge and node frames may share lineage (an FK
         # edge is derived from the same table as its source node frame),
         # which otherwise trips Spark's ambiguous-self-join detection

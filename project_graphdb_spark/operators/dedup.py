@@ -337,7 +337,12 @@ def lsh_candidate_pairs(
     )
 
 
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[int, str], tuple[DataFrame, set[int]]] = {}
+
+
+def _live_persistent_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
 
 
 def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,21 +353,40 @@ def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs) share ONE cached copy instead of stacking identical
     persists — no CacheManager "already cached" warnings, no unbounded
     cache growth. ``clear_shingle_cache`` releases it explicitly.
+
+    Self-healing against FOREIGN block eviction: a harness that sweeps
+    ``sc.getPersistentRDDs()*.unpersist()`` between queries (both bench
+    runners do, to stop checkpoint blocks taxing the next query) kills
+    the cached blocks but leaves the CacheManager entry registered with
+    a dead builder — after which every one of the THREE plan references
+    to this frame (signature build + both verify sides) silently
+    recomputes the full shingle scan with no re-caching. Measured at
+    sf1: 5 s with live cache, 86 s after such a sweep. So each lookup
+    verifies the persistent-RDD ids captured at build time are still
+    live and rebuilds the cache entry when they are not.
     """
     key = (id(spark), sf_dir)
-    if key not in _SHINGLE_CACHE:
-        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        _SHINGLE_CACHE[key] = (
-            docs.repartition("doc_id")
-            .select("doc_id", hashed_shingle_array("text").alias("sh_arr"))
-            .persist()
-        )
-    return _SHINGLE_CACHE[key]
+    if key in _SHINGLE_CACHE:
+        df, ids = _SHINGLE_CACHE[key]
+        if ids <= _live_persistent_ids(spark):
+            return df
+        df.unpersist()  # drop the stale CacheManager entry, then rebuild
+        del _SHINGLE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    before = _live_persistent_ids(spark)
+    df = (
+        docs.repartition("doc_id")
+        .select("doc_id", hashed_shingle_array("text").alias("sh_arr"))
+        .persist()
+    )
+    df.count()  # materialize now so the captured block ids are real
+    _SHINGLE_CACHE[key] = (df, _live_persistent_ids(spark) - before)
+    return df
 
 
 def clear_shingle_cache() -> None:
     """Unpersist and drop every memoized shingle frame."""
-    for df in _SHINGLE_CACHE.values():
+    for df, _ids in _SHINGLE_CACHE.values():
         df.unpersist()
     _SHINGLE_CACHE.clear()
 

@@ -71,6 +71,32 @@ def test_graph_build_semantics(spark):
     # node 1 -> dim 10 resolves; node 3 -> 99 dangles (silently dropped)
     assert [(r.src, r.dst) for r in edges.collect()] == [(1, 10)]
 
+    # match() consumes the raw edge tier (no dangling-FK semi-joins) —
+    # the inner joins with both endpoint node frames must drop the
+    # dangling row all the same, so the two tiers agree result-wise
+    m = g.match("Src", edge_type)
+    assert [(r.id, r.d_id) for r in m.collect()] == [(1, 10)]
+    ef = g.edges[edge_type]
+    assert ef.raw_df is not None
+    # the raw tier really is pre-resolution: it still carries 3 -> 99
+    assert ef.raw_df.count() == 2 and ef.df.count() == 1
+
+
+def test_match_elides_dangling_semi_joins(spark, sf_dir):
+    """A 1-hop match is exactly 2 joins (edge->src nodes, edge->dst
+    nodes) — the resolved tier's dangling-FK left-semi joins are
+    subsumed by those inner joins and must NOT appear in the plan
+    (they'd be two extra broadcast builds + probes per hop at fact
+    scale)."""
+    import re
+
+    g = tpch_graph(spark, sf_dir)
+    df = g.match("Orders", "CONTAINS_ITEM", "Part")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = len(re.findall(r"(?:BroadcastHash|ShuffledHash|SortMerge)Join", plan))
+    assert joins == 2, plan
+    assert "LeftSemi" not in plan, plan
+
 
 def test_match_shape(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)

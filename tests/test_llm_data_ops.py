@@ -386,3 +386,35 @@ def test_blocked_candidate_stats(spark, sf_dir):
     assert 0 < s["candidate_pairs"] <= s["all_pairs"]
     narrow = blocked_candidate_stats(spark, sf_dir, nprobe=1)
     assert narrow["candidate_pairs"] <= s["candidate_pairs"]
+
+
+def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):
+    """Both bench runners sweep ``sc.getPersistentRDDs()*.unpersist()``
+    between queries. That kills the memoized shingle frame's blocks but
+    leaves its CacheManager entry pointing at a dead builder, after
+    which every plan reference recomputes the shingle scan uncached
+    (measured 5 s -> 86 s at sf1). The memo must detect the foreign
+    eviction and rebuild."""
+    from project_graphdb_spark.operators import dedup as D
+
+    D.clear_shingle_cache()
+    df1 = D._shingle_arrays_persisted(spark, sf_dir)
+    n1 = df1.count()
+    key = (id(spark), sf_dir)
+    _, ids = D._SHINGLE_CACHE[key]
+    assert ids and ids <= D._live_persistent_ids(spark)
+
+    # the foreign sweep
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in list(jmap.keySet().toArray()):
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(True)
+    assert not (ids & D._live_persistent_ids(spark))
+
+    df2 = D._shingle_arrays_persisted(spark, sf_dir)
+    _, ids2 = D._SHINGLE_CACHE[key]
+    # a fresh, genuinely-live cache entry backs the returned frame
+    assert ids2 and ids2 <= D._live_persistent_ids(spark)
+    assert df2.count() == n1
+    D.clear_shingle_cache()
