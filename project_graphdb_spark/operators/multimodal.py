@@ -5,9 +5,11 @@ treated as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched pandas functions over ``mapInPandas``. Header-level image
 decode (PNG/GIF/BMP/JPEG format + true width/height) is REAL — pure
 stdlib ``struct`` parsing, oracle-tested round-trip against stdlib
-encoders. Only pixel-level decode/resize (which genuinely needs codec
-libraries absent from this container) remains stubbed behind
-``NotImplementedError``; the Spark-side plumbing (schema, batch
+encoders. Pixel-level PNG decode/resize/encode is REAL too (stdlib
+``zlib`` inflate + the spec §9 scanline filters + numpy nearest-
+neighbor resample); only GIF/BMP/JPEG *pixel* entropy decode — which
+genuinely needs codec libraries absent from this container — raises
+``NotImplementedError``. The Spark-side plumbing (schema, batch
 iteration, partitioning, UDF signatures) is real and oracle-tested.
 
 Design for 100 TB of binary payloads:
@@ -302,6 +304,101 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+RESIZE_W, RESIZE_H = 16, 12  # fixed target for the registered resize query
+RESIZE_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, pixel_sum bigint"
+)
+
+
+def synthesize_gradient_pngs(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: doc_id → real grayscale gradient PNG.
+
+    Dimensions and every pixel derive from the id —
+    ``pixel(r, c) = (7r + 13c + doc_id) mod 256`` at
+    ``(doc_id % 40 + 8) x (3*doc_id % 40 + 8)`` — so a SQL oracle can
+    recompute the resampled pixel sums without decoding anything.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        ids = pdf["doc_id"]
+        payloads = []
+        for i in ids:
+            sw, sh = int(i) % 40 + 8, (3 * int(i)) % 40 + 8
+            r = np.arange(sh).reshape(-1, 1)
+            c = np.arange(sw).reshape(1, -1)
+            px = ((7 * r + 13 * c + int(i)) % 256).astype(np.uint8)
+            payloads.append(encode_png_pixels(px[:, :, None]))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+def resize_and_measure(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: PNG payload → nearest-neighbor resize to
+    ``RESIZE_W x RESIZE_H`` → decoded dims + exact pixel sum of the
+    RESIZED image. Runs the full real codec round-trip (decode →
+    resample → encode → decode) executor-side."""
+    import numpy as np
+
+    for pdf in batches:
+        dims = []
+        for p in pdf["payload"]:
+            out = resize_image(p, RESIZE_W, RESIZE_H)
+            px = decode_png_pixels(out)
+            dims.append((px.shape[1], px.shape[0], int(np.sum(px, dtype=np.int64))))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "pixel_sum": [d[2] for d in dims],
+            }
+        )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+    -- replicate the nearest-neighbor resample arithmetic: source pixel
+    -- (7r+13c+id) mod 256 at floor(R*sh/{RESIZE_H}), floor(C*sw/{RESIZE_W})
+    WITH rows_ AS (SELECT i AS r FROM generate_series(0, {RESIZE_H - 1}) t(i)),
+    cols_ AS (SELECT i AS c FROM generate_series(0, {RESIZE_W - 1}) t(i)),
+    src AS (
+      SELECT doc_id, doc_id % 40 + 8 AS sw, (3 * doc_id) % 40 + 8 AS sh
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           {RESIZE_W} AS width,
+           {RESIZE_H} AS height,
+           SUM((7 * ((r * sh) // {RESIZE_H})
+                + 13 * ((c * sw) // {RESIZE_W})
+                + doc_id) % 256) AS pixel_sum
+    FROM src CROSS JOIN rows_ CROSS JOIN cols_
+    GROUP BY doc_id, sw, sh ORDER BY doc_id
+    """,
+    description="multimodal image resize: REAL stdlib PNG codec round "
+    "trip — gradient PNGs synthesized executor-side, zlib pixel decode, "
+    "nearest-neighbor resample, re-encode, re-decode; the oracle "
+    "recomputes the resampled pixel sums arithmetically. (A production "
+    "cluster swaps PIL/opencv into the same mapInPandas operator shape; "
+    "the pure-Python codec keeps the pipeline honest where those libs "
+    "are absent.)",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+    payloads = ids.mapInPandas(
+        synthesize_gradient_pngs, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        resize_and_measure, schema=RESIZE_SCHEMA
+    ).orderBy("doc_id")
+
+
 FRAME_BYTES = 64  # deterministic fake "frame" size for the stub codec
 FRAME_SCHEMA = (
     "doc_id bigint, frame_index bigint, frame_bytes bigint, "
@@ -309,12 +406,134 @@ FRAME_SCHEMA = (
 )
 
 
-def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Stub: real resize needs PIL/opencv (absent here). The Spark-side
-    call shape (mapInPandas over binary + params) is what's tested."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv; not present in this environment"
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> bytes/pixel at depth 8
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG pixel decode for 8-bit-depth, non-interlaced images
+    (color types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA) — stdlib
+    ``zlib`` inflate + the five scanline filters of PNG spec §9
+    (None/Sub/Up/Average/Paeth), vectorized per scanline with numpy.
+
+    Returns a ``(height, width, channels)`` uint8 array. Raises
+    ``ValueError`` for non-PNG payloads or PNG features out of scope
+    (16-bit depth, palette, interlace) — those genuinely need a codec
+    library and stay unsupported rather than wrongly decoded.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG payload")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
     )
+    if depth != 8 or ctype not in _PNG_BPP or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={ctype} "
+            f"interlace={interlace}); only 8-bit non-interlaced"
+        )
+    bpp = _PNG_BPP[ctype]
+    # walk chunks, concatenating IDAT bodies (spec: one zlib stream
+    # split across any number of IDAT chunks)
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i: i + 4])
+        tag = payload[i + 4: i + 8]
+        if tag == b"IDAT":
+            idat += payload[i + 8: i + 8 + length]
+        if tag == b"IEND":
+            break
+        i += 12 + length  # length + tag + body + CRC
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for row in range(h):
+        ftype = raw[row * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=row * (1 + stride) + 1,
+        ).copy()
+        if ftype == 1:  # Sub: + left
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up: + above
+            line += prev
+        elif ftype == 3:  # Average: + floor((left+above)/2)
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[row] = line
+        prev = line
+    return out.reshape(h, w, bpp)
+
+
+def encode_png_pixels(pixels) -> bytes:
+    """Encode an ``(h, w, c)`` uint8 array (c in 1/2/3/4) as a valid
+    PNG — filter 0 scanlines, one zlib IDAT, CRCs included."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[row].tobytes() for row in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for PNG payloads, stdlib+numpy only:
+    :func:`decode_png_pixels` → index-map resample → re-encode. GIF/BMP/
+    JPEG pixel decode genuinely needs codec libraries absent from this
+    container and raises ``NotImplementedError`` (honest gate, not a
+    fake result)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        fmt = decode_image(payload)["format"]
+        raise NotImplementedError(
+            f"pixel decode for {fmt} requires a codec library; "
+            "only PNG resize is supported in this environment"
+        )
+    src = decode_png_pixels(payload)
+    sh, sw, _c = src.shape
+    rows = np.minimum((np.arange(height) * sh) // height, sh - 1)
+    cols = np.minimum((np.arange(width) * sw) // width, sw - 1)
+    return encode_png_pixels(src[rows][:, cols])
 
 
 def sample_frames(every_n: int = 2):

@@ -116,3 +116,133 @@ def test_decode_jpeg_fill_bytes_and_standalone_markers():
     )
     got = decode_image(payload)
     assert got == {"format": "jpeg", "width": 77, "height": 33}
+
+
+# -- real PNG pixel codec ---------------------------------------------------
+
+
+def _png_from_raw(w, h, ctype, raw):
+    """Hand-build a PNG from an already-filtered raw scanline stream."""
+    from project_graphdb_spark.operators.multimodal import _PNG_SIG
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_roundtrip_all_channel_counts():
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        out = decode_png_pixels(encode_png_pixels(px))
+        assert out.shape == (13, 9, c)
+        assert (out == px).all()
+
+
+def test_png_decode_all_scanline_filters():
+    """Exercise Sub/Up/Average/Paeth decode against hand-filtered
+    streams (the encoder only emits filter 0, so these come from
+    spec-side construction)."""
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import decode_png_pixels
+
+    # target image, grayscale 3x4
+    img = np.array(
+        [[10, 20, 30, 40], [15, 25, 35, 45], [100, 90, 80, 70]],
+        dtype=np.uint8,
+    )
+
+    def sub_filter(line, prev):
+        out = line.astype(int).copy()
+        for x in range(1, len(line)):
+            out[x] = (int(line[x]) - int(line[x - 1])) & 0xFF
+        return out
+
+    def up_filter(line, prev):
+        return (line.astype(int) - prev.astype(int)) & 0xFF
+
+    def avg_filter(line, prev):
+        out = []
+        for x in range(len(line)):
+            left = int(line[x - 1]) if x else 0
+            out.append((int(line[x]) - (left + int(prev[x])) // 2) & 0xFF)
+        return np.array(out)
+
+    def paeth_filter(line, prev):
+        out = []
+        for x in range(len(line)):
+            a = int(line[x - 1]) if x else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((int(line[x]) - pred) & 0xFF)
+        return np.array(out)
+
+    for ftype, filt in [(1, sub_filter), (2, up_filter),
+                        (3, avg_filter), (4, paeth_filter)]:
+        raw = bytearray()
+        prev = np.zeros(4, dtype=np.uint8)
+        for row in range(3):
+            raw.append(ftype)
+            raw += bytes(int(v) for v in filt(img[row], prev))
+            prev = img[row]
+        got = decode_png_pixels(_png_from_raw(4, 3, 0, bytes(raw)))
+        assert (got[:, :, 0] == img).all(), f"filter {ftype}"
+
+
+def test_resize_image_nearest_neighbor_exact():
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+        resize_image,
+    )
+
+    # 4x4 gradient -> 2x2 nearest-neighbor picks rows/cols 0 and 2
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = decode_png_pixels(resize_image(encode_png_pixels(px), 2, 2))
+    assert (out[:, :, 0] == np.array([[0, 2], [8, 10]])).all()
+    # upscale replicates source pixels
+    up = decode_png_pixels(resize_image(encode_png_pixels(px), 8, 8))
+    assert up.shape == (8, 8, 1)
+    assert (up[::2, ::2, 0] == px[:, :, 0]).all()
+
+
+def test_resize_rejects_non_png_honestly():
+    from project_graphdb_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError, match="gif"):
+        resize_image(encode_gif(4, 4), 2, 2)
+
+
+def test_multidepth_png_rejected():
+    from project_graphdb_spark.operators.multimodal import decode_png_pixels
+
+    bad = _png_from_raw(2, 1, 3, b"\x00" + b"\x00" * 6)
+    # corrupt the depth byte to 16
+    bad = bytearray(bad)
+    bad[24] = 16
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_pixels(bytes(bad))
