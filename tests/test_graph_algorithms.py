@@ -95,6 +95,43 @@ def test_triangle_count_known_graph(spark):
     assert n == 2
 
 
+def test_triangle_count_skewed_hub_matches_brute_force(spark):
+    """Degree-ordered counting must stay exact on the shape it exists
+    for: one hot hub (degree 40) embedded in a ring of triangles, plus
+    a clique. Brute force = itertools over the adjacency set."""
+    import itertools
+
+    from project_graphdb_spark.graph.algorithms import triangle_count
+
+    pairs = set()
+    # hub 0 connected to 1..40; consecutive spokes connected -> fan of
+    # triangles through the hub
+    for i in range(1, 41):
+        pairs.add((0, i))
+    for i in range(1, 40):
+        pairs.add((i, i + 1))
+    # separate K5 on 100..104
+    for a, b in itertools.combinations(range(100, 105), 2):
+        pairs.add((a, b))
+    expected = 0
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            expected += 1
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    sym = edges.unionByName(
+        edges.selectExpr("dst as src", "src as dst")
+    ).distinct()
+    n = triangle_count(edges=sym).collect()[0]["n_triangles"]
+    assert n == expected == 39 + 10  # 39 hub triangles + C(5,3) clique
+
+
 def test_label_propagation_disconnected_cliques(spark):
     from project_graphdb_spark.graph.algorithms import label_propagation
 
