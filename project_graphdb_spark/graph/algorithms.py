@@ -14,9 +14,10 @@ Scale design:
   lineage chain — without it the plan doubles per iteration and the
   optimizer chokes long before 100 TB. On a cluster use
   ``checkpoint`` (reliable) backed by HDFS/object storage.
-* Convergence checks (``changed == 0``) are one count() per iteration —
-  a tiny job against the updated state, not a full recompute, because
-  the state was just checkpointed.
+* Convergence checks (``changed == 0``) are FUSED into the update
+  projection: a ``__changed`` flag column computed where old and new
+  state are both in scope, summed over the just-checkpointed frame —
+  one narrow agg per iteration, never a new-state ⋈ old-state join.
 
 Vertex ids are ``"Label:key"`` strings so the whole heterogeneous graph
 unions into one id space (same construction as the oracle SQL).
@@ -189,7 +190,8 @@ def pregel(
     ``converge_on``: state column — stop when no row changes it.
 
     Each superstep localCheckpoints the state (lineage stays flat); the
-    convergence check is one count against the just-checkpointed frame.
+    convergence check is a fused ``__changed`` flag summed over the
+    just-checkpointed frame (no extra join job).
     """
     # the edge frame is re-read every superstep — checkpoint it once so
     # the per-iteration cost is one join, not (scan+distinct)+join
@@ -204,22 +206,28 @@ def pregel(
     for _ in range(max_iter):
         t0 = time.perf_counter()
         msgs = aggregate_messages(state, edges, message, agg)
-        updated = state.join(msgs, "id", "left").select(
-            "id", *[col.alias(name) for name, col in update.items()]
-        )
+        # the convergence flag is FUSED into the update projection —
+        # old and new values are both in scope here, so the per-round
+        # "did anything change" question costs one narrow column plus
+        # one agg over the frame we checkpoint anyway, instead of a
+        # separate new-state ⋈ old-state join job per superstep
+        proj = ["id"] + [col.alias(name) for name, col in update.items()]
+        if converge_on is not None:
+            proj.append(
+                (~update[converge_on].eqNullSafe(F.col(converge_on)))
+                .cast("int")
+                .alias("__changed")
+            )
+        updated = state.join(msgs, "id", "left").select(*proj)
         updated, new_ids = _ckpt(updated)
         changed = None
         if converge_on is not None:
-            changed = (
-                updated.alias("u")
-                .join(state.alias("s"), "id")
-                .filter(
-                    F.col(f"u.{converge_on}") != F.col(f"s.{converge_on}")
-                )
-                .count()
-            )
+            changed = updated.agg(
+                F.coalesce(F.sum("__changed"), F.lit(0))
+            ).collect()[0][0]
+            updated = updated.drop("__changed")
         # the old state is superseded the moment its successor is
-        # materialized (and the convergence diff, which reads it, ran)
+        # materialized (the fused flag already captured the diff)
         _unpersist(sc, state_ids)
         state, state_ids = updated, new_ids
         iter_secs.append(time.perf_counter() - t0)
@@ -244,11 +252,14 @@ def connected_components(
     """
     if graph is not None:
         vertices = unified_vertices(graph)
+        # already symmetrized + distinct — re-symmetrizing would just
+        # double the frame and distinct it back (an extra shuffle)
         edges = unified_edges(graph, undirected=True)
-    assert vertices is not None and edges is not None
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    else:
+        assert vertices is not None and edges is not None
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
 
     return pregel(
         vertices,
