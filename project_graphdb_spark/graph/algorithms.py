@@ -522,13 +522,18 @@ def multi_source_hops(
     endpoint.
     """
     sc = sources.sparkSession.sparkContext
-    visited, visited_ids = _ckpt(
+    visited, _v0_ids = _ckpt(
         sources.select(
             "root", F.col("root").alias("id"), F.lit(0).alias("dist")
         )
     )
+    # ``visited`` stays a LAZY union of the per-level checkpointed
+    # frontier frames — the old form re-materialized the whole growing
+    # visited set every level (O(levels x |visited|) copy work); each
+    # union leaf here is a checkpoint scan, so lineage stays O(depth)
+    # and no row is ever written twice. Level blocks stay pinned: they
+    # back the returned frame (caller releases them).
     frontier = visited
-    frontier_ids: set[int] = set()  # depth-0 frontier shares visited's blocks
     iter_secs: list[float] = []
     for depth in range(1, max_depth + 1):
         t0 = time.perf_counter()
@@ -539,17 +544,12 @@ def multi_source_hops(
             .join(visited, ["root", "id"], "left_anti")
             .select("root", "id", F.lit(depth).alias("dist"))
         )
+        iter_secs.append(time.perf_counter() - t0)
         if neighbors.isEmpty():
             _unpersist(sc, n_ids)
-            iter_secs.append(time.perf_counter() - t0)
             break
-        new_visited, v_ids = _ckpt(visited.unionByName(neighbors))
-        _unpersist(sc, visited_ids)
-        _unpersist(sc, frontier_ids)
-        visited, visited_ids = new_visited, v_ids
-        frontier, frontier_ids = neighbors, n_ids
-        iter_secs.append(time.perf_counter() - t0)
-    _unpersist(sc, frontier_ids)
+        visited = visited.unionByName(neighbors)
+        frontier = neighbors
     _record_iter("multi_source_hops", iter_secs)
     return visited
 
@@ -568,13 +568,13 @@ def bfs_distances(
     raw_edges = unified_edges(graph, undirected=undirected)
     sc = raw_edges.sparkSession.sparkContext
     edges, edge_ids = _ckpt(raw_edges)
-    visited, visited_ids = _ckpt(
+    visited, _v0_ids = _ckpt(
         unified_vertices(graph)
         .filter(F.col("id") == start_id)
         .select("id", F.lit(0).alias("dist"))
     )
+    # lazy union over per-level checkpoints — see multi_source_hops
     frontier = visited
-    frontier_ids: set[int] = set()  # depth-0 frontier shares visited's blocks
     iter_secs: list[float] = []
     for depth in range(1, max_depth + 1):
         t0 = time.perf_counter()
@@ -585,17 +585,12 @@ def bfs_distances(
             .join(visited, "id", "left_anti")
             .select("id", F.lit(depth).alias("dist"))
         )
+        iter_secs.append(time.perf_counter() - t0)
         if neighbors.isEmpty():
             _unpersist(sc, n_ids)
-            iter_secs.append(time.perf_counter() - t0)
             break
-        new_visited, v_ids = _ckpt(visited.unionByName(neighbors))
-        _unpersist(sc, visited_ids)
-        _unpersist(sc, frontier_ids)
-        visited, visited_ids = new_visited, v_ids
-        frontier, frontier_ids = neighbors, n_ids
-        iter_secs.append(time.perf_counter() - t0)
-    _unpersist(sc, frontier_ids)
+        visited = visited.unionByName(neighbors)
+        frontier = neighbors
     _unpersist(sc, edge_ids)
     _record_iter("bfs_distances", iter_secs)
     return visited

@@ -76,12 +76,17 @@ def main() -> None:
         results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
         print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
         # free blocks pinned by checkpointing queries (dedup_clusters*)
-        # so they don't tax the next query's timing
+        # so they don't tax the next query's timing, then force a
+        # driver-JVM GC so ContextCleaner actually reclaims shuffle
+        # files / broadcasts from the finished query (it only runs on
+        # GC of the driver-side references — never, with a 16 g heap,
+        # unless asked; the source of in-sequence timing drift)
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for i in list(jmap.keySet().toArray()):
             rdd = jmap.get(i)
             if rdd is not None:
                 rdd.unpersist(True)
+        spark.sparkContext._jvm.System.gc()
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
