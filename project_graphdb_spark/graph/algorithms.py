@@ -31,6 +31,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.graph.property_graph import PropertyGraph
+from project_graphdb_spark.spark_util import (
+    CKPT_LOCK,
+    persistent_rdd_ids,
+    unpersist_ids,
+)
 
 CHECKPOINT_EVERY = 5
 
@@ -49,10 +54,6 @@ def _record_iter(name: str, seconds: list[float]) -> None:
     LAST_ITER_SECONDS[name] = [round(s, 3) for s in seconds]
 
 
-def _persistent_ids(sc) -> set[int]:
-    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-
 def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """Eager localCheckpoint that also reports which block-manager RDD
     ids the checkpoint created, so the caller can free superseded
@@ -65,23 +66,22 @@ def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
     test scale, but measurably toxic even at sf0.1: running the seven
     galg_* algorithms back-to-back in one session made late BFS
     supersteps ~12x slower (31s vs 2.5s) from eviction/GC pressure —
-    and at 100 TB it is an executor OOM. The id-diff is safe here
-    because these loops run single-threaded on the driver; nothing else
-    persists RDDs between the before/after snapshots.
+    and at 100 TB it is an executor OOM. The before/diff/after window
+    is serialized by ``spark_util.CKPT_LOCK`` so concurrent algorithm
+    runs on a shared session cannot capture (and later free) each
+    other's checkpoint ids; foreign persists racing the window remain
+    the caller's responsibility.
     """
     sc = df.sparkSession.sparkContext
-    before = _persistent_ids(sc)
-    out = df.localCheckpoint(eager=True)
-    return out, _persistent_ids(sc) - before
+    with CKPT_LOCK:
+        before = persistent_rdd_ids(sc)
+        out = df.localCheckpoint(eager=True)
+        return out, persistent_rdd_ids(sc) - before
 
 
 def _unpersist(sc, ids: set[int]) -> None:
     """Free the given block-manager RDD ids (non-blocking)."""
-    jmap = sc._jsc.getPersistentRDDs()
-    for i in ids:
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(False)
+    unpersist_ids(sc, ids, blocking=False)
 
 
 def unified_vertices(graph: PropertyGraph) -> DataFrame:

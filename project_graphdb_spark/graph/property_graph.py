@@ -106,18 +106,24 @@ class PropertyGraph:
         for df in self.nodes.values():
             df.persist()
         for ef in self.edges.values():
-            ef.df.persist()
+            # cache the raw tier only: the resolved .df is raw plus two
+            # key-only semi-joins against the (also cached) node
+            # frames, so it recomputes cheaply from cache — persisting
+            # both would store every edge table roughly twice
             if ef.raw_df is not None:
                 ef.raw_df.persist()
+            else:
+                ef.df.persist()
         return self
 
     def unpersist(self) -> "PropertyGraph":
         for df in self.nodes.values():
             df.unpersist()
         for ef in self.edges.values():
-            ef.df.unpersist()
             if ef.raw_df is not None:
                 ef.raw_df.unpersist()
+            else:
+                ef.df.unpersist()
         return self
 
     # -- SQL surface --------------------------------------------------------

@@ -341,8 +341,9 @@ _SHINGLE_CACHE: dict[tuple[int, str], tuple[DataFrame, set[int]]] = {}
 
 
 def _live_persistent_ids(spark: SparkSession) -> set[int]:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {int(i) for i in jmap.keySet().toArray()}
+    from project_graphdb_spark.spark_util import persistent_rdd_ids
+
+    return persistent_rdd_ids(spark.sparkContext)
 
 
 def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -412,8 +412,17 @@ _PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> bytes/pixel at depth 8
 def decode_png_pixels(payload: bytes):
     """Full PNG pixel decode for 8-bit-depth, non-interlaced images
     (color types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA) — stdlib
-    ``zlib`` inflate + the five scanline filters of PNG spec §9
-    (None/Sub/Up/Average/Paeth), vectorized per scanline with numpy.
+    ``zlib`` inflate + the five scanline filters of PNG spec §9.
+
+    Filter throughput is honest, not uniform: None and Up are fully
+    vectorized, Sub is a per-phase cumsum; Average and Paeth are
+    per-byte Python loops (their prediction is a nonlinear recurrence
+    along the scanline — not vectorizable without a C kernel), which
+    is spec-correct but O(pixels) interpreter-speed. Real media
+    corpora (libpng emits adaptive Sub/Paeth on most images) should
+    swap PIL/opencv into the same mapInPandas operator shape; this
+    codec keeps the pipeline runnable and oracle-testable where those
+    libraries are absent.
 
     Returns a ``(height, width, channels)`` uint8 array. Raises
     ``ValueError`` for non-PNG payloads or PNG features out of scope
@@ -460,9 +469,12 @@ def decode_png_pixels(payload: bytes):
             raw, dtype=np.uint8,
             count=stride, offset=row * (1 + stride) + 1,
         ).copy()
-        if ftype == 1:  # Sub: + left
-            for x in range(bpp, stride):
-                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        if ftype == 1:  # Sub: + left — prefix sum per byte phase
+            line = (
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.int64), axis=0
+                ) % 256
+            ).astype(np.uint8).reshape(-1)
         elif ftype == 2:  # Up: + above
             line += prev
         elif ftype == 3:  # Average: + floor((left+above)/2)

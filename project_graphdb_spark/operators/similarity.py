@@ -175,6 +175,25 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _rank_sim(sim: Column) -> Column:
+    """6-dp rank key for centroid assignment, shared semantics with the
+    Arrow path: ``sign(x) * floor(|x|*1e6 + 0.5)``.
+
+    Deliberately NOT ``F.round``: ``round(double, 6)`` routes through
+    BigDecimal.valueOf (shortest-decimal representation), whose HALF_UP
+    boundary can disagree with any float-arithmetic emulation at the
+    7th decimal — so the literal and Arrow paths could rank a
+    boundary-value similarity differently. This elementary float
+    formula is exactly what numpy evaluates in ``_probe_cids_arrow``;
+    identical inputs rank identically on both paths, and inputs that
+    differ only by float-summation noise coarsen to the same 1e-6 grid
+    except within 1 ulp of a grid boundary (the documented
+    approximate-parity contract). Used ONLY for internal ranking —
+    reported ``cos_sim`` columns keep ``F.round`` to match the DuckDB
+    oracle."""
+    return F.signum(sim) * F.floor(F.abs(sim) * 1e6 + F.lit(0.5))
+
+
 def _nearest_cid(cents: list[list[float]]) -> Column:
     """Argmax-by-cosine over driver-side centroids as ONE expression.
 
@@ -189,7 +208,7 @@ def _nearest_cid(cents: list[list[float]]) -> Column:
     sims = F.array(
         *[
             F.struct(
-                F.round(cosine(F.col("v"), _lit_vec(cv)), 6).alias("s"),
+                _rank_sim(cosine(F.col("v"), _lit_vec(cv))).alias("s"),
                 F.lit(-cid).alias("nc"),
             )
             for cid, cv in enumerate(cents)
@@ -339,7 +358,7 @@ def _probe_cids(cents: list[list[float]], nprobe: int) -> Column:
     sims = F.array(
         *[
             F.struct(
-                F.round(cosine(F.col("v"), _lit_vec(cv)), 6).alias("s"),
+                _rank_sim(cosine(F.col("v"), _lit_vec(cv))).alias("s"),
                 F.lit(-cid).alias("nc"),
             )
             for cid, cv in enumerate(cents)
@@ -362,8 +381,11 @@ def _probe_cids_arrow(cents: list[list[float]], nprobe: int) -> Column:
     closure, O(k·dim) doubles regardless of data size.
 
     Value parity with the literal path (tested side by side in
-    ``tests/test_llm_data_ops.py``): rounding is HALF_UP to match
-    Spark's ``F.round`` (numpy's default is half-to-even). Degenerate
+    ``tests/test_llm_data_ops.py``): both paths rank by the SAME
+    elementary formula ``sign(x)*floor(|x|*1e6+0.5)`` (see
+    :func:`_rank_sim`), so identical inputs order identically; inputs
+    differing by float-summation noise agree except within 1 ulp of a
+    1e-6 grid boundary (approximate-parity contract). Degenerate
     inputs are where the paths intentionally differ: under ANSI mode
     the literal path's cosine raises DIVIDE_BY_ZERO on a zero-norm
     vector, while this path guards vector AND centroid norms so one
@@ -389,8 +411,8 @@ def _probe_cids_arrow(cents: list[list[float]], nprobe: int) -> Column:
         sims = (vmat / vn) @ cnorm.T
         # NaN (degenerate input) ranks first, as in Spark's desc sort
         np.copyto(sims, np.inf, where=np.isnan(sims))
-        # HALF_UP at 6 dp, matching F.round (np.round is half-to-even)
-        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        # the shared _rank_sim formula: sign(x)*floor(|x|*1e6+0.5)
+        sims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)
         order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
         return pd.Series([row.tolist() for row in order.astype("int32")])
 

@@ -1,0 +1,54 @@
+"""Shared block-manager/persistence helpers.
+
+One home for the py4j snippets that inspect or free persistent RDD
+state — previously copy-pasted across `graph/algorithms.py`,
+`operators/dedup.py`, and both bench runners.
+"""
+
+from __future__ import annotations
+
+import threading
+
+# Serializes the before/diff/after window of tracked checkpoints
+# (see graph.algorithms._ckpt): without it, two threads checkpointing
+# concurrently on one session could each capture the other's fresh RDD
+# ids and later free blocks still in use. It cannot protect against
+# arbitrary user persists racing the window, but it makes the library's
+# own iterative algorithms safe to run concurrently on a shared session.
+CKPT_LOCK = threading.Lock()
+
+
+def persistent_rdd_ids(sc) -> set[int]:
+    """Ids of every RDD currently registered with the block manager.
+
+    Accepts a SparkContext (callers inside algorithm loops) — pass
+    ``spark.sparkContext`` when holding a session.
+    """
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def unpersist_ids(sc, ids: set[int], blocking: bool = False) -> None:
+    """Free the given block-manager RDD ids."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(blocking)
+
+
+def free_all_persistent(spark, run_jvm_gc: bool = True) -> None:
+    """Unpersist EVERY registered RDD, then (optionally) force a
+    driver-JVM GC.
+
+    The GC matters for long sessions: Spark's ContextCleaner reclaims
+    shuffle files, broadcast blocks and accumulator state only when the
+    JVM garbage-collects the corresponding driver-side references —
+    with a 16 g heap that can be never during a multi-query run, and
+    the accumulated state measurably drags later queries (Spark's own
+    ``spark.cleaner.periodicGC.interval`` defaults to 30 min for the
+    same reason). Used by the bench runners between queries.
+    """
+    sc = spark.sparkContext
+    unpersist_ids(sc, persistent_rdd_ids(sc), blocking=True)
+    if run_jvm_gc:
+        sc._jvm.System.gc()

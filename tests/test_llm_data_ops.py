@@ -404,12 +404,10 @@ def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):
     _, ids = D._SHINGLE_CACHE[key]
     assert ids and ids <= D._live_persistent_ids(spark)
 
-    # the foreign sweep
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for i in list(jmap.keySet().toArray()):
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(True)
+    # the foreign sweep (exactly what the bench runners do)
+    from project_graphdb_spark.spark_util import free_all_persistent
+
+    free_all_persistent(spark, run_jvm_gc=False)
     assert not (ids & D._live_persistent_ids(spark))
 
     df2 = D._shingle_arrays_persisted(spark, sf_dir)

@@ -51,19 +51,12 @@ def clear_persistent(spark) -> None:
     its final checkpoint alive — fine inside one query, unfair memory
     pressure on the next one's timing.
 
-    Also force a driver-JVM GC: Spark's ContextCleaner reclaims shuffle
-    files, broadcast blocks and accumulator state only when the JVM
-    garbage-collects the corresponding driver-side references — with a
-    16 g heap that can be *never* during a multi-query run, so state
-    from earlier queries piles up and in-sequence timings drift 1.5-2×
-    above standalone runs (measured; Spark's own periodicGC.interval
-    defaults to 30 min for exactly this reason)."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for i in list(jmap.keySet().toArray()):
-        rdd = jmap.get(i)
-        if rdd is not None:
-            rdd.unpersist(True)
-    spark.sparkContext._jvm.System.gc()
+    The forced driver-JVM GC inside ``free_all_persistent`` is what
+    lets ContextCleaner reclaim the finished query's shuffle/broadcast
+    state — the source of in-sequence timing drift."""
+    from project_graphdb_spark.spark_util import free_all_persistent
+
+    free_all_persistent(spark)
 
 
 def run_fresh(sf_dir: str, names: list[str], out_json: str | None) -> None:
@@ -83,7 +76,7 @@ def run_fresh(sf_dir: str, names: list[str], out_json: str | None) -> None:
     merged: dict[str, dict] = {}
     for name in names:
         with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
-            subprocess.run(
+            proc = subprocess.run(
                 [
                     sys.executable,
                     os.path.abspath(__file__),
@@ -93,10 +86,17 @@ def run_fresh(sf_dir: str, names: list[str], out_json: str | None) -> None:
                     "--json",
                     tmp.name,
                 ],
-                check=True,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
+                capture_output=True,
+                text=True,
             )
+            if proc.returncode != 0:
+                # surface the child's traceback instead of a bare exit
+                # code (stdout is Spark progress noise; stderr has it)
+                sys.stderr.write(proc.stderr[-4000:])
+                raise RuntimeError(
+                    f"fresh-session run of {name!r} failed "
+                    f"(exit {proc.returncode}); child stderr above"
+                )
             with open(tmp.name) as f:
                 merged.update(json.load(f)["results"])
         r = merged[name]

@@ -23,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from project_graphdb_spark import get_spark, workload  # noqa: E402
+from project_graphdb_spark.spark_util import free_all_persistent  # noqa: E402
 
 EXTRA_STACK = [
     "dedup_exact",
@@ -76,17 +77,10 @@ def main() -> None:
         results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
         print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
         # free blocks pinned by checkpointing queries (dedup_clusters*)
-        # so they don't tax the next query's timing, then force a
-        # driver-JVM GC so ContextCleaner actually reclaims shuffle
-        # files / broadcasts from the finished query (it only runs on
-        # GC of the driver-side references — never, with a 16 g heap,
-        # unless asked; the source of in-sequence timing drift)
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for i in list(jmap.keySet().toArray()):
-            rdd = jmap.get(i)
-            if rdd is not None:
-                rdd.unpersist(True)
-        spark.sparkContext._jvm.System.gc()
+        # and force a driver-JVM GC so ContextCleaner reclaims the
+        # finished query's shuffle/broadcast state — the source of
+        # in-sequence timing drift (see spark_util.free_all_persistent)
+        free_all_persistent(spark)
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
