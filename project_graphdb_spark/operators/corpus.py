@@ -19,6 +19,16 @@ Scale story:
 * **sequence packing** — running-sum window PARTITIONED BY lang (no
   global sort funnel); at 100 TB the same shape packs within
   (lang, shard) partitions.
+* **duplicate-span scrub** — the fixed-window rendition of
+  suffix-array ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+  Training Data Makes Language Models Better"): a W-token span that
+  appears verbatim in ≥2 documents is duplicated corpus-wide, and every
+  token any duplicated span covers is removed. One shuffle counts
+  distinct docs per span, one join maps duplicated spans back to their
+  positions, the removal itself is a narrow array map. At 100 TB the
+  span key is ``xxhash64`` of the window (8 bytes/span instead of the
+  string); here the string itself is the key so the DuckDB oracle can
+  reproduce the result exactly.
 """
 
 from __future__ import annotations
@@ -195,6 +205,191 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         n_red.cast("bigint").alias("n_redactions"),
     ).orderBy("doc_id")
+
+
+DUP_SPAN_N = 8  # span window for corpus-wide duplicate detection
+
+
+def _span_grams(col, n: int):
+    """Positional word n-grams of a text column: index i of the result
+    array is the 0-based token start of that span (unlike
+    ``_ngram_array`` this keeps duplicates and positions)."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(sz >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
+    """(spans, dup) shared by the duplicate-span operators: spans is
+    (doc_id, s, gram) for every span start, dup the grams that occur in
+    ≥2 distinct documents (cross-document duplication only — a span
+    repeated inside one doc is that doc's own business)."""
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(_span_grams("text", n)).alias("s", "gram"),
+    )
+    dup = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    return spans, dup
+
+
+def dup_span_profile(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Per-doc duplicate-span counts over a (doc_id, text) frame."""
+    spans, dup = _dup_span_frames(docs, n)
+    prof = (
+        spans.join(dup.withColumn("__dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_spans") / F.col("n_spans"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Remove every token covered by a cross-document duplicated span
+    and re-assemble the text (ExactSubstr dedup, fixed windows)."""
+    spans, dup = _dup_span_frames(docs, n)
+    dup_starts = (
+        spans.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("dup_starts"))
+    )
+    toks = tokens("text")
+    joined = docs.join(dup_starts, "doc_id", "left").withColumn(
+        "dup_starts",
+        F.coalesce("dup_starts", F.array().cast("array<int>")),
+    )
+    # token j is covered iff some duplicated span starts in
+    # [j - n + 1, j]; scrub = keep the uncovered tokens in order
+    kept = F.filter(
+        toks,
+        lambda tok, j: ~F.exists(
+            F.col("dup_starts"),
+            lambda st: (st <= j) & (j <= st + (n - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+_DUP_SPAN_CTES = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - {DUP_SPAN_N}, 1)) AS s
+      FROM toks WHERE len(t) >= {DUP_SPAN_N}
+    ), grams AS MATERIALIZED (
+      SELECT doc_id, s, array_to_string(t[s + 1 : s + {DUP_SPAN_N}], ' ')
+               AS gram
+      FROM starts
+    ), dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+"""
+
+
+@register(
+    "doc_dup_span_profile",
+    oracle=_DUP_SPAN_CTES
+    + """
+    , prof AS (
+      SELECT g.doc_id, COUNT(*) AS n_spans, COUNT(d.gram) AS n_dup_spans
+      FROM grams g LEFT JOIN dup d ON g.gram = d.gram
+      GROUP BY g.doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           ROUND(COALESCE(p.n_dup_spans * 1.0 / NULLIF(p.n_spans, 0),
+                          0), 6) AS dup_frac
+    FROM toks tk LEFT JOIN prof p ON tk.doc_id = p.doc_id
+    ORDER BY tk.doc_id
+    """,
+    description=f"cross-document duplicate-span profile: per doc, how "
+    f"many of its {DUP_SPAN_N}-token windows appear verbatim in other "
+    "docs (the measurement half of ExactSubstr dedup, Lee et al. 2021). "
+    "One shuffle counts distinct docs per span, one join flags them",
+)
+def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_profile(docs)
+
+
+@register(
+    "doc_dup_span_scrub",
+    oracle=_DUP_SPAN_CTES
+    + f"""
+    , dupstarts AS (
+      SELECT DISTINCT g.doc_id, g.s
+      FROM grams g JOIN dup d ON g.gram = d.gram
+    ), tokpos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             generate_subscripts(t, 1) - 1 AS j
+      FROM toks
+    ), flags AS (
+      SELECT tp.doc_id, tp.j, tp.tok,
+             CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END AS dupflag
+      FROM tokpos tp LEFT JOIN dupstarts d
+        ON d.doc_id = tp.doc_id AND d.s = tp.j
+    ), cov AS (
+      SELECT doc_id, j, tok,
+             MAX(dupflag) OVER (
+               PARTITION BY doc_id ORDER BY j
+               RANGE BETWEEN {DUP_SPAN_N - 1} PRECEDING AND CURRENT ROW
+             ) AS covered
+      FROM flags
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(tok, ' ' ORDER BY j)
+                      FILTER (WHERE covered = 0), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE covered = 1) AS BIGINT)
+             AS n_removed
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """,
+    description=f"cross-document duplicate-span scrub (ExactSubstr "
+    f"dedup, fixed {DUP_SPAN_N}-token windows): every token covered by "
+    "a span that appears verbatim in ≥2 docs is removed and the doc "
+    "re-assembled. Dup positions collect per doc (tiny frame), the "
+    "removal is a narrow array filter — no token-level shuffle",
+)
+def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_span_scrub(docs)
 
 
 PACK_BUDGET = 256  # token budget per training bin

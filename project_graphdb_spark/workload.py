@@ -90,6 +90,7 @@ def _ensure_loaded() -> None:
         dedup,
         graph_algo_workload,
         graph_queries,
+        jsonl_workload,
         streaming_workload,
         multimodal,
         rangejoin,

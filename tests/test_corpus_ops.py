@@ -1,0 +1,117 @@
+"""Unit tests for the duplicate-span scrub family and the JSONL source.
+
+The registered sf0.01 forms are oracle-gated in test_workload_oracle;
+these tests pin the semantics on handcrafted corpora where the expected
+output is computable by hand, plus the JSONL corrupt-line quarantine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import types as T
+
+from project_graphdb_spark.io.jsonl import (
+    read_jsonl,
+    split_corrupt,
+    write_jsonl,
+)
+from project_graphdb_spark.operators.corpus import (
+    dup_span_profile,
+    dup_span_scrub,
+)
+
+DOCS = [
+    (1, "a b c d e f"),  # shares "a b c" with doc 2
+    (2, "x y a b c z"),
+    (3, "p q r"),  # unique
+    (4, "m n"),  # shorter than the window — no spans at all
+    (5, "a b c d a b c"),  # two overlapping covered regions
+    (6, "a b c"),  # fully covered — scrubs to empty
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_dup_span_scrub_handcrafted(spark):
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dup_span_scrub(_docs_df(spark), n=3).collect()
+    }
+    # doc 1 shares "a b c" AND "b c d" with doc 5, so its covered
+    # region is [0..3]; doc 5's dup starts {0, 1, 4} cover everything
+    assert out == {
+        1: ("e f", 4),
+        2: ("x y z", 3),
+        3: ("p q r", 0),
+        4: ("m n", 0),
+        5: ("", 7),
+        6: ("", 3),
+    }
+
+
+def test_dup_span_profile_handcrafted(spark):
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+        for r in dup_span_profile(_docs_df(spark), n=3).collect()
+    }
+    assert out[1] == (4, 2, 0.5)  # "a b c" and "b c d" both shared
+    assert out[2] == (4, 1, 0.25)
+    assert out[3] == (1, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)  # no spans → frac 0, not null
+    assert out[5] == (5, 3, 0.6)
+    assert out[6] == (1, 1, 1.0)
+
+
+def test_dup_span_scrub_idempotent(spark):
+    """Scrubbing an already-scrubbed corpus removes nothing more."""
+    once = dup_span_scrub(_docs_df(spark), n=3).select(
+        "doc_id", "clean_text"
+    )
+    twice = dup_span_scrub(
+        once.withColumnRenamed("clean_text", "text"), n=3
+    )
+    assert twice.filter("n_removed > 0").count() == 0
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], schema=schema
+    )
+    path = str(tmp_path / "shards")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema)
+    assert back.schema == schema
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (1, "hello"),
+        (2, "world"),
+    ]
+
+    # add a shard with a malformed line: PERMISSIVE keeps the job
+    # alive and quarantines the raw line, it never throws
+    with open(tmp_path / "shards" / "bad-shard.json", "w") as f:
+        f.write('{"doc_id": oops not json\n')
+    good, bad = split_corrupt(
+        read_jsonl(spark, path, schema, keep_corrupt=True)
+    )
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "oops" in bad.collect()[0][0]
+
+
+def test_jsonl_write_shards_by_partition(spark, tmp_path):
+    df = spark.range(100).selectExpr("id AS doc_id", "'t' AS text")
+    path = str(tmp_path / "sharded")
+    write_jsonl(df.repartition(4), path)
+    parts = [
+        p for p in os.listdir(path) if p.startswith("part-")
+    ]
+    assert len(parts) == 4
