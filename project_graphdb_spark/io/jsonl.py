@@ -75,6 +75,19 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Structured Streaming twin of :func:`read_jsonl`: tail a
+    directory of JSONL shards as they land. The file source records
+    processed files in the checkpoint, so ingest is exactly-once across
+    restarts; the same schema-first rule applies (Spark refuses
+    streaming schema inference outright)."""
+    return (
+        spark.readStream.schema(schema).option("mode", "PERMISSIVE").json(path)
+    )
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

@@ -549,11 +549,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _clusters_oracle(iters: int = 16) -> str:
-    """Unrolled min-label propagation over the exact-Jaccard pair graph
-    (same CTE-chain technique as the galg_connected_components oracle).
-    ``iters`` must exceed the diameter of the largest duplicate cluster;
-    near-dup clusters are near-cliques, so 16 is far beyond safe."""
+def _cluster_ctes(iters: int = 16) -> tuple[str, str]:
+    """(CTE block, final-level name) for min-label propagation over the
+    exact-Jaccard pair graph (same CTE-chain technique as the
+    galg_connected_components oracle). ``iters`` must exceed the
+    diameter of the largest duplicate cluster; near-dup clusters are
+    near-cliques, so 16 is far beyond safe. Shared by the
+    dedup_clusters and dedup_keep_best oracles."""
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)"]
     for k in range(1, iters + 1):
         ctes.append(
@@ -566,19 +568,25 @@ def _clusters_oracle(iters: int = 16) -> str:
       ) t GROUP BY t.id
     )"""
         )
-    return f"""
-    WITH {_EXACT_PAIRS_CTES},
+    block = f"""{_EXACT_PAIRS_CTES},
     sym AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
     ),
     verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
-    {','.join(ctes)}
+    {','.join(ctes)}"""
+    return block, f"l{iters}"
+
+
+def _clusters_oracle(iters: int = 16) -> str:
+    block, last = _cluster_ctes(iters)
+    return f"""
+    WITH {block}
     SELECT id AS doc_id, comp AS cluster_id,
            COUNT(*) OVER (PARTITION BY comp) AS cluster_size,
            id = comp AS is_canonical
-    FROM l{iters} ORDER BY doc_id
+    FROM {last} ORDER BY doc_id
     """
 
 
@@ -663,3 +671,132 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster connected).
     """
     return cluster_assignments(lsh_verified_pairs(spark, sf_dir))
+
+
+def _keep_best_oracle(iters: int = 16) -> str:
+    from project_graphdb_spark.operators.text import QUALITY_SCORE_SQL
+
+    block, last = _cluster_ctes(iters)
+    return f"""
+    WITH {block},
+    cl AS (
+      SELECT id AS doc_id, comp AS cluster_id,
+             COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+      FROM {last}
+    ), q AS (
+      SELECT doc_id, {QUALITY_SCORE_SQL} AS quality_score
+      FROM (
+        SELECT doc_id, length(text) AS n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 AS n_distinct
+        FROM documents
+      )
+    ), allrows AS (
+      SELECT q.doc_id,
+             COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+             COALESCE(cl.cluster_size, 1) AS cluster_size,
+             q.quality_score
+      FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id
+             ORDER BY quality_score DESC, doc_id
+           ) = 1 AS keep
+    FROM allrows ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_keep_best",
+    oracle=_keep_best_oracle(),
+    description="quality-aware dedup keep-list over the whole corpus: "
+    "duplicate clusters keep their highest-quality member (ties to the "
+    "lowest doc_id), singletons keep themselves. The ranking window "
+    "runs only on the pair-graph-sized cluster frame; the corpus side "
+    "is a narrow quality map plus one join against that tiny frame",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn duplicate clusters into the decision a real pipeline ships:
+    one kept representative per cluster, chosen by quality score rather
+    than min doc_id (a crawl usually contains one clean copy and many
+    truncated/boilerplate-wrapped ones — keeping the min id keeps an
+    arbitrary one). Exact pair tier, so the whole operator is
+    hash-checkable; dedup_keep_best_lsh is the 100 TB composition.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = _pair_jaccard(doc_shingles(docs)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    return keep_best_decision(docs, pairs)
+
+
+@register(
+    "dedup_keep_best_lsh",
+    oracle=None,  # Spark-specific hashes in the LSH tier; keep-set
+    # agreement vs the exact-fed form is asserted in tests
+    description="quality-aware keep-list over MinHash+LSH verified "
+    "pairs: the dedup_keep_best decision layer with NO all-pairs join "
+    "anywhere in the plan — the 100 TB composition (dedup_keep_best "
+    "is its exact-tier equivalence oracle)",
+)
+def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return keep_best_decision(docs, lsh_verified_pairs(spark, sf_dir))
+
+
+def keep_best_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Whole-corpus keep/drop decision from a near-dup pair frame:
+    clusters keep their highest-quality member (ties to lowest doc_id),
+    singletons keep themselves.
+
+    The ranking window runs only on the pair-graph-sized cluster frame
+    (near-dup docs are a small fraction of any corpus), so the corpus
+    side stays a narrow quality map plus one join against that tiny —
+    typically broadcast — frame. No corpus-wide window anywhere.
+    """
+    from project_graphdb_spark.operators.text import quality_score
+
+    qual = docs.select(
+        "doc_id", quality_score("text").alias("quality_score")
+    )
+    # both joins broadcast the cluster-frame side explicitly: it comes
+    # out of the iterative CC pass as a checkpointed frame whose size
+    # estimate Catalyst treats as unknown-large, so the planner would
+    # fall back to shuffling the corpus-sized quality map into a
+    # sort-merge join — the pair graph is orders of magnitude smaller
+    # than the corpus, which is exactly the broadcast case
+    clustered = (
+        F.broadcast(
+            cluster_assignments(pairs).select(
+                "doc_id", "cluster_id", "cluster_size"
+            )
+        )
+        .join(qual, "doc_id")
+        .withColumn(
+            "keep",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(
+                    F.col("quality_score").desc(), "doc_id"
+                )
+            )
+            == 1,
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )
+    return (
+        qual.join(F.broadcast(clustered), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1))
+            .cast("bigint")
+            .alias("cluster_size"),
+            "quality_score",
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -74,6 +74,32 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# composite quality score over (n_tokens, n_distinct, n_chars) — the
+# SQL form and quality_score() below must stay arithmetic-identical;
+# dedup_keep_best ranks duplicate-cluster members by this same formula
+QUALITY_SCORE_SQL = (
+    "0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)"
+    " + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)"
+    " + 0.2 * least(1.0, CAST(n_chars AS DOUBLE) / 500)"
+)
+
+
+def quality_score(text_col: str | Column = "text") -> Column:
+    """Composite doc-quality expression (the Spark twin of
+    ``QUALITY_SCORE_SQL``): length, lexical-diversity, and char-count
+    components, each saturating at a target."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c).cast("bigint")
+    return (
+        0.5 * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
+        + 0.3 * (n_distinct.cast("double") / n_tokens)
+        + 0.2 * F.least(F.lit(1.0), n_chars.cast("double") / 500)
+    )
+
+
 @register(
     "doc_quality_scores",
     oracle="""
@@ -88,9 +114,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
-           0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100)
-             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens)
-             + 0.2 * least(1.0, CAST(n_chars AS DOUBLE) / 500) AS quality_score
+           """
+    + QUALITY_SCORE_SQL
+    + """ AS quality_score
     FROM t ORDER BY doc_id
     """,
     description="quality scoring: length/stopword/distinct ratios "
@@ -101,7 +127,6 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens("text")
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
-    n_chars = F.length("text").cast("bigint")
     n_stop = F.size(
         F.regexp_extract_all("text", F.lit(r"\b(the|and|of|to|is|in|a)\b"), 0)
     ).cast("bigint")
@@ -111,11 +136,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             distinct_ratio.alias("distinct_ratio"),
             (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
-            (
-                0.5 * F.least(F.lit(1.0), n_tokens.cast("double") / 100)
-                + 0.3 * distinct_ratio
-                + 0.2 * F.least(F.lit(1.0), n_chars.cast("double") / 500)
-            ).alias("quality_score"),
+            quality_score("text").alias("quality_score"),
         )
         .orderBy("doc_id")
     )

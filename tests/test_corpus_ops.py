@@ -115,3 +115,41 @@ def test_jsonl_write_shards_by_partition(spark, tmp_path):
         p for p in os.listdir(path) if p.startswith("part-")
     ]
     assert len(parts) == 4
+
+
+def test_jsonl_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest of a JSONL directory produces the same
+    aggregate as the batch scan (the file source's exactly-once
+    contract over static input)."""
+    from project_graphdb_spark.io.jsonl import read_jsonl_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], schema=schema
+    )
+    path = str(tmp_path / "stream_shards")
+    write_jsonl(df.repartition(2), path)
+
+    agg = (
+        read_jsonl_stream(spark, path, schema)
+        .groupBy("lang")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("jsonl_stream_counts")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.lang: r["count"]
+        for r in spark.sql("SELECT * FROM jsonl_stream_counts").collect()
+    }
+    assert got == {"en": 2, "de": 1}

@@ -416,3 +416,46 @@ def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):
     assert ids2 and ids2 <= D._live_persistent_ids(spark)
     assert df2.count() == n1
     D.clear_shingle_cache()
+
+
+def test_keep_best_decision_semantics(spark, oracle_sf_dir):
+    """Every cluster keeps exactly one member and that member has the
+    cluster's max quality (ties to lowest doc_id); singletons keep."""
+    from project_graphdb_spark.operators.dedup import dedup_keep_best
+
+    rows = dedup_keep_best(spark, oracle_sf_dir).collect()
+    byc: dict = {}
+    for r in rows:
+        byc.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in byc.values()), "no dup clusters?"
+    for members in byc.values():
+        kept = [r for r in members if r.keep]
+        assert len(kept) == 1
+        best = max(
+            members, key=lambda r: (r.quality_score, -r.doc_id)
+        )
+        assert kept[0].doc_id == best.doc_id
+        if len(members) == 1:
+            assert members[0].keep
+            assert members[0].cluster_size == 1
+
+
+def test_keep_best_lsh_agreement(spark, oracle_sf_dir):
+    """The LSH-fed keep decision (the 100 TB composition) must agree
+    with the exact-fed one on the kept set wherever LSH recall holds."""
+    from project_graphdb_spark.operators.dedup import (
+        dedup_keep_best,
+        dedup_keep_best_lsh,
+    )
+
+    exact = {
+        r.doc_id for r in dedup_keep_best(spark, oracle_sf_dir).collect()
+        if r.keep
+    }
+    lsh = {
+        r.doc_id
+        for r in dedup_keep_best_lsh(spark, oracle_sf_dir).collect()
+        if r.keep
+    }
+    agreement = len(exact & lsh) / len(exact | lsh)
+    assert agreement >= 0.95, f"keep-set agreement {agreement:.3f}"

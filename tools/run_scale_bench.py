@@ -36,8 +36,16 @@ EXTRA_STACK = [
     "ann_ivf_top10",
     "embedding_near_dup_blocked",
     "knn_join_top3",
+    "doc_dup_span_profile",
+    "doc_dup_span_scrub",
+    "jsonl_roundtrip_lang_stats",
+    "dedup_keep_best_lsh",
 ]
-EXCLUDED = ["dedup_ngram_jaccard", "embedding_near_dup_pairs"]
+EXCLUDED = [
+    "dedup_ngram_jaccard",
+    "embedding_near_dup_pairs",
+    "dedup_keep_best",  # exact-pair tier: dedup_keep_best_lsh's oracle
+]
 
 
 def plan_facts(df) -> dict:
@@ -65,6 +73,12 @@ def main() -> None:
     names = list(
         dict.fromkeys([*workload.headline_queries(), *EXTRA_STACK])
     )
+    if "--only" in sys.argv:  # focused run, e.g. --only a,b,c
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in only if n not in workload.REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        names = only
     results: dict[str, dict] = {}
     for name in names:
         fn = workload.REGISTRY[name].fn
