@@ -32,6 +32,12 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
+def _with_corrupt_col(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -42,49 +48,70 @@ def read_jsonl(
 
     ``keep_corrupt=True`` appends a ``_corrupt_record`` string column
     holding the raw line for rows that failed to parse (PERMISSIVE
-    mode); with the default ``False`` the column is dropped after the
-    scan so downstream schemas stay clean.
+    mode — feed the result to :func:`split_corrupt`). With the default
+    ``False`` malformed lines are dropped by the parser itself
+    (DROPMALFORMED): merely dropping the corrupt COLUMN would leave the
+    corrupt ROWS behind as all-null phantoms in every downstream
+    aggregate.
     """
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
-    )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
     if keep_corrupt:
-        return df
-    return df.drop(CORRUPT_COL)
+        return (
+            spark.read.schema(_with_corrupt_col(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
+    )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good, bad) split of a ``keep_corrupt=True`` scan — bad rows go
-    to a dead-letter sink, good rows continue with a clean schema.
+def split_corrupt(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(good, bad, parsed) split of a ``keep_corrupt=True`` scan — bad
+    rows go to a dead-letter sink, good rows continue with a clean
+    schema.
 
-    The input is cached first: Spark refuses queries that reference
-    only the corrupt-record column of a raw JSON scan
-    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
+    ``parsed`` is the cached parse both splits read from: Spark refuses
+    queries that reference only the corrupt-record column of a raw JSON
+    scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and
     operationally you want both streams served from ONE parse pass
-    anyway, not a re-read per sink.
+    anyway, not a re-read per sink. Call ``parsed.unpersist()`` once
+    both splits are consumed — otherwise each ingest batch pins a
+    corpus-sized cache for the life of the session.
     """
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return good, bad
+    return good, bad, df
 
 
 def read_jsonl_stream(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    keep_corrupt: bool = False,
 ) -> DataFrame:
     """Structured Streaming twin of :func:`read_jsonl`: tail a
     directory of JSONL shards as they land. The file source records
     processed files in the checkpoint, so ingest is exactly-once across
     restarts; the same schema-first rule applies (Spark refuses
-    streaming schema inference outright)."""
+    streaming schema inference outright). Same corrupt-line contract as
+    the batch scan: default drops malformed lines at the parser,
+    ``keep_corrupt=True`` surfaces them in ``_corrupt_record`` so the
+    stream can fork a dead-letter sink."""
+    if keep_corrupt:
+        return (
+            spark.readStream.schema(_with_corrupt_col(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
     return (
-        spark.readStream.schema(schema).option("mode", "PERMISSIVE").json(path)
+        spark.readStream.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
     )
 
 

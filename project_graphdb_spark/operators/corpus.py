@@ -229,7 +229,15 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     """(spans, dup) shared by the duplicate-span operators: spans is
     (doc_id, s, gram) for every span start, dup the grams that occur in
     ≥2 distinct documents (cross-document duplication only — a span
-    repeated inside one doc is that doc's own business)."""
+    repeated inside one doc is that doc's own business).
+
+    ``spans`` is deliberately NOT cached/checkpointed even though both
+    the dup aggregation and the join probe consume it: the exploded
+    frame is ~doc_len× larger than the corpus (every token start
+    carries an n-token string), so materializing it costs far more
+    than recomputing a narrow parquet scan + explode — the opposite
+    trade from ``cluster_assignments``, whose shared pair frame is
+    tiny and expensive to derive."""
     spans = docs.select(
         "doc_id",
         F.posexplode(_span_grams("text", n)).alias("s", "gram"),

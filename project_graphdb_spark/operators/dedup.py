@@ -756,26 +756,25 @@ def keep_best_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     The ranking window runs only on the pair-graph-sized cluster frame
     (near-dup docs are a small fraction of any corpus), so the corpus
     side stays a narrow quality map plus one join against that tiny —
-    typically broadcast — frame. No corpus-wide window anywhere.
+    typically broadcast — frame. No corpus-wide window anywhere, and
+    the full-corpus quality expression (tokenize + distinct) is
+    evaluated exactly once: cluster members get their score from the
+    post-join tiny frame, not a second corpus-wide pass.
     """
     from project_graphdb_spark.operators.text import quality_score
 
-    qual = docs.select(
-        "doc_id", quality_score("text").alias("quality_score")
-    )
     # both joins broadcast the cluster-frame side explicitly: it comes
     # out of the iterative CC pass as a checkpointed frame whose size
     # estimate Catalyst treats as unknown-large, so the planner would
-    # fall back to shuffling the corpus-sized quality map into a
-    # sort-merge join — the pair graph is orders of magnitude smaller
-    # than the corpus, which is exactly the broadcast case
+    # fall back to shuffling the corpus side into a sort-merge join —
+    # the pair graph is orders of magnitude smaller than the corpus,
+    # which is exactly the broadcast case
+    cl = cluster_assignments(pairs).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
     clustered = (
-        F.broadcast(
-            cluster_assignments(pairs).select(
-                "doc_id", "cluster_id", "cluster_size"
-            )
-        )
-        .join(qual, "doc_id")
+        docs.join(F.broadcast(cl), "doc_id")
+        .withColumn("quality_score", quality_score("text"))
         .withColumn(
             "keep",
             F.row_number().over(
@@ -786,6 +785,9 @@ def keep_best_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             == 1,
         )
         .select("doc_id", "cluster_id", "cluster_size", "keep")
+    )
+    qual = docs.select(
+        "doc_id", quality_score("text").alias("quality_score")
     )
     return (
         qual.join(F.broadcast(clustered), "doc_id", "left")

@@ -95,16 +95,21 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
         (2, "world"),
     ]
 
-    # add a shard with a malformed line: PERMISSIVE keeps the job
-    # alive and quarantines the raw line, it never throws
+    # add a shard with a malformed line: the default scan DROPS the
+    # bad row at the parser (no all-null phantom rows), while
+    # keep_corrupt=True quarantines the raw line via split_corrupt
     with open(tmp_path / "shards" / "bad-shard.json", "w") as f:
         f.write('{"doc_id": oops not json\n')
-    good, bad = split_corrupt(
+    dropped = read_jsonl(spark, path, schema)
+    assert dropped.count() == 2
+    assert dropped.filter("doc_id IS NULL").count() == 0
+    good, bad, parsed = split_corrupt(
         read_jsonl(spark, path, schema, keep_corrupt=True)
     )
     assert good.count() == 2
     assert bad.count() == 1
     assert "oops" in bad.collect()[0][0]
+    parsed.unpersist()
 
 
 def test_jsonl_write_shards_by_partition(spark, tmp_path):
@@ -134,6 +139,9 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
     )
     path = str(tmp_path / "stream_shards")
     write_jsonl(df.repartition(2), path)
+    # a malformed shard must not surface as an all-null row
+    with open(tmp_path / "stream_shards" / "bad-shard.json", "w") as f:
+        f.write("{broken\n")
 
     agg = (
         read_jsonl_stream(spark, path, schema)

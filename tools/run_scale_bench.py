@@ -74,7 +74,10 @@ def main() -> None:
         dict.fromkeys([*workload.headline_queries(), *EXTRA_STACK])
     )
     if "--only" in sys.argv:  # focused run, e.g. --only a,b,c
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
+            raise SystemExit("--only needs a comma-separated query list")
+        only = sys.argv[idx].split(",")
         unknown = [n for n in only if n not in workload.REGISTRY]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
