@@ -400,6 +400,72 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_scrub(docs)
 
 
+SHUFFLE_SHARDS = 16  # training shards for the deterministic shuffle
+_MIX_A = 2654435761  # Knuth multiplicative-hash constant (2^32 / phi)
+_MIX_M = 4294967296  # 2^32
+# shard = HIGH bits of the mix (mix // this), never the low bits: the
+# quality of multiplicative hashing lives in the high bits — and
+# _MIX_A ≡ 1 (mod 16), so low-bit bucketing would degenerate to
+# round-robin on sequential ids (observed before this divisor landed)
+_MIX_SHARD_DIV = _MIX_M // SHUFFLE_SHARDS
+
+
+@register(
+    "doc_shuffle_shards",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             (doc_id * {_MIX_A}) % {_MIX_M} AS mix
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(mix // {_MIX_SHARD_DIV} AS INT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY mix // {_MIX_SHARD_DIV} ORDER BY mix, doc_id
+           ) AS INT) AS shard_pos
+    FROM m ORDER BY doc_id
+    """,
+    description=f"deterministic corpus shuffle into {SHUFFLE_SHARDS} "
+    "training shards: multiplicative-hash mix -> shard bucket -> "
+    "per-shard position window. The SGD-ready global shuffle WITHOUT "
+    "a global ORDER BY funnel — ordering is established per shard, "
+    "shards are independent (the doc_pack_bins pattern)",
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-random but fully deterministic corpus shuffle — the step
+    that turns a crawl-ordered corpus into i.i.d.-looking training
+    input. A naive ORDER BY rand() is a global sort through one task
+    tier AND non-reproducible; here a multiplicative hash of doc_id
+    assigns (shard, intra-shard order), so the only wide op is the
+    per-shard window and a re-run (or a failed-stage retry) lands every
+    doc in exactly the same place. The arithmetic mixer is shared
+    verbatim with the oracle; a production run would swap in
+    ``F.xxhash64`` (better dispersion, engine-local determinism is all
+    a pipeline needs — the arithmetic form exists so DuckDB can
+    replicate it).
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mix = (F.col("doc_id") * _MIX_A) % _MIX_M
+    w = W.partitionBy("shard_id").orderBy("mix", "doc_id")
+    return (
+        docs.select("doc_id", mix.alias("mix"))
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("mix") / _MIX_SHARD_DIV).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "shard_id",
+            F.row_number().over(w).cast("int").alias("shard_pos"),
+            "mix",
+        )
+        .drop("mix")
+        .orderBy("doc_id")
+    )
+
+
 PACK_BUDGET = 256  # token budget per training bin
 
 

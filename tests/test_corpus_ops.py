@@ -161,3 +161,27 @@ def test_jsonl_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM jsonl_stream_counts").collect()
     }
     assert got == {"en": 2, "de": 1}
+
+
+def test_doc_shuffle_shards_deterministic_and_dispersed(spark, sf_dir):
+    """The shuffle is reproducible across input partitionings (a
+    failed-stage retry must land every doc in the same place) and the
+    shard assignment actually scrambles crawl order rather than
+    degenerating to round-robin."""
+    from project_graphdb_spark.operators.corpus import (
+        SHUFFLE_SHARDS,
+        doc_shuffle_shards,
+    )
+
+    out = doc_shuffle_shards(spark, sf_dir)
+    rows = {(r.doc_id, r.shard_id, r.shard_pos) for r in out.collect()}
+    shards = {s for _, s, _ in rows}
+    assert shards <= set(range(SHUFFLE_SHARDS))
+    # consecutive doc_ids spread across shards, not doc_id % N
+    assert any(s != d % SHUFFLE_SHARDS for d, s, _ in rows)
+    # per-shard positions are a clean 1..k sequence
+    by_shard: dict = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

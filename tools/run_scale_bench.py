@@ -40,6 +40,7 @@ EXTRA_STACK = [
     "doc_dup_span_scrub",
     "jsonl_roundtrip_lang_stats",
     "dedup_keep_best_lsh",
+    "doc_shuffle_shards",
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
