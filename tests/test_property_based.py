@@ -138,3 +138,53 @@ def test_parser_total_on_garbage(text):
         parse(text)
     except CypherSyntaxError:
         pass
+
+
+@SETTINGS
+@given(
+    corpora=st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dup_span_scrub_matches_python_model(spark, corpora):
+    """dup_span_scrub vs a naive Python model: span extraction,
+    cross-doc duplicate detection, coverage-interval removal."""
+    from project_graphdb_spark.operators.corpus import dup_span_scrub
+
+    n = 3
+    docs = [(i, t) for i, t in enumerate(corpora)]
+
+    # naive model
+    spans: dict[int, list[str]] = {}
+    for i, t in docs:
+        # mirror tokens(): split(trim(text), '\s+') — empty => ['']
+        toks = t.strip().split(" ") if t.strip() else [""]
+        spans[i] = [
+            " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+        ]
+    owners: dict[str, set[int]] = {}
+    for i, gs in spans.items():
+        for g in gs:
+            owners.setdefault(g, set()).add(i)
+    dup = {g for g, o in owners.items() if len(o) >= 2}
+    expected = {}
+    for i, t in docs:
+        toks = t.strip().split(" ") if t.strip() else [""]
+        starts = [j for j, g in enumerate(spans[i]) if g in dup]
+        kept = [
+            tok
+            for j, tok in enumerate(toks)
+            if not any(s <= j <= s + n - 1 for s in starts)
+        ]
+        expected[i] = (" ".join(kept), len(toks) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dup_span_scrub(df, n=n).collect()
+    }
+    assert got == expected
