@@ -117,9 +117,13 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     to a handful of input partitions. One narrow shuffle of the raw text
     buys full-cluster parallelism for the transform + the downstream
     per-doc aggregations, which are already co-partitioned after it.
+    The partition count is explicit (``repartition_for_cpu``) so AQE
+    cannot coalesce the byte-small shuffle back to one CPU.
     """
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
     return (
-        docs.repartition("doc_id")
+        repartition_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(shingle_array("text")).alias("shingle"))
         .distinct()
     )
@@ -375,8 +379,10 @@ def _shingle_arrays_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         del _SHINGLE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     before = _live_persistent_ids(spark)
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
     df = (
-        docs.repartition("doc_id")
+        repartition_for_cpu(docs, "doc_id")
         .select("doc_id", hashed_shingle_array("text").alias("sh_arr"))
         .persist()
     )
@@ -474,7 +480,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     bit_i(simhash) = 1 iff sum over tokens of ±1 (by bit_i of the token
     hash) is positive. Entirely JVM bit arithmetic.
     """
-    tok = docs.repartition("doc_id").select(
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
+    tok = repartition_for_cpu(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
     h = F.xxhash64("tok")
@@ -801,4 +809,190 @@ def keep_best_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.coalesce("keep", F.lit(True)).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Winnowing: rolling-hash fingerprints + MOSS-style overlap detection
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+WINNOW_MIN_SHARED = 3  # shared fingerprints to flag a pair
+
+# Shared CTE block: per-doc winnowed fingerprint selection. The gram
+# hash is the first 8 hex chars of md5 — identical in Spark and DuckDB,
+# which is what makes the whole winnowing stack EXACTLY oracle-able
+# (unlike the MinHash tier, whose xxhash64 signatures are Spark-local).
+# Window minima compare lexicographically on the hex string: a total
+# order both engines share byte-for-byte.
+_WINNOW_SEL_CTES = f"""wtoks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), wstarts AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, len(t) - {WINNOW_K}, 1)) AS s
+      FROM wtoks WHERE len(t) >= {WINNOW_K}
+    ), wgrams AS (
+      SELECT doc_id, s,
+             substr(md5(array_to_string(t[s + 1 : s + {WINNOW_K}], ' ')),
+                    1, 8) AS h
+      FROM wstarts
+    ), wwin AS (
+      SELECT doc_id, s,
+             MIN(h) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING
+             ) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM wgrams
+    ), wsel AS MATERIALIZED (
+      SELECT DISTINCT doc_id, n_grams, sel
+      FROM wwin
+      WHERE s <= GREATEST(n_grams - {WINNOW_W}, 0)
+    )"""
+
+
+def _winnow_sels(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fp) — the winnowed fingerprint set per doc:
+    hash every K-token gram, slide a W-gram window, keep each window's
+    minimum hash, dedup. Density ≈ 2/(W+1) of the gram count, so any
+    downstream join touches a small, content-stable sample of the doc
+    (MOSS winnowing, Schleimer et al. 2003, simplified to value-level
+    dedup of the selected minima).
+
+    Repartitions by doc_id first for the same reason ``doc_shingles``
+    does: the per-gram md5 work is CPU-bound, and a compactly-written
+    corpus would otherwise pin it to the input's few partitions. The
+    partition count is explicit (``repartition_for_cpu``) because AQE
+    coalesces a count-unspecified repartition of byte-small input back
+    to one partition — optimizing for data volume exactly when the
+    cost is CPU per row (measured at sf0.1: 3.95 s coalesced vs
+    0.78 s at explicit parallelism)."""
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
+    docs = repartition_for_cpu(docs, "doc_id")
+    toks = tokens("text")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(0), sz - WINNOW_K),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K))),
+                1,
+                8,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gh = docs.select("doc_id", grams.alias("gh"))
+    n_grams = F.size("gh")
+    sels = F.when(
+        n_grams > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(n_grams - WINNOW_W, F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(F.col("gh"), i + 1, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return gh.select(
+        "doc_id",
+        n_grams.cast("bigint").alias("n_grams"),
+        F.explode(sels).alias("fp"),
+    )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_SEL_CTES},
+    perdoc AS (
+      SELECT doc_id,
+             MAX(n_grams) AS n_grams,
+             COUNT(*) AS n_fps,
+             md5(string_agg(sel, '' ORDER BY sel)) AS sketch
+      FROM wsel GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_fps, 0) AS BIGINT) AS n_fps,
+           COALESCE(p.sketch, md5('')) AS sketch
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+    description=f"winnowed rolling-hash document fingerprints (MOSS, "
+    f"Schleimer et al. 2003): hash every {WINNOW_K}-token gram, keep "
+    f"each {WINNOW_W}-gram window's minimum, per-doc sketch = md5 of "
+    "the sorted selection. Pure narrow map, and exactly oracle-able "
+    "because the gram hash is md5 (identical in both engines)",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = (
+        _winnow_sels(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list("fp"))
+                )
+            ).alias("sketch"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("sketch", F.md5(F.lit(""))).alias("sketch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_winnow",
+    oracle=f"""
+    WITH {_WINNOW_SEL_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wsel a JOIN wsel b
+      ON a.sel = b.sel AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    ORDER BY doc_a, doc_b
+    """,
+    description=f"near-dup pairs via winnowed fingerprints (the MOSS "
+    f"overlap join): docs sharing >= {WINNOW_MIN_SHARED} selected "
+    "fingerprints. The join touches only the winnowed sample "
+    f"(~2/{WINNOW_W + 1} of grams), never the full gram set — a "
+    "mid-tier between exact shingle Jaccard (quadratic) and "
+    "MinHash+LSH (probabilistic); exactly oracle-able end to end",
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # checkpoint the selection: it is tiny by design (~2/(W+1) of the
+    # gram count) but expensive to derive (md5 per gram), and the
+    # self-join would otherwise recompute it for both sides — the
+    # cluster_assignments trade, the opposite of the spans frame
+    sels = (
+        _winnow_sels(docs)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=True)
+    )
+    a = sels.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sels.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
     )

@@ -52,3 +52,18 @@ def free_all_persistent(spark, run_jvm_gc: bool = True) -> None:
     unpersist_ids(sc, persistent_rdd_ids(sc), blocking=True)
     if run_jvm_gc:
         sc._jvm.System.gc()
+
+
+def repartition_for_cpu(df, *cols):
+    """Repartition with an EXPLICIT partition count (the cluster's
+    default parallelism), for narrow maps whose cost is CPU per row.
+
+    A count-unspecified ``repartition(col)`` is AQE-optimizable: when
+    the input is byte-small, AQE coalesces the shuffle back toward one
+    partition — optimizing for data volume exactly when the cost is
+    per-row CPU (shingling, per-gram hashing), serializing the map.
+    An explicit count is exempt from AQE coalescing. Measured on the
+    winnowing gram map at sf0.1: 3.95 s coalesced vs 0.78 s spread.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)

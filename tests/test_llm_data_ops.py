@@ -459,3 +459,50 @@ def test_keep_best_lsh_agreement(spark, oracle_sf_dir):
     }
     agreement = len(exact & lsh) / len(exact | lsh)
     assert agreement >= 0.95, f"keep-set agreement {agreement:.3f}"
+
+
+def test_winnow_finds_planted_near_dups(spark, oracle_sf_dir):
+    """The winnowed-fingerprint overlap join recovers most of the
+    exact-Jaccard near-dup pairs (winnowing guarantees any sufficiently
+    long shared run yields shared selected fingerprints)."""
+    from project_graphdb_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_ngram_jaccard,
+        dedup_winnow,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, oracle_sf_dir).collect()
+        if r.jaccard >= JACCARD_THRESHOLD
+    }
+    winnow = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_winnow(spark, oracle_sf_dir).collect()
+    }
+    assert exact, "sf0.01 should contain planted near-dups"
+    recall = len(exact & winnow) / len(exact)
+    assert recall >= 0.9, f"winnow recall {recall:.3f}"
+
+
+def test_winnow_sels_short_and_empty_docs(spark):
+    """Docs shorter than the gram size produce no fingerprints (and no
+    crash); identical docs produce identical selections."""
+    from project_graphdb_spark.operators.dedup import _winnow_sels
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),  # < WINNOW_K tokens
+            (2, ""),  # empty
+            (3, "w x y z p q r s"),
+            (4, "w x y z p q r s"),  # exact copy of 3
+        ],
+        ["doc_id", "text"],
+    )
+    rows = _winnow_sels(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3] == by_doc[4]
+    assert len(by_doc[3]) >= 1

@@ -41,6 +41,8 @@ EXTRA_STACK = [
     "jsonl_roundtrip_lang_stats",
     "dedup_keep_best_lsh",
     "doc_shuffle_shards",
+    "doc_winnow_fingerprints",
+    "dedup_winnow",
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
