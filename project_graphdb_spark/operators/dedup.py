@@ -17,9 +17,15 @@ Scale story:
   exact verification on the (tiny) candidate set.
 * **simhash** — 64-bit signatures; pigeonhole banding on 16-bit chunks
   turns hamming<=k search into 4 equi-joins.
+* **winnowing** — rolling md5 gram hashes, window minima kept (MOSS);
+  the overlap join touches only the winnowed sample. The one near-dup
+  tier that is exactly oracle-able end to end.
+* **clustering / keep-lists** — connected components over a pair frame
+  plus a canonical or quality-ranked keep decision; each has an exact
+  tier (the oracle) and an LSH-fed tier (the 100 TB path).
 
-Everything is built-in expressions (xxhash64, bit ops, array ops) — no
-Python UDFs anywhere.
+Everything is built-in expressions (xxhash64, md5, bit ops, array
+ops) — no Python UDFs anywhere.
 """
 
 from __future__ import annotations
