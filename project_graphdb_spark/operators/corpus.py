@@ -52,18 +52,11 @@ CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 
 
 def _ngram_array(col, n: int):
-    """Distinct word n-gram strings of a text column (JVM-side)."""
-    toks = tokens(col)
-    sz = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), sz - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram strings of a text column (JVM-side,
+    zip-of-slices construction — see ``text.sliding_structs``)."""
+    from project_graphdb_spark.operators.text import sliding_grams
+
+    return F.array_distinct(sliding_grams(tokens(col), n))
 
 
 @register(
@@ -214,15 +207,9 @@ def _span_grams(col, n: int):
     """Positional word n-grams of a text column: index i of the result
     array is the 0-based token start of that span (unlike
     ``_ngram_array`` this keeps duplicates and positions)."""
-    toks = tokens(col)
-    sz = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), sz - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(sz >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    from project_graphdb_spark.operators.text import sliding_grams
+
+    return sliding_grams(tokens(col), n)
 
 
 def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
@@ -558,6 +545,148 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.round(F.avg(F.log10("n")), 6).alias("avg_log_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language model: train from the corpus, score docs under it
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_N = 50  # model rows surfaced by the training query
+
+# shared CTE: (doc_id, w1, w2) consecutive-token bigrams + the MLE
+# model counts. Conditioning counts come from the bigram table itself
+# (count of w1 as a left context), so P(w2|w1) sums to 1 per context.
+_BIGRAM_CTES = """btoks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+               AS i
+      FROM documents
+    ), bg AS MATERIALIZED (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM btoks a JOIN btoks b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), cnt2 AS MATERIALIZED (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2
+    ), cnt1 AS MATERIALIZED (
+      SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1
+    )"""
+
+
+def _bigram_frames(docs: DataFrame):
+    """(bg, model): exploded bigram rows and the MLE conditional model.
+    The model frame is vocabulary²-bounded — corpus-size independent —
+    which is what makes it broadcastable at any corpus scale. The
+    explode is CPU-spread explicitly (SCALE.md finding 8)."""
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
+    docs = repartition_for_cpu(docs, "doc_id")
+    from project_graphdb_spark.operators.text import sliding_structs
+
+    bg = docs.select(
+        "doc_id", F.explode(sliding_structs(tokens("text"), 2)).alias("b")
+    ).select(
+        "doc_id",
+        F.col("b.t0").alias("w1"),
+        F.col("b.t1").alias("w2"),
+    )
+    # one pass over the exploded bigrams: context counts derive FROM
+    # the bigram counts (sum of n per w1 == count of w1 as a left
+    # context), and the bigram-count frame is checkpointed — it is
+    # vocabulary²-bounded (tiny) while every un-checkpointed consumer
+    # would re-run the corpus-sized explode (measured at sf1: 39 s ->
+    # ~14 s for the model, one explode instead of two-plus)
+    cnt2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("n").alias("n1"))
+    # broadcast explicitly: the checkpointed cnt2's size estimate is
+    # unknown-large, so the planner would pick a sort-merge join even
+    # though cnt1 is vocabulary-bounded
+    model = cnt2.join(F.broadcast(cnt1), "w1")
+    return bg, model
+
+
+@register(
+    "corpus_bigram_lm",
+    oracle=f"""
+    WITH {_BIGRAM_CTES}
+    SELECT c2.w1, c2.w2, CAST(c2.n AS BIGINT) AS n,
+           ROUND(c2.n * 1.0 / c1.n1, 6) AS p
+    FROM cnt2 c2 JOIN cnt1 c1 ON c2.w1 = c1.w1
+    ORDER BY c2.n DESC, c2.w1, c2.w2 LIMIT {BIGRAM_TOP_N}
+    """,
+    description=f"bigram LM training: MLE conditional probabilities "
+    f"P(w2|w1) from consecutive-token counts, top {BIGRAM_TOP_N} by "
+    "frequency. Two shuffles (bigram + context counts); the model is "
+    "vocabulary²-bounded, corpus-size independent",
+)
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, model = _bigram_frames(docs)
+    return (
+        model.select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("n1"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(BIGRAM_TOP_N)
+    )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_CTES},
+    score AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(log10(c2.n * 1.0 / c1.n1)), 6) AS avg_logprob
+      FROM bg g
+      JOIN cnt2 c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+      JOIN cnt1 c1 ON g.w1 = c1.w1
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.avg_logprob
+    FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+    ORDER BY d.doc_id
+    """,
+    description="per-doc mean log10 P(w2|w1) under the corpus-trained "
+    "bigram LM — the upgrade over the unigram doc_lm_score proxy "
+    "(fluency, not just token rarity). The model join broadcasts the "
+    "vocabulary²-bounded model frame; scoring the training corpus "
+    "itself means no unseen bigrams, so MLE needs no smoothing",
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg, model = _bigram_frames(docs)
+    score = (
+        bg.join(F.broadcast(model), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(F.log10(F.col("n") / F.col("n1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            "avg_logprob",
         )
         .orderBy("doc_id")
     )

@@ -82,18 +82,11 @@ def lsh_params(
 
 
 def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles of a text column (JVM-side)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word k-gram shingles of a text column (JVM-side,
+    zip-of-slices construction — see ``text.sliding_structs``)."""
+    from project_graphdb_spark.operators.text import sliding_grams
+
+    return F.array_distinct(sliding_grams(tokens(col), k))
 
 
 def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
@@ -102,17 +95,13 @@ def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     path only ever hashes shingles, so building concat strings first is
     pure overhead (and a wider shuffle); hash collisions at 64 bits are
     negligible for Jaccard estimation."""
-    toks = tokens(col)
-    n = F.size(toks)
+    from project_graphdb_spark.operators.text import sliding_structs
+
     grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.xxhash64(
-            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        sliding_structs(tokens(col), k),
+        lambda s: F.xxhash64(*[s[f"t{j}"] for j in range(k)]),
     )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    return F.array_distinct(grams)
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:
@@ -877,20 +866,13 @@ def _winnow_sels(docs: DataFrame) -> DataFrame:
     0.78 s at explicit parallelism)."""
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
+    from project_graphdb_spark.operators.text import sliding_grams
+
     docs = repartition_for_cpu(docs, "doc_id")
-    toks = tokens("text")
-    sz = F.size(toks)
-    grams = F.when(
-        sz >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(0), sz - WINNOW_K),
-            lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K))),
-                1,
-                8,
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.transform(
+        sliding_grams(tokens("text"), WINNOW_K),
+        lambda g: F.substring(F.md5(g), 1, 8),
+    )
     gh = docs.select("doc_id", grams.alias("gh"))
     n_grams = F.size("gh")
     sels = F.when(

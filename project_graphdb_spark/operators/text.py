@@ -26,6 +26,37 @@ def tokens(col: str | Column) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+def sliding_structs(toks: Column, k: int) -> Column:
+    """Array of structs ``(t0..t{k-1})`` of k consecutive tokens, index
+    i of the result = 0-based start position; empty when the doc has
+    fewer than k tokens.
+
+    Built as ``arrays_zip`` of k shifted slices — NEVER as a
+    ``transform(sequence, i -> element_at(toks, i+j))`` lambda: the
+    per-element lambda falls out of whole-stage codegen into
+    interpreted evaluation, measured 17-22× slower on sf1's ~7M grams
+    (SCALE.md finding 9). Every gram/shingle builder in the repo goes
+    through here.
+    """
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, n - k + 1).alias(f"t{j}") for j in range(k)]
+    )
+    empty_t = ",".join(f"t{j}:string" for j in range(k))
+    return F.when(n >= k, zipped).otherwise(
+        F.array().cast(f"array<struct<{empty_t}>>")
+    )
+
+
+def sliding_grams(toks: Column, k: int) -> Column:
+    """Positional word k-gram strings (space-joined), via
+    :func:`sliding_structs`."""
+    return F.transform(
+        sliding_structs(toks, k),
+        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(k)]),
+    )
+
+
 # word-ish / number / punctuation chunks — a BPE-flavored pre-tokenizer
 # (shared regex between Spark and the oracle; both use it verbatim)
 _BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -259,6 +290,94 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     return docs.filter(key < thr).orderBy("doc_id")
+
+
+# target mixture for doc_mix_rebalance: even-name-length sources get
+# twice the share of odd ones (a deterministic, source-format-agnostic
+# stand-in for the hand-tuned per-source weights of a Pile/Dolma-style
+# mixture — the sf1 clone uses realistic names like books/web/wiki, so
+# nothing here may assume a parseable numeric suffix)
+MIX_EVEN_W = 2.0
+MIX_ODD_W = 1.0
+_MIX_REB_A = 2654435761  # same multiplicative mixer as doc_shuffle_shards
+_MIX_REB_M = 4294967296
+
+
+@register(
+    "doc_mix_rebalance",
+    oracle=f"""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS cnt,
+             SUM(COUNT(*)) OVER () AS total
+      FROM documents GROUP BY source
+    ), fracs AS (
+      SELECT source, cnt, total,
+             CASE WHEN length(source) % 2 = 0 THEN {MIX_EVEN_W}
+                  ELSE {MIX_ODD_W} END AS w,
+             SUM(CASE WHEN length(source) % 2 = 0 THEN {MIX_EVEN_W}
+                      ELSE {MIX_ODD_W} END) OVER () AS total_w
+      FROM stats
+    ), f AS (
+      SELECT source,
+             LEAST(1.0, (w / total_w) * total / cnt) AS frac
+      FROM fracs
+    )
+    SELECT d.doc_id, d.source, ROUND(f.frac, 6) AS sample_frac
+    FROM documents d JOIN f ON d.source = f.source
+    WHERE ((d.doc_id * {_MIX_REB_A}) % {_MIX_REB_M})
+            / {_MIX_REB_M} < f.frac
+    ORDER BY d.doc_id
+    """,
+    description="mixture rebalancing: derive per-source sampling "
+    "fractions from a TARGET mix (even-name-length sources get 2x "
+    "the share) and the observed counts, cap at 1, then deterministic "
+    "hash-threshold sampling — the Pile/Dolma mixture-weighting step. "
+    "Per-source stats are a tiny broadcast frame; the corpus side is "
+    "one narrow filter",
+)
+def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass mixture sampling: (1) aggregate per-source counts —
+    a frame with one row per source, data-size independent; (2) join
+    the derived fraction back (broadcast) and keep rows whose
+    deterministic hash falls under it. Sources above their target
+    share are downsampled, sources at/below keep everything (frac caps
+    at 1 — this operator never upsamples, matching how mixture weights
+    are applied in practice). The mixer is the arithmetic one shared
+    with the oracle; production swaps in ``F.xxhash64``.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_col = F.when(
+        F.length("source") % 2 == 0, F.lit(MIX_EVEN_W)
+    ).otherwise(F.lit(MIX_ODD_W))
+    everything = W.partitionBy()
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(everything))
+        .withColumn("w", w_col)
+        .withColumn("total_w", F.sum("w").over(everything))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (F.col("w") / F.col("total_w"))
+                * F.col("total")
+                / F.col("cnt"),
+            ).alias("frac"),
+        )
+    )
+    u = ((F.col("doc_id") * _MIX_REB_A) % _MIX_REB_M) / _MIX_REB_M
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .filter(u < F.col("frac"))
+        .select(
+            "doc_id", "source", F.round("frac", 6).alias("sample_frac")
+        )
+        .orderBy("doc_id")
+    )
 
 
 # DuckDB CTE producing (doc_id, w, i): one row per token with position.

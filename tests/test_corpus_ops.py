@@ -185,3 +185,41 @@ def test_doc_shuffle_shards_deterministic_and_dispersed(spark, sf_dir):
         by_shard.setdefault(s, []).append(p)
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_bigram_model_is_valid_distribution(spark, sf_dir):
+    """P(w2|w1) sums to 1 within each context in the unrounded model."""
+    from pyspark.sql import functions as F
+
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.corpus import _bigram_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, model = _bigram_frames(docs)
+    sums = (
+        model.groupBy("w1")
+        .agg(F.sum(F.col("n") / F.col("n1")).alias("total_p"))
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert abs(r.total_p - 1.0) < 1e-9, r
+
+
+def test_mix_rebalance_respects_target(spark, oracle_sf_dir):
+    """Sources at/below their target share keep every doc; sources
+    above are downsampled to ~frac of their rows."""
+    from project_graphdb_spark.operators.text import doc_mix_rebalance
+
+    rows = doc_mix_rebalance(spark, oracle_sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.sample_frac)
+    for src, fracs in by_src.items():
+        frac = fracs[0]
+        if len(src) % 2 == 0:  # double-weighted stratum
+            assert frac == 1.0, (src, frac)
+            assert len(fracs) == 25  # kept whole (uniform 25/source)
+        else:
+            assert frac < 1.0
+            assert len(fracs) < 25

@@ -43,6 +43,8 @@ EXTRA_STACK = [
     "doc_shuffle_shards",
     "doc_winnow_fingerprints",
     "dedup_winnow",
+    "doc_mix_rebalance",
+    "doc_bigram_logprob",
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
