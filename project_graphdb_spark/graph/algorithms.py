@@ -279,6 +279,67 @@ def connected_components(
     )
 
 
+def k_core(
+    graph: PropertyGraph | None = None,
+    k: int = 3,
+    edges: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, core_degree) — vertices of the k-core with their degree in
+    the core subgraph: iteratively peel vertices whose surviving
+    degree is < k until a fixed point (Matula-Beck peeling).
+
+    Each round is ONE degree aggregation plus two key-only semi-joins
+    filtering the edge frame to surviving endpoints; the surviving
+    frame is checkpointed per round (flat lineage, superseded blocks
+    freed) and convergence is the edge count reaching a fixed point —
+    a count of the frame each round materializes anyway, never a
+    separate diff join. The symmetric edge frame stays symmetric under
+    peeling (an edge drops iff either endpoint drops), so undirected
+    degree remains a plain groupBy on ``src`` throughout.
+    """
+    if graph is not None:
+        edges = unified_edges(graph, undirected=True)
+    else:
+        assert edges is not None
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    sc = edges.sparkSession.sparkContext
+    edges, edge_ids = _ckpt(edges)
+    n_edges = edges.count()
+    iter_secs: list[float] = []
+    for _ in range(max_iter):
+        t0 = time.perf_counter()
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+        )
+        pruned = edges.join(
+            keep.select("src"), "src", "left_semi"
+        ).join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+        pruned, new_ids = _ckpt(pruned)
+        m = pruned.count()
+        _unpersist(sc, edge_ids)
+        edges, edge_ids = pruned, new_ids
+        iter_secs.append(time.perf_counter() - t0)
+        if m == n_edges:
+            break
+        n_edges = m
+    out = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(F.col("src").alias("id"), "core_degree")
+    )
+    out, out_ids = _ckpt(out)  # noqa: F841 — result frame owns blocks
+    _unpersist(sc, edge_ids)
+    _record_iter("k_core", iter_secs)
+    return out
+
+
 def send_messages(
     state: DataFrame, edges: DataFrame, message: Column
 ) -> DataFrame:

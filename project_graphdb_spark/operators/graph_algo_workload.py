@@ -376,3 +376,49 @@ def galg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(
         unified_vertices(g), edges, "Customer:1", max_iter=SSSP_ITERS
     ).orderBy("id")
+
+
+KCORE_K = 3
+KCORE_ORACLE_ROUNDS = 16  # > max peeling depth at test SF; Spark runs
+# to the exact fixed point, so extra unrolled rounds are no-ops
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled Matula-Beck peeling over the symmetrized unified graph
+    (same CTE-chain technique as the CC/PageRank oracles)."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+      SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+      SELECT src AS id FROM e{r} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r} e
+      JOIN k{r} a ON e.src = a.id
+      JOIN k{r} b ON e.dst = b.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    {','.join(ctes)}
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY src ORDER BY id
+    """
+
+
+@register(
+    "galg_kcore_3",
+    oracle=_kcore_oracle(),
+    description=f"{KCORE_K}-core decomposition via Matula-Beck peeling "
+    "(one degree agg + two semi-joins per round, checkpointed, "
+    "edge-count fixed point); oracle = unrolled peeling CTE chain",
+)
+def galg_kcore_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.graph.algorithms import k_core
+
+    g = tpch_graph(spark, sf_dir)
+    return k_core(g, k=KCORE_K).orderBy("id")

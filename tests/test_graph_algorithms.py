@@ -209,3 +209,41 @@ def test_shortest_paths_unit_weights_match_bfs(spark, sf_dir):
         for r in bfs_distances(g, "Customer:1", max_depth=20).collect()
     }
     assert sp == bfs
+
+
+def test_kcore_every_member_has_core_degree_k(spark, sf_dir):
+    """k-core semantics: the returned subgraph's degrees are all >= k,
+    and peeling converged well under the oracle's unrolled bound."""
+    from project_graphdb_spark.graph.algorithms import (
+        LAST_ITER_SECONDS,
+        k_core,
+    )
+    from project_graphdb_spark.operators.graph_algo_workload import (
+        KCORE_K,
+        KCORE_ORACLE_ROUNDS,
+        tpch_graph,
+    )
+
+    out = k_core(tpch_graph(spark, sf_dir), k=KCORE_K)
+    assert out.filter(f"core_degree < {KCORE_K}").count() == 0
+    assert out.count() > 0
+    assert len(LAST_ITER_SECONDS["k_core"]) < KCORE_ORACLE_ROUNDS
+
+
+def test_kcore_peels_low_degree_chain(spark):
+    """A path graph has no 2-core; a cycle is its own 2-core."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from project_graphdb_spark.graph.algorithms import k_core
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    assert k_core(k=2, edges=path).count() == 0
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {
+        (r.id, r.core_degree) for r in k_core(k=2, edges=cycle).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 2)}

@@ -40,6 +40,7 @@ ITERATIVE = [
     "galg_pagerank_top20",
     "galg_label_propagation",
     "galg_triangle_count",
+    "galg_kcore_3",
     "cypher_shortestpath_nation_pairs",
     "cypher_varlength_customers_per_region",
 ]
