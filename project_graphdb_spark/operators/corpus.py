@@ -690,3 +690,104 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: tokenizer learning as an iterative DataFrame job
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 12
+BPE_MIN_FREQ = 2
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    min_freq: int = BPE_MIN_FREQ,
+):
+    """Learn byte-pair-encoding merges from a corpus.
+
+    Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY
+    table, not the corpus: after one corpus-wide aggregation the state
+    is a vocabulary-bounded frame (word, count, symbol array), so every
+    merge round — count weighted adjacent symbol pairs, pick the most
+    frequent, rewrite the arrays — runs on a frame whose size is
+    independent of corpus size. The per-round top-1 collect pulls ONE
+    row to the driver (the learned merge, a model artifact — same
+    contract as the Lloyd centroids in the IVF quantizer).
+
+    The pair rewrite is a left-to-right fold (``F.aggregate``): merging
+    (a, b) consumes its operands, so overlapping occurrences like
+    ``a a a`` merge once — the reference BPE behavior. Returns
+    ``(merges, vocab)``: the ordered merge table rows and the final
+    segmented vocabulary frame.
+    """
+    from project_graphdb_spark.operators.text import sliding_structs
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .withColumn("sym", F.split("word", ""))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(n_merges):
+        pairs = vocab.select(
+            "n", F.explode(sliding_structs(F.col("sym"), 2)).alias("p")
+        )
+        top = (
+            pairs.groupBy(F.col("p.t0").alias("a"), F.col("p.t1").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_freq:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merged = a + b
+        merges.append((r, a, b, merged, cnt))
+        fold = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        new_vocab = vocab.withColumn("sym", fold).localCheckpoint(
+            eager=True
+        )
+        vocab = new_vocab
+    merges_df = spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+    return merges_df, vocab
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=None,  # iterative argmax with data-dependent rewrites per
+    # round — not expressible as one SQL statement; pinned instead
+    # against a pure-Python reference BPE in tests (hypothesis +
+    # fixed-corpus), same verification tier as the LSH internals
+    description=f"BPE tokenizer training: learn {BPE_MERGES} merges "
+    "from the corpus word-frequency table (Sennrich et al. 2016). "
+    "One corpus aggregation, then every round runs on the "
+    "vocabulary-bounded frame; per-round driver pull is one row (the "
+    "learned merge)",
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges, _ = bpe_train(docs)
+    return merges.orderBy("rank")

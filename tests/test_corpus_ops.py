@@ -223,3 +223,79 @@ def test_mix_rebalance_respects_target(spark, oracle_sf_dir):
         else:
             assert frac < 1.0
             assert len(fracs) < 25
+
+
+def _ref_bpe(words: dict, n_merges: int, min_freq: int):
+    """Pure-Python reference BPE (Sennrich et al. 2016): count all
+    adjacent symbol positions (overlaps included), pick max count with
+    lexicographic tie-break, apply a left-to-right consuming merge."""
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for r in range(n_merges):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + words[w]
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_freq:
+            break
+        merges.append((r, a, b, a + b, cnt))
+        for w, syms in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer reproduces the reference merge sequence
+    on the real test corpus."""
+    from collections import Counter
+
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.corpus import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = Counter(
+        w
+        for r in docs.collect()
+        for w in r.text.strip().split()
+        if w
+    )
+    expected = _ref_bpe(dict(words), 12, 2)
+    merges, _ = bpe_train(docs, n_merges=12, min_freq=2)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in merges.orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_overlap_and_ties(spark):
+    """Overlapping pairs merge left-to-right consuming their operands
+    ('aaaa' -> 'aa','aa'), and ties break lexicographically."""
+    from project_graphdb_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaaa aaaa",), ("bc bc bc",)], ["text"]
+    )
+    merges, vocab = bpe_train(docs, n_merges=2, min_freq=2)
+    rows = [
+        (r.left, r.right, r.pair_count)
+        for r in merges.orderBy("rank").collect()
+    ]
+    # 'a a' appears 3 positions x 2 copies = 6; 'b c' = 3
+    assert rows[0] == ("a", "a", 6)
+    segs = {
+        r.word: list(r.sym) for r in vocab.collect()
+    }
+    assert segs["aaaa"] == ["aa", "aa"]
