@@ -984,3 +984,57 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )
+
+
+INCR_MIN_SHARED = WINNOW_MIN_SHARED
+
+
+@register(
+    "dedup_incremental_winnow",
+    oracle=f"""
+    WITH {_WINNOW_SEL_CTES},
+    basef AS (SELECT doc_id, sel FROM wsel WHERE doc_id % 2 = 0),
+    incf AS (SELECT doc_id, sel FROM wsel WHERE doc_id % 2 = 1),
+    hits AS (
+      SELECT i.doc_id AS doc_id, b.doc_id AS base_doc,
+             COUNT(*) AS n_shared
+      FROM incf i JOIN basef b ON i.sel = b.sel
+      GROUP BY 1, 2 HAVING COUNT(*) >= {INCR_MIN_SHARED}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+           CAST(MIN(base_doc) AS BIGINT) AS first_base_match
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    description="incremental dedup: flag docs of a new increment "
+    "(odd doc_ids) that near-duplicate the existing corpus (even "
+    "doc_ids) by shared winnowed fingerprints — the daily-crawl "
+    "dedup-against-the-store pass. Join cost is proportional to the "
+    "increment's fingerprint sample, never all-pairs against the "
+    "corpus; in production the base side is a precomputed fingerprint "
+    "store, exactly the frame this query derives",
+)
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base-corpus fingerprints would be read from a store in a
+    real pipeline; deriving them inline keeps the query hermetic and
+    the oracle exact (md5-based winnowing, engine-identical)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sels = _winnow_sels(docs).select("doc_id", "fp")
+    base = sels.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("base_doc"), "fp"
+    )
+    inc = sels.filter(F.col("doc_id") % 2 == 1)
+    hits = (
+        inc.join(base, "fp")
+        .groupBy("doc_id", "base_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= INCR_MIN_SHARED)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_base_matches"),
+            F.min("base_doc").cast("bigint").alias("first_base_match"),
+        )
+        .orderBy("doc_id")
+    )

@@ -506,3 +506,27 @@ def test_winnow_sels_short_and_empty_docs(spark):
     assert 1 not in by_doc and 2 not in by_doc
     assert by_doc[3] == by_doc[4]
     assert len(by_doc[3]) >= 1
+
+
+def test_incremental_winnow_flags_cross_parity_dups(spark, oracle_sf_dir):
+    """Every flagged increment doc really shares >= MIN_SHARED winnowed
+    fingerprints with its reported base match, and no base (even) doc
+    appears on the increment side."""
+    from project_graphdb_spark.operators.dedup import (
+        dedup_incremental_winnow,
+        dedup_winnow,
+    )
+
+    rows = dedup_incremental_winnow(spark, oracle_sf_dir).collect()
+    assert rows, "planted near-dups should cross the parity split"
+    assert all(r.doc_id % 2 == 1 for r in rows)
+    assert all(r.first_base_match % 2 == 0 for r in rows)
+    # consistency with the full-corpus winnow pairs: every flagged
+    # (inc, base) relationship is also a dedup_winnow pair
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_winnow(spark, oracle_sf_dir).collect()
+    }
+    for r in rows:
+        a, b = sorted((r.doc_id, r.first_base_match))
+        assert (a, b) in full

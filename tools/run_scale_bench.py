@@ -45,6 +45,7 @@ EXTRA_STACK = [
     "dedup_winnow",
     "doc_mix_rebalance",
     "doc_bigram_logprob",
+    "corpus_bpe_merges",
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
