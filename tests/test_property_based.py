@@ -188,3 +188,49 @@ def test_dup_span_scrub_matches_python_model(spark, corpora):
         for r in dup_span_scrub(df, n=n).collect()
     }
     assert got == expected
+
+
+@SETTINGS
+@given(
+    corpora=st.lists(
+        st.lists(
+            st.sampled_from("abc"), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_winnow_sels_match_python_model(spark, corpora):
+    """_winnow_sels vs a naive model: md5 gram hashes, window minima,
+    value-level dedup, short/empty-doc edges."""
+    import hashlib
+
+    from project_graphdb_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_sels,
+    )
+
+    docs = [(i, t) for i, t in enumerate(corpora)]
+    expected: dict[int, set] = {}
+    for i, t in docs:
+        toks = t.strip().split(" ") if t.strip() else [""]
+        if len(toks) < WINNOW_K:
+            continue
+        gh = [
+            hashlib.md5(
+                " ".join(toks[j : j + WINNOW_K]).encode()
+            ).hexdigest()[:8]
+            for j in range(len(toks) - WINNOW_K + 1)
+        ]
+        sels = {
+            min(gh[s : s + WINNOW_W])
+            for s in range(max(len(gh) - WINNOW_W, 0) + 1)
+        }
+        expected[i] = sels
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got: dict[int, set] = {}
+    for r in _winnow_sels(df).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == expected
