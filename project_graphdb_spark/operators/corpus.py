@@ -577,8 +577,11 @@ _BIGRAM_CTES = """btoks AS MATERIALIZED (
 
 def _bigram_frames(docs: DataFrame):
     """(bg, model): exploded bigram rows and the MLE conditional model.
-    The model frame is vocabulary²-bounded — corpus-size independent —
-    which is what makes it broadcastable at any corpus scale. The
+    The model frame is bounded by the distinct-bigram count — driven by
+    vocabulary (Heaps' law), far below corpus row count but NOT
+    constant: an open-vocabulary 100 TB corpus prunes the model with a
+    min-count threshold before shipping it, and the join strategy is
+    left to size-based planning rather than a forced broadcast. The
     explode is CPU-spread explicitly (SCALE.md finding 8)."""
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
@@ -595,19 +598,16 @@ def _bigram_frames(docs: DataFrame):
     # one pass over the exploded bigrams: context counts derive FROM
     # the bigram counts (sum of n per w1 == count of w1 as a left
     # context), and the bigram-count frame is checkpointed — it is
-    # vocabulary²-bounded (tiny) while every un-checkpointed consumer
-    # would re-run the corpus-sized explode (measured at sf1: 39 s ->
-    # ~14 s for the model, one explode instead of two-plus)
+    # model-sized while every un-checkpointed consumer would re-run
+    # the corpus-sized explode (measured at sf1: 39 s -> ~14 s for
+    # the model, one explode instead of two-plus)
     cnt2 = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("n"))
         .localCheckpoint(eager=True)
     )
     cnt1 = cnt2.groupBy("w1").agg(F.sum("n").alias("n1"))
-    # broadcast explicitly: the checkpointed cnt2's size estimate is
-    # unknown-large, so the planner would pick a sort-merge join even
-    # though cnt1 is vocabulary-bounded
-    model = cnt2.join(F.broadcast(cnt1), "w1")
+    model = cnt2.join(cnt1, "w1")
     return bg, model
 
 
@@ -622,8 +622,9 @@ def _bigram_frames(docs: DataFrame):
     """,
     description=f"bigram LM training: MLE conditional probabilities "
     f"P(w2|w1) from consecutive-token counts, top {BIGRAM_TOP_N} by "
-    "frequency. Two shuffles (bigram + context counts); the model is "
-    "vocabulary²-bounded, corpus-size independent",
+    "frequency. Two shuffles (bigram + context counts); model size is "
+    "distinct-bigram-bounded (Heaps' law — prune by min count at "
+    "open-vocabulary scale)",
 )
 def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -661,15 +662,17 @@ def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="per-doc mean log10 P(w2|w1) under the corpus-trained "
     "bigram LM — the upgrade over the unigram doc_lm_score proxy "
-    "(fluency, not just token rarity). The model join broadcasts the "
-    "vocabulary²-bounded model frame; scoring the training corpus "
-    "itself means no unseen bigrams, so MLE needs no smoothing",
+    "(fluency, not just token rarity). The model join strategy is "
+    "left to size-based planning (the model grows with vocabulary, "
+    "not corpus rows — broadcast when it fits, shuffle when it "
+    "doesn't); scoring the training corpus itself means no unseen "
+    "bigrams, so MLE needs no smoothing",
 )
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bg, model = _bigram_frames(docs)
     score = (
-        bg.join(F.broadcast(model), ["w1", "w2"])
+        bg.join(model, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -721,17 +724,23 @@ def bpe_train(
     ``a a a`` merge once — the reference BPE behavior. Returns
     ``(merges, vocab)``: the ordered merge table rows and the final
     segmented vocabulary frame.
+
+    Each round's checkpoint supersedes the previous one, which is
+    freed immediately (the ``graph.algorithms`` superstep discipline) —
+    without that, ``n_merges`` vocabulary frames stay pinned in the
+    block manager for the life of the session.
     """
+    from project_graphdb_spark.graph.algorithms import _ckpt, _unpersist
     from project_graphdb_spark.operators.text import sliding_structs
 
     spark = docs.sparkSession
-    vocab = (
+    sc = spark.sparkContext
+    vocab, vocab_ids = _ckpt(
         docs.select(F.explode(tokens("text")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
         .withColumn("sym", F.split("word", ""))
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for r in range(n_merges):
@@ -763,10 +772,9 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        new_vocab = vocab.withColumn("sym", fold).localCheckpoint(
-            eager=True
-        )
-        vocab = new_vocab
+        new_vocab, new_ids = _ckpt(vocab.withColumn("sym", fold))
+        _unpersist(sc, vocab_ids)
+        vocab, vocab_ids = new_vocab, new_ids
     merges_df = spark.createDataFrame(
         merges,
         "rank int, left string, right string, merged string, "

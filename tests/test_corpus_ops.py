@@ -299,3 +299,21 @@ def test_bpe_train_overlap_and_ties(spark):
         r.word: list(r.sym) for r in vocab.collect()
     }
     assert segs["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_train_frees_superseded_checkpoints(spark, sf_dir):
+    """Each merge round's checkpoint supersedes the previous one, which
+    must be freed — only the returned vocab frame may stay pinned."""
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.corpus import bpe_train
+    from project_graphdb_spark.spark_util import (
+        free_all_persistent,
+        persistent_rdd_ids,
+    )
+
+    free_all_persistent(spark, run_jvm_gc=False)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    before = persistent_rdd_ids(spark.sparkContext)
+    bpe_train(docs)
+    leaked = persistent_rdd_ids(spark.sparkContext) - before
+    assert len(leaked) <= 1, f"superseded checkpoints leaked: {leaked}"

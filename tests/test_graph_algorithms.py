@@ -211,9 +211,11 @@ def test_shortest_paths_unit_weights_match_bfs(spark, sf_dir):
     assert sp == bfs
 
 
-def test_kcore_every_member_has_core_degree_k(spark, sf_dir):
+def test_kcore_every_member_has_core_degree_k(spark, oracle_sf_dir):
     """k-core semantics: the returned subgraph's degrees are all >= k,
-    and peeling converged well under the oracle's unrolled bound."""
+    and peeling converged well under the oracle's unrolled bound — at
+    the SAME scale the oracle is gated at (sf0.01), so this guard
+    actually protects the unrolled-16-rounds assumption."""
     from project_graphdb_spark.graph.algorithms import (
         LAST_ITER_SECONDS,
         k_core,
@@ -224,7 +226,7 @@ def test_kcore_every_member_has_core_degree_k(spark, sf_dir):
         tpch_graph,
     )
 
-    out = k_core(tpch_graph(spark, sf_dir), k=KCORE_K)
+    out = k_core(tpch_graph(spark, oracle_sf_dir), k=KCORE_K)
     assert out.filter(f"core_degree < {KCORE_K}").count() == 0
     assert out.count() > 0
     assert len(LAST_ITER_SECONDS["k_core"]) < KCORE_ORACLE_ROUNDS
@@ -232,8 +234,6 @@ def test_kcore_every_member_has_core_degree_k(spark, sf_dir):
 
 def test_kcore_peels_low_degree_chain(spark):
     """A path graph has no 2-core; a cycle is its own 2-core."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from project_graphdb_spark.graph.algorithms import k_core
 
     path = spark.createDataFrame(
