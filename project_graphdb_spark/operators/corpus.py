@@ -299,10 +299,13 @@ def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_DUP_SPAN_CTES = f"""
-    WITH toks AS MATERIALIZED (
+def _dup_span_ctes_from(source: str) -> str:
+    """The duplicate-span CTE block over an arbitrary (doc_id, text)
+    relation — ``documents`` for the standalone operators, the
+    quality-kept subset for the composed pipeline."""
+    return f"""toks AS MATERIALIZED (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-      FROM documents
+      FROM {source}
     ), starts AS (
       SELECT doc_id, t,
              unnest(generate_series(0, len(t) - {DUP_SPAN_N}, 1)) AS s
@@ -314,8 +317,10 @@ _DUP_SPAN_CTES = f"""
     ), dup AS (
       SELECT gram FROM grams GROUP BY gram
       HAVING COUNT(DISTINCT doc_id) >= 2
-    )
-"""
+    )"""
+
+
+_DUP_SPAN_CTES = "\n    WITH " + _dup_span_ctes_from("documents") + "\n"
 
 
 @register(
@@ -799,3 +804,130 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges, _ = bpe_train(docs)
     return merges.orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline: quality gate -> duplicate-span scrub -> packing
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_oracle() -> str:
+    from project_graphdb_spark.operators.text import (
+        QF_MAX_TOKENS,
+        QF_MAX_TOP_TOKEN_FRAC,
+        QF_MIN_DISTINCT_RATIO,
+        QF_MIN_TOKENS,
+    )
+
+    return f"""
+    WITH qtoks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), qc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM qtoks GROUP BY 1, 2
+    ), qd AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_tok
+      FROM qc GROUP BY doc_id
+    ), keepids AS MATERIALIZED (
+      SELECT doc_id FROM qd
+      WHERE n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+        AND CAST(n_distinct AS DOUBLE) / n_tokens
+              >= {QF_MIN_DISTINCT_RATIO}
+        AND CAST(top_tok AS DOUBLE) / n_tokens < {QF_MAX_TOP_TOKEN_FRAC}
+    ), kept AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN keepids k ON d.doc_id = k.doc_id
+    ),
+    {_dup_span_ctes_from("kept")},
+    dupstarts AS (
+      SELECT DISTINCT g.doc_id, g.s
+      FROM grams g JOIN dup USING (gram)
+    ), tokpos AS (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS j FROM toks
+    ), cov AS (
+      SELECT tp.doc_id, tp.j,
+             MAX(CASE WHEN d.s IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY tp.doc_id ORDER BY tp.j
+               RANGE BETWEEN {DUP_SPAN_N - 1} PRECEDING AND CURRENT ROW
+             ) AS covered
+      FROM tokpos tp LEFT JOIN dupstarts d
+        ON d.doc_id = tp.doc_id AND d.s = tp.j
+    ), cleaned AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE covered = 0) AS n_tokens
+      FROM cov GROUP BY doc_id
+    ), runs AS (
+      SELECT c.doc_id, k.lang, c.n_tokens,
+             SUM(c.n_tokens) OVER (
+               PARTITION BY k.lang ORDER BY c.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS run_total
+      FROM cleaned c JOIN kept k ON c.doc_id = k.doc_id
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR((run_total - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+             AS bin_id
+    FROM runs ORDER BY doc_id
+    """
+
+
+@register(
+    "pipeline_clean_pack",
+    oracle=_pipeline_oracle(),
+    description="composed cleaning pipeline in one plan: quality gate "
+    "(length/diversity/repetition) -> cross-document duplicate-span "
+    "scrub AMONG THE KEPT DOCS -> per-language sequence packing of "
+    "the scrubbed token counts. Proves the operators compose — the "
+    "oracle chains the same three stages as CTEs",
+)
+def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end shape a real corpus-prep job runs, as ONE lazy
+    plan: no intermediate materialization between stages, so Catalyst
+    prunes the text column after the scrub stage and the only wide ops
+    are the ones the component operators already own."""
+    from pyspark.sql import Window as W
+
+    from project_graphdb_spark.operators.text import (
+        quality_gate_stats,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    keep_ids = (
+        quality_gate_stats(docs.select("doc_id", "text"))
+        .filter("keep")
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    scrubbed = dup_span_scrub(kept.select("doc_id", "text"))
+    n_clean = (
+        kept.select("doc_id", "lang", F.size(tokens("text")).alias("n0"))
+        .join(scrubbed.select("doc_id", "n_removed"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n0") - F.col("n_removed")).alias("n_tokens"),
+        )
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        n_clean.withColumn("run_total", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(
+                (F.col("run_total") - F.col("n_tokens")) / PACK_BUDGET
+            )
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+        .orderBy("doc_id")
+    )

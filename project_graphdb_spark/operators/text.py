@@ -519,6 +519,39 @@ QF_MIN_DISTINCT_RATIO = 0.45
 QF_MAX_TOP_TOKEN_FRAC = 0.125
 
 
+def quality_gate_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) plus the three gate flags and the combined
+    ``keep`` verdict — the shared core of ``doc_quality_filter`` and
+    the composed cleaning pipeline."""
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    td = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    len_ok = (F.col("n_tokens") >= QF_MIN_TOKENS) & (
+        F.col("n_tokens") <= QF_MAX_TOKENS
+    )
+    diversity_ok = (
+        F.col("n_distinct").cast("double") / F.col("n_tokens")
+    ) >= QF_MIN_DISTINCT_RATIO
+    repetition_ok = (
+        F.col("top_tok").cast("double") / F.col("n_tokens")
+    ) < QF_MAX_TOP_TOKEN_FRAC
+    return td.select(
+        "doc_id",
+        "n_tokens",
+        len_ok.alias("len_ok"),
+        diversity_ok.alias("diversity_ok"),
+        repetition_ok.alias("repetition_ok"),
+        (len_ok & diversity_ok & repetition_ok).alias("keep"),
+    )
+
+
 @register(
     "doc_quality_filter",
     oracle=f"""
@@ -550,32 +583,8 @@ QF_MAX_TOP_TOKEN_FRAC = 0.125
 )
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tc = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-    )
-    td = tc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_tok"),
-    )
-    len_ok = (F.col("n_tokens") >= QF_MIN_TOKENS) & (
-        F.col("n_tokens") <= QF_MAX_TOKENS
-    )
-    diversity_ok = (
-        F.col("n_distinct").cast("double") / F.col("n_tokens")
-    ) >= QF_MIN_DISTINCT_RATIO
-    repetition_ok = (
-        F.col("top_tok").cast("double") / F.col("n_tokens")
-    ) < QF_MAX_TOP_TOKEN_FRAC
     return (
-        td.select(
-            "doc_id",
-            len_ok.alias("len_ok"),
-            diversity_ok.alias("diversity_ok"),
-            repetition_ok.alias("repetition_ok"),
-            (len_ok & diversity_ok & repetition_ok).alias("keep"),
-        )
+        quality_gate_stats(docs)
+        .select("doc_id", "len_ok", "diversity_ok", "repetition_ok", "keep")
         .orderBy("doc_id")
     )

@@ -46,6 +46,7 @@ EXTRA_STACK = [
     "doc_mix_rebalance",
     "doc_bigram_logprob",
     "corpus_bpe_merges",
+    "pipeline_clean_pack",
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
