@@ -461,47 +461,37 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 256  # token budget per training bin
 
 
-@register(
-    "doc_pack_bins",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
-      FROM documents
-    ), runs AS (
+def _pack_oracle_tail(rel: str) -> str:
+    """runs CTE + final packing select over an arbitrary
+    (doc_id, lang, n_tokens) relation — shared by the doc_pack_bins
+    oracle and the composed-pipeline oracle."""
+    return f"""runs AS (
       SELECT doc_id, lang, n_tokens,
              SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS run_total
-      FROM toks
+      FROM {rel}
     )
     SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(FLOOR((run_total - n_tokens) / {PACK_BUDGET}) AS BIGINT)
              AS bin_id
-    FROM runs ORDER BY doc_id
-    """,
-    description=f"sequence packing: assign docs to ~{PACK_BUDGET}-token "
-    "training bins, packing contiguously in doc_id order WITHIN each "
-    "language partition (fixed-boundary packing). The window is "
-    "partitioned by lang — no global sort funnel; at 100 TB the same "
-    "shape packs within (lang, shard) partitions",
-)
-def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    FROM runs ORDER BY doc_id"""
+
+
+def pack_bins(counts: DataFrame) -> DataFrame:
+    """Per-language fixed-boundary packing of a (doc_id, lang,
+    n_tokens) frame — the Spark twin of :func:`_pack_oracle_tail`,
+    shared by ``doc_pack_bins`` and ``pipeline_clean_pack``."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    n_tokens = F.size(tokens("text"))
     w = (
         W.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
-        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .withColumn("run_total", F.sum("n_tokens").over(w))
+        counts.withColumn("run_total", F.sum("n_tokens").over(w))
         .select(
             "doc_id",
             "lang",
@@ -513,6 +503,33 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin_id"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    {_pack_oracle_tail("toks")}
+    """,
+    description=f"sequence packing: assign docs to ~{PACK_BUDGET}-token "
+    "training bins, packing contiguously in doc_id order WITHIN each "
+    "language partition (fixed-boundary packing). The window is "
+    "partitioned by lang — no global sort funnel; at 100 TB the same "
+    "shape packs within (lang, shard) partitions",
+)
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return pack_bins(
+        docs.select(
+            "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+        )
     )
 
 
@@ -813,28 +830,14 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipeline_oracle() -> str:
     from project_graphdb_spark.operators.text import (
-        QF_MAX_TOKENS,
-        QF_MAX_TOP_TOKEN_FRAC,
-        QF_MIN_DISTINCT_RATIO,
-        QF_MIN_TOKENS,
+        QUALITY_GATE_PRED_SQL,
+        quality_ctes_from,
     )
 
     return f"""
-    WITH qtoks AS MATERIALIZED (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
-      FROM documents
-    ), qc AS (
-      SELECT doc_id, w, COUNT(*) AS c FROM qtoks GROUP BY 1, 2
-    ), qd AS (
-      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
-             MAX(c) AS top_tok
-      FROM qc GROUP BY doc_id
-    ), keepids AS MATERIALIZED (
-      SELECT doc_id FROM qd
-      WHERE n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
-        AND CAST(n_distinct AS DOUBLE) / n_tokens
-              >= {QF_MIN_DISTINCT_RATIO}
-        AND CAST(top_tok AS DOUBLE) / n_tokens < {QF_MAX_TOP_TOKEN_FRAC}
+    WITH {quality_ctes_from("documents")},
+    keepids AS MATERIALIZED (
+      SELECT doc_id FROM qd WHERE {QUALITY_GATE_PRED_SQL}
     ), kept AS MATERIALIZED (
       SELECT d.doc_id, d.lang, d.text
       FROM documents d JOIN keepids k ON d.doc_id = k.doc_id
@@ -854,21 +857,12 @@ def _pipeline_oracle() -> str:
       FROM tokpos tp LEFT JOIN dupstarts d
         ON d.doc_id = tp.doc_id AND d.s = tp.j
     ), cleaned AS (
-      SELECT doc_id,
-             COUNT(*) FILTER (WHERE covered = 0) AS n_tokens
-      FROM cov GROUP BY doc_id
-    ), runs AS (
-      SELECT c.doc_id, k.lang, c.n_tokens,
-             SUM(c.n_tokens) OVER (
-               PARTITION BY k.lang ORDER BY c.doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS run_total
-      FROM cleaned c JOIN kept k ON c.doc_id = k.doc_id
-    )
-    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(FLOOR((run_total - n_tokens) / {PACK_BUDGET}) AS BIGINT)
-             AS bin_id
-    FROM runs ORDER BY doc_id
+      SELECT cv.doc_id, k.lang,
+             COUNT(*) FILTER (WHERE cv.covered = 0) AS n_tokens
+      FROM cov cv JOIN kept k ON cv.doc_id = k.doc_id
+      GROUP BY cv.doc_id, k.lang
+    ),
+    {_pack_oracle_tail("cleaned")}
     """
 
 
@@ -885,49 +879,27 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end shape a real corpus-prep job runs, as ONE lazy
     plan: no intermediate materialization between stages, so Catalyst
     prunes the text column after the scrub stage and the only wide ops
-    are the ones the component operators already own."""
-    from pyspark.sql import Window as W
-
-    from project_graphdb_spark.operators.text import (
-        quality_gate_stats,
-        tokens,
-    )
+    are the ones the component operators already own. Each stage is the
+    SHARED core of its standalone operator (quality_gate_stats,
+    dup_span_scrub, pack_bins) — no duplicated logic."""
+    from project_graphdb_spark.operators.text import quality_gate_stats
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    keep_ids = (
-        quality_gate_stats(docs.select("doc_id", "text"))
-        .filter("keep")
-        .select("doc_id")
+    keep_stats = quality_gate_stats(docs.select("doc_id", "text")).filter(
+        "keep"
     )
-    kept = docs.join(keep_ids, "doc_id", "left_semi")
+    kept = docs.join(keep_stats.select("doc_id"), "doc_id", "left_semi")
     scrubbed = dup_span_scrub(kept.select("doc_id", "text"))
     n_clean = (
-        kept.select("doc_id", "lang", F.size(tokens("text")).alias("n0"))
+        keep_stats.select("doc_id", F.col("n_tokens").alias("n0"))
         .join(scrubbed.select("doc_id", "n_removed"), "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .select(
             "doc_id",
             "lang",
             (F.col("n0") - F.col("n_removed")).alias("n_tokens"),
         )
     )
-    w = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        n_clean.withColumn("run_total", F.sum("n_tokens").over(w))
-        .select(
-            "doc_id",
-            "lang",
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.floor(
-                (F.col("run_total") - F.col("n_tokens")) / PACK_BUDGET
-            )
-            .cast("bigint")
-            .alias("bin_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return pack_bins(n_clean)

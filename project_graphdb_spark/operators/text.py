@@ -519,6 +519,32 @@ QF_MIN_DISTINCT_RATIO = 0.45
 QF_MAX_TOP_TOKEN_FRAC = 0.125
 
 
+def quality_ctes_from(source: str) -> str:
+    """Quality-gate stat CTEs (qtoks/qc/qd) over an arbitrary
+    (doc_id, text) relation — shared by the doc_quality_filter oracle
+    and the composed-pipeline oracle so the gate has one SQL source of
+    truth."""
+    return f"""qtoks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM {source}
+    ), qc AS (SELECT doc_id, w, COUNT(*) AS c FROM qtoks GROUP BY 1, 2),
+    qd AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_tok
+      FROM qc GROUP BY doc_id
+    )"""
+
+
+# the combined keep predicate over qd's columns, shared verbatim
+QUALITY_GATE_PRED_SQL = (
+    f"n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}"
+    f" AND CAST(n_distinct AS DOUBLE) / n_tokens"
+    f" >= {QF_MIN_DISTINCT_RATIO}"
+    f" AND CAST(top_tok AS DOUBLE) / n_tokens < {QF_MAX_TOP_TOKEN_FRAC}"
+)
+
+
 def quality_gate_stats(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens) plus the three gate flags and the combined
     ``keep`` verdict — the shared core of ``doc_quality_filter`` and
@@ -555,14 +581,7 @@ def quality_gate_stats(docs: DataFrame) -> DataFrame:
 @register(
     "doc_quality_filter",
     oracle=f"""
-    WITH {_TOKS_CTE},
-    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
-    td AS (
-      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-             CAST(COUNT(*) AS BIGINT) AS n_distinct,
-             CAST(MAX(c) AS BIGINT) AS top_tok
-      FROM tc GROUP BY doc_id
-    )
+    WITH {quality_ctes_from("documents")}
     SELECT doc_id,
            n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
              AS len_ok,
@@ -570,12 +589,8 @@ def quality_gate_stats(docs: DataFrame) -> DataFrame:
              >= {QF_MIN_DISTINCT_RATIO} AS diversity_ok,
            CAST(top_tok AS DOUBLE) / n_tokens
              < {QF_MAX_TOP_TOKEN_FRAC} AS repetition_ok,
-           (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS})
-             AND CAST(n_distinct AS DOUBLE) / n_tokens
-                 >= {QF_MIN_DISTINCT_RATIO}
-             AND CAST(top_tok AS DOUBLE) / n_tokens
-                 < {QF_MAX_TOP_TOKEN_FRAC} AS keep
-    FROM td ORDER BY doc_id
+           {QUALITY_GATE_PRED_SQL} AS keep
+    FROM qd ORDER BY doc_id
     """,
     description="composite quality filter: length + lexical-diversity + "
     "repetition gates -> per-doc keep verdict (the decision layer of a "
