@@ -729,6 +729,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = BPE_MERGES,
     min_freq: int = BPE_MIN_FREQ,
+    keep_vocab: bool = True,
 ):
     """Learn byte-pair-encoding merges from a corpus.
 
@@ -750,7 +751,11 @@ def bpe_train(
     Each round's checkpoint supersedes the previous one, which is
     freed immediately (the ``graph.algorithms`` superstep discipline) —
     without that, ``n_merges`` vocabulary frames stay pinned in the
-    block manager for the life of the session.
+    block manager for the life of the session. A caller that only
+    needs the merge table passes ``keep_vocab=False`` so the FINAL
+    round's checkpoint is freed too (the merges frame is built from
+    driver-collected rows and does not depend on it); otherwise the
+    last vocab frame stays pinned for the life of the session.
     """
     from project_graphdb_spark.graph.algorithms import _ckpt, _unpersist
     from project_graphdb_spark.operators.text import sliding_structs
@@ -802,24 +807,106 @@ def bpe_train(
         "rank int, left string, right string, merged string, "
         "pair_count bigint",
     )
+    if not keep_vocab:
+        _unpersist(sc, vocab_ids)
+        return merges_df, None
     return merges_df, vocab
+
+
+def _bpe_oracle(
+    n_merges: int = BPE_MERGES, min_freq: int = BPE_MIN_FREQ
+) -> str:
+    """Fixed-round BPE training as one DuckDB statement: the same
+    chained-CTE technique as the connected-components oracle
+    (``dedup.py`` ``l0..l16``), one CTE block per merge round.
+
+    Key trick: a word's symbolization is carried as ONE delimited
+    string — every symbol wrapped in unit separators, so the string is
+    ``US s1 US US s2 US … US sk US`` — and the greedy left-to-right
+    non-overlapping merge fold (``F.aggregate`` on the Spark side) is
+    exactly SQL ``replace()`` of ``US a US US b US`` with
+    ``US ab US``: ``replace`` scans left to right and resumes AFTER
+    each substitution, so ``a a a`` under merge (a,a) becomes
+    ``aa a`` on both engines. The double-separator framing makes a
+    match align to whole symbols only (a suffix of one symbol plus a
+    prefix of the next can never contain ``US a US US b US``).
+    Precondition: no word contains the 0x1f byte (true of
+    whitespace-tokenized text; a production corpus would pre-filter
+    control bytes in the quality gate anyway).
+
+    The ``min_freq`` early-stop is a prefix filter at the end
+    (cumulative min of pair counts ≥ threshold): rounds the Spark loop
+    never ran are computed but not emitted, and since emission stops
+    at the first below-threshold round the extra rounds cannot differ
+    on any emitted row.
+    """
+    us = "\x1f"
+    d = us + us
+    ctes = [
+        f"""wtoks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), words AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n FROM wtoks WHERE word <> ''
+      GROUP BY word
+    ), vocab0 AS (
+      SELECT word, n,
+             '{us}' || array_to_string(string_split(word, ''), '{d}')
+               || '{us}' AS s
+      FROM words
+    )"""
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""sy{r} AS (
+      SELECT word, n,
+             unnest(string_split(trim(s, '{us}'), '{d}')) AS c,
+             generate_subscripts(string_split(trim(s, '{us}'), '{d}'), 1)
+               AS i
+      FROM vocab{r}
+    ), top{r} AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b, SUM(x.n) AS cnt
+      FROM sy{r} x JOIN sy{r} y ON x.word = y.word AND y.i = x.i + 1
+      GROUP BY x.c, y.c ORDER BY cnt DESC, a, b LIMIT 1
+    ), vocab{r + 1} AS (
+      SELECT v.word, v.n,
+             replace(v.s, '{us}' || t.a || '{d}' || t.b || '{us}',
+                     '{us}' || t.a || t.b || '{us}') AS s
+      FROM vocab{r} v CROSS JOIN top{r} t
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f'SELECT {i} AS "rank", a, b, cnt FROM top{i}'
+        for i in range(n_merges)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    m AS ({unions})
+    SELECT CAST("rank" AS INTEGER) AS "rank", a AS "left", b AS "right",
+           a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+    FROM m
+    QUALIFY MIN(cnt) OVER (ORDER BY "rank" ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) >= {min_freq}
+    ORDER BY "rank"
+    """
+    )
 
 
 @register(
     "corpus_bpe_merges",
-    oracle=None,  # iterative argmax with data-dependent rewrites per
-    # round — not expressible as one SQL statement; pinned instead
-    # against a pure-Python reference BPE in tests (hypothesis +
-    # fixed-corpus), same verification tier as the LSH internals
+    oracle=_bpe_oracle(),
     description=f"BPE tokenizer training: learn {BPE_MERGES} merges "
     "from the corpus word-frequency table (Sennrich et al. 2016). "
     "One corpus aggregation, then every round runs on the "
     "vocabulary-bounded frame; per-round driver pull is one row (the "
-    "learned merge)",
+    "learned merge). Oracle = the full fixed-round loop as chained "
+    "DuckDB CTEs (delimited-string replace == the greedy merge fold)",
 )
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
-    merges, _ = bpe_train(docs)
+    merges, _ = bpe_train(docs, keep_vocab=False)
     return merges.orderBy("rank")
 
 

@@ -317,3 +317,9 @@ def test_bpe_train_frees_superseded_checkpoints(spark, sf_dir):
     bpe_train(docs)
     leaked = persistent_rdd_ids(spark.sparkContext) - before
     assert len(leaked) <= 1, f"superseded checkpoints leaked: {leaked}"
+    # a merges-only caller must leave NOTHING pinned
+    free_all_persistent(spark, run_jvm_gc=False)
+    before = persistent_rdd_ids(spark.sparkContext)
+    bpe_train(docs, keep_vocab=False)
+    leaked = persistent_rdd_ids(spark.sparkContext) - before
+    assert not leaked, f"keep_vocab=False leaked checkpoints: {leaked}"
