@@ -904,6 +904,53 @@ def _bind_patterns(
             nf = node_frame(prev_var, prev.label)
             df = nf if df is None else df.crossJoin(nf)
         for edge_pat, node_pat in zip(pat.edges, pat.nodes[1:]):
+            if edge_pat.rel_type is None and not edge_pat.var_length:
+                # untyped fixed-hop edge — (a)-->(b), (a)--(b), or
+                # -[]->: resolve the type from the endpoint labels
+                # against the edge catalog. Exactly one candidate is
+                # required; ambiguity is an analysis error (the
+                # correction loop repairs it), matching the
+                # direction-correction philosophy of resolving what the
+                # schema determines and erroring on what it doesn't.
+                def _known(p: A.NodePat) -> str | None:
+                    if p.var and p.var in vars:
+                        return vars[p.var].label
+                    return p.label
+
+                lp, ln = _known(prev), _known(node_pat)
+                cands = []
+                for t, ed in graph.edges.items():
+                    m = ed.meta
+                    fwd = (lp is None or m.source == lp) and (
+                        ln is None or m.target == ln
+                    )
+                    rev = (lp is None or m.target == lp) and (
+                        ln is None or m.source == ln
+                    )
+                    if edge_pat.undirected:
+                        ok = fwd or rev
+                    elif edge_pat.reversed:
+                        ok = rev
+                    else:
+                        ok = fwd
+                    if ok:
+                        cands.append(t)
+                if len(cands) == 1:
+                    edge_pat.rel_type = cands[0]
+                elif cands:
+                    errors.append(
+                        "untyped relationship between "
+                        f"({lp or '?'}) and ({ln or '?'}) is ambiguous: "
+                        f"candidates {sorted(cands)}; add a type"
+                    )
+                    raise CypherAnalysisError(errors)
+                else:
+                    errors.append(
+                        "no relationship type connects "
+                        f"({lp or '?'}) and ({ln or '?'}) "
+                        f"{'(undirected)' if edge_pat.undirected else 'in this direction'}"
+                    )
+                    raise CypherAnalysisError(errors)
             symmetric = False
             if edge_pat.undirected and not edge_pat.var_length:
                 # resolve -[...]- from the schema: when endpoint labels

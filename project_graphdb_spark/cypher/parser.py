@@ -67,6 +67,9 @@ _TOKEN_RE = re.compile(
   | (?P<larrow>\]->)
   | (?P<ledge>-\[)
   | (?P<redge>\]-)
+  | (?P<rarrow_bare>-->)
+  | (?P<larrow_bare><--)
+  | (?P<undir_bare>--)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op><>|<=|>=|\+=|=|<|>|\+|-|\*|/|%|\||\(|\)|\[|\]|\{|\}|,|\.|:)
   | (?P<ident>`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)
@@ -124,6 +127,12 @@ def tokenize(text: str) -> list[tuple[str, str]]:
             tokens.append(("-[", val))
         elif kind == "redge":
             tokens.append(("]-", val))
+        elif kind == "rarrow_bare":
+            tokens.append(("-->", val))
+        elif kind == "larrow_bare":
+            tokens.append(("<--", val))
+        elif kind == "undir_bare":
+            tokens.append(("--", val))
         else:
             tokens.append((val, val))
     tokens.append(("eof", ""))
@@ -351,6 +360,16 @@ class _Parser:
                 edges.append(
                     EdgePat(var, typ, True, props, min_hops=lo, max_hops=hi)
                 )
+            elif k == "-->":
+                # bracket-less arrows: (a)-->(b) == (a)-[]->(b)
+                self.next()
+                edges.append(EdgePat(None, None, False))
+            elif k == "<--":
+                self.next()
+                edges.append(EdgePat(None, None, True))
+            elif k == "--":
+                self.next()
+                edges.append(EdgePat(None, None, False, undirected=True))
             else:
                 break
             nodes.append(self.parse_node())
@@ -583,6 +602,21 @@ class _Parser:
             self.next()
             return Param(v)
         if k == "(":
+            # bare pattern predicate: WHERE (a)-[:T]->(b) — the
+            # canonical Cypher idiom an LLM emits constantly
+            # (exists() wrapping is the older dialect). Desugars to the
+            # same PatternPred the exists()/EXISTS{} forms produce
+            # (left-semi/anti lowering). Backtracking disambiguates: a
+            # parenthesized *expression* fails the pattern parse (or
+            # yields no edges) and falls through unchanged.
+            save = self.i
+            try:
+                pat = self.parse_pattern_body()
+                if pat.edges:
+                    return PatternPred(pat)
+            except CypherSyntaxError:
+                pass
+            self.i = save
             self.next()
             e = self.parse_expr()
             self.expect(")")

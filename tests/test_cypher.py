@@ -932,6 +932,97 @@ def test_exists_with_residual_where(spark, sf_dir):
     assert got == exp
 
 
+def test_bare_pattern_pred_equals_exists(spark, sf_dir):
+    """WHERE (o:Orders)-[:PLACED_BY]->(c) — the bare pattern predicate
+    (canonical LLM-emitted idiom) desugars to the exists() lowering."""
+    g = tpch_graph(spark, sf_dir)
+    bare = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    wrapped = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "WHERE exists((o:Orders)-[:PLACED_BY]->(c)) "
+        "RETURN count(c) AS n",
+    ).collect()[0]["n"]
+    assert bare == wrapped
+
+
+def test_bare_pattern_pred_negated_untyped_arrow(spark, sf_dir):
+    """NOT (:Orders)-->(c): bracket-less untyped arrow resolves its
+    type from the endpoint labels, then lowers to a left-anti join."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (c:Customer) WHERE NOT (:Orders)-->(c) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    n_customers = g.nodes["Customer"].count()
+    with_orders = g.edges["PLACED_BY"].df.select("dst").distinct().count()
+    assert got == n_customers - with_orders
+
+
+def test_bare_pattern_pred_composes_with_residual(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (n:Nation) "
+        "WHERE (c:Customer {c_mktsegment: 'BUILDING'})-[:FROM_NATION]->(n) "
+        "AND n.n_regionkey = 0 RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    building = (
+        g.edges["FROM_NATION"]
+        .df.join(
+            g.nodes["Customer"].filter(
+                F.col("c_mktsegment") == "BUILDING"
+            ).select(F.col("c_custkey").alias("src")),
+            "src",
+            "left_semi",
+        )
+        .select("dst")
+        .distinct()
+    )
+    exp = (
+        g.nodes["Nation"]
+        .filter(F.col("n_regionkey") == 0)
+        .join(building.select(F.col("dst").alias("n_nationkey")),
+              "n_nationkey", "left_semi")
+        .count()
+    )
+    assert got == exp
+
+
+def test_untyped_edge_resolved_in_match(spark, sf_dir):
+    """(c:Customer)-->(n:Nation) and (c:Customer)--(n:Nation) resolve
+    to FROM_NATION from the endpoint labels."""
+    g = tpch_graph(spark, sf_dir)
+    exp = g.edges["FROM_NATION"].df.count()
+    for pat in ("(c:Customer)-->(n:Nation)", "(c:Customer)--(n:Nation)"):
+        got = compile_cypher(
+            g, f"MATCH {pat} RETURN count(*) AS n"
+        ).collect()[0]["n"]
+        assert got == exp, pat
+
+
+def test_untyped_edge_ambiguous_rejected(spark, sf_dir):
+    """Orders has two outgoing edge types; an untyped arrow to an
+    unlabeled node is ambiguous — analysis error, not a guess."""
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="ambiguous"):
+        compile_cypher(g, "MATCH (o:Orders)-->(x) RETURN count(*) AS n")
+
+
+def test_untyped_edge_wrong_direction_rejected(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="no relationship type"):
+        compile_cypher(
+            g, "MATCH (n:Nation)-->(c:Customer) RETURN count(*) AS n"
+        )
+
+
 def test_shortest_path_basic(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     rows = compile_cypher(
