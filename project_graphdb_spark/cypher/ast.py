@@ -254,6 +254,20 @@ class OrderKey:
 
 
 @dataclass
+class CallSub:
+    """``CALL { [WITH a, b] <query> }`` subquery clause.
+
+    ``imports`` is the importing-WITH variable list (bare node
+    variables only, the openCypher scope rule); empty = uncorrelated.
+    The subquery's RETURN columns join the enclosing scope as flat
+    aliases; its internal variables do not escape.
+    """
+
+    imports: list[str]
+    query: "Query"
+
+
+@dataclass
 class Segment:
     """One reading clause group: MATCH clauses (+ OPTIONAL MATCHes and a
     WHERE), optionally terminated by a WITH projection (+ its WHERE).
@@ -269,6 +283,9 @@ class Segment:
     )
     # UNWIND list AS alias clauses (before this segment's WHERE)
     unwinds: list[tuple[Expr, str]] = field(default_factory=list)
+    # CALL { } subqueries (applied after this segment's patterns /
+    # unwinds, before its WHERE)
+    calls: list["CallSub"] = field(default_factory=list)
     where: Expr | None = None
     projection: Projection | None = None  # the terminating WITH
     # WITH-level ORDER BY / SKIP / LIMIT (Cypher's mid-query top-k),

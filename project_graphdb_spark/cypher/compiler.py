@@ -1437,6 +1437,142 @@ def _apply_pattern_pred(
     return df.join(sub_df.select(*keys), on=keys, how=how)
 
 
+def _apply_call_subquery(
+    graph: PropertyGraph,
+    df: DataFrame | None,
+    vars: dict[str, _BoundVar],
+    flat: set[str],
+    call: A.CallSub,
+    exact_decimal_sums: bool,
+) -> tuple[DataFrame, set[str]]:
+    """Lower ``CALL { [WITH a] … RETURN … }``.
+
+    Uncorrelated: the subquery compiles independently and cross-joins
+    the outer frame (Catalyst broadcasts the scalar/small side — the
+    same constructor shape the compiler already emits for one-row
+    seeds). Correlated: the imported node variables' key columns are
+    injected into the subquery RETURN — Cypher's implicit grouping
+    then aggregates *per correlation key*, which is exactly per-row
+    execution — and the result joins back on those keys. A subquery
+    whose RETURN aggregates uses a LEFT join (openCypher: an aggregate
+    over zero matches still yields a row) with ``count()`` backfilled
+    to 0; a non-aggregate subquery inner-joins (zero matches drop the
+    outer row).
+
+    Out of scope (clear analysis errors): ORDER BY / SKIP / LIMIT
+    inside a *correlated* CALL (per-row top-k needs a window rewrite),
+    importing non-node variables.
+    """
+    errors: list[str] = []
+    sub_q = call.query
+    if not call.imports:
+        sub_df = compile_cypher(graph, sub_q, exact_decimal_sums)
+        collide = set(sub_df.columns) & (
+            set(df.columns) if df is not None else set()
+        )
+        if collide:
+            raise CypherAnalysisError(
+                [
+                    f"CALL returns column {c!r} that is already bound "
+                    "in the enclosing query"
+                    for c in sorted(collide)
+                ]
+            )
+        out = sub_df if df is None else df.crossJoin(sub_df)
+        return out, set(flat) | set(sub_df.columns)
+
+    if df is None:
+        raise CypherAnalysisError(
+            ["CALL { WITH … } cannot import variables before any MATCH"]
+        )
+    if (
+        sub_q.order_by
+        or sub_q.skip is not None
+        or sub_q.limit is not None
+    ):
+        raise CypherAnalysisError(
+            [
+                "ORDER BY / SKIP / LIMIT inside a correlated CALL {} "
+                "(per-row top-k) is not supported; use WITH + a rank "
+                "window pattern instead"
+            ]
+        )
+    key_cols: list[tuple[str, str]] = []  # (outer col, injected alias)
+    inject: list[A.Item] = []
+    seen: set[str] = set()
+    for v in call.imports:
+        if v in seen:
+            continue
+        seen.add(v)
+        bv = (vars or {}).get(v)
+        if bv is None or bv.kind != "node":
+            errors.append(
+                f"CALL imports {v!r}, which is not a bound node variable"
+            )
+            continue
+        if not bv.key:
+            errors.append(f"imported node {v!r} has no key column")
+            continue
+        alias = f"__call_{v}_{bv.key}"
+        key_cols.append((f"{v}__{bv.key}", alias))
+        inject.append(A.Item(A.Prop(v, bv.key), alias))
+        # bind the imported var's label inside the subquery patterns
+        # (same fill as EXISTS blocks); an explicit conflicting label
+        # is an analysis error, not a silent wrong-key join
+        for seg in sub_q.segments:
+            pats = list(seg.patterns) + [
+                p for p, _ in seg.optional_patterns
+            ]
+            for pat in pats:
+                for node in pat.nodes:
+                    if node.var != v:
+                        continue
+                    if node.label is None:
+                        node.label = bv.label
+                    elif node.label != bv.label:
+                        errors.append(
+                            f"CALL binds imported {v!r} as "
+                            f":{node.label} but the enclosing query "
+                            f"binds it as :{bv.label}"
+                        )
+    if errors:
+        raise CypherAnalysisError(errors)
+    has_agg = any(_is_aggregate(i.expr) for i in sub_q.ret.items)
+    out_items = list(sub_q.ret.items)
+    sub_q.ret.items = out_items + inject
+    try:
+        sub_df = compile_cypher(graph, sub_q, exact_decimal_sums)
+    finally:
+        sub_q.ret.items = out_items  # leave the AST reusable
+    injected = {alias for _, alias in key_cols}
+    new_cols = [c for c in sub_df.columns if c not in injected]
+    collide = set(new_cols) & set(df.columns)
+    if collide:
+        raise CypherAnalysisError(
+            [
+                f"CALL returns column {c!r} that is already bound in "
+                "the enclosing query"
+                for c in sorted(collide)
+            ]
+        )
+    cond = None
+    for outer_col, alias in key_cols:
+        c = df[outer_col] == sub_df[alias]
+        cond = c if cond is None else (cond & c)
+    joined = df.join(
+        sub_df, on=cond, how="left" if has_agg else "inner"
+    ).drop(*[sub_df[a] for a in injected])
+    if has_agg:
+        # count() over zero matches is 0 in per-row execution
+        for item, out in zip(out_items, new_cols):
+            e = item.expr
+            if isinstance(e, A.FnCall) and e.name == "count":
+                joined = joined.withColumn(
+                    out, F.coalesce(F.col(out), F.lit(0))
+                )
+    return joined, set(flat) | set(new_cols)
+
+
 def _collect_pattern_counts(exprs: list[A.Expr]) -> list[A.PatternCount]:
     """Every PatternCount node in the given expression trees (document
     order)."""
@@ -1819,6 +1955,10 @@ def compile_cypher(
                 raise CypherAnalysisError(scope_u.errors)
             df = df.withColumn(alias, F.explode(col)).drop("__seed")
             flat = set(flat) | {alias}
+        for call in seg.calls:
+            df, flat = _apply_call_subquery(
+                graph, df, vars, flat, call, exact_decimal_sums
+            )
         if df is None:
             if seg.patterns or seg.where is not None:
                 raise CypherAnalysisError(["query has no MATCH pattern"])

@@ -37,6 +37,7 @@ from project_graphdb_spark.cypher.ast import (
     ListPred,
     Lit,
     NodePat,
+    CallSub,
     Not,
     Or,
     OrderKey,
@@ -86,6 +87,8 @@ KEYWORDS = {
     # write-path keywords (cypher/write.py); expect_name still accepts
     # them as label / property names
     "merge", "set",
+    # CALL { } subqueries
+    "call",
 }
 
 
@@ -222,7 +225,9 @@ class _Parser:
         return q
 
     def parse_single_query(self) -> Query:
-        if not self.at_kw("match", "optional", "unwind", "return", "with"):
+        if not self.at_kw(
+            "match", "optional", "unwind", "return", "with", "call"
+        ):
             self.expect("kw", "match")  # uniform error message
         segments = [self.parse_segment()]
         while self.accept("kw", "with"):
@@ -259,11 +264,14 @@ class _Parser:
         empty (between two WITHs, or before RETURN)."""
         seg = Segment()
         clause = 0
-        while self.at_kw("match", "unwind"):
+        while self.at_kw("match", "unwind", "call"):
             if self.accept("kw", "unwind"):
                 expr = self.parse_expr()
                 self.expect("kw", "as")
                 seg.unwinds.append((expr, self.expect_name()))
+                continue
+            if self.accept("kw", "call"):
+                seg.calls.append(self.parse_call_subquery())
                 continue
             self.accept("kw", "match")
             clause += 1
@@ -290,6 +298,35 @@ class _Parser:
                     (p, opt_where if i == len(pats) - 1 else None)
                 )
         return seg
+
+    def parse_call_subquery(self) -> CallSub:
+        """``CALL { [WITH a, b] <single query> }`` (the CALL keyword is
+        consumed). The leading WITH is the *importing* WITH — bare
+        variable names only (openCypher's subquery scope rule); a WITH
+        carrying expressions/aliases or not followed by a reading
+        clause is a normal projection WITH of the inner query and is
+        backtracked to it."""
+        self.expect("{")
+        imports: list[str] = []
+        if self.at_kw("with"):
+            save = self.i
+            self.next()
+            imps: list[str] = []
+            ok = True
+            while True:
+                if self.peek()[0] != "ident":
+                    ok = False
+                    break
+                imps.append(self.next()[1])
+                if not self.accept(","):
+                    break
+            if ok and self.at_kw("match", "unwind", "call", "with"):
+                imports = imps
+            else:
+                self.i = save
+        sub = self.parse_single_query()
+        self.expect("}")
+        return CallSub(imports=imports, query=sub)
 
     def parse_pattern(self) -> PathPat:
         # `p = shortestPath((a)-[:T*..n]-(b))` or bare `shortestPath(...)`

@@ -1023,6 +1023,113 @@ def test_untyped_edge_wrong_direction_rejected(spark, sf_dir):
         )
 
 
+def test_call_subquery_correlated_aggregate(spark, sf_dir):
+    """CALL { WITH c … RETURN count(o) } executes per row: one output
+    row per customer, zero-match customers get count 0 (left join +
+    backfill)."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN count(o) AS n_orders } "
+        "RETURN c.c_custkey AS custkey, n_orders",
+    ).collect()
+    assert len(rows) == g.nodes["Customer"].count()
+    exp = {
+        r["dst"]: r["n"]
+        for r in g.edges["PLACED_BY"]
+        .df.groupBy("dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_orders"] == exp.get(r["custkey"], 0)
+
+
+def test_call_subquery_zero_match_counts_zero(spark, sf_dir):
+    """Parts never ordered still yield a row with count 0."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (p:Part) "
+        "CALL { WITH p MATCH (o:Orders)-[:CONTAINS_ITEM]->(p) "
+        "RETURN count(o) AS n } "
+        "WITH p, n WHERE n = 0 RETURN count(*) AS n_unordered",
+    ).collect()[0]["n_unordered"]
+    exp = compile_cypher(
+        g,
+        "MATCH (p:Part) "
+        "WHERE NOT exists((o:Orders)-[:CONTAINS_ITEM]->(p)) "
+        "RETURN count(p) AS n",
+    ).collect()[0]["n"]
+    assert got == exp
+
+
+def test_call_subquery_correlated_non_aggregate(spark, sf_dir):
+    """A non-aggregate subquery multiplies outer rows by its matches
+    (inner-join semantics; zero-match outer rows drop)."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (n:Nation {n_regionkey: 0}) "
+        "CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->(n) "
+        "RETURN c.c_acctbal AS bal } "
+        "RETURN count(*) AS n_rows",
+    ).collect()[0]["n_rows"]
+    exp = (
+        g.edges["FROM_NATION"]
+        .df.join(
+            g.nodes["Nation"]
+            .filter(F.col("n_regionkey") == 0)
+            .select(F.col("n_nationkey").alias("dst")),
+            "dst",
+            "left_semi",
+        )
+        .count()
+    )
+    assert got == exp
+
+
+def test_call_subquery_uncorrelated(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (r:Region) "
+        "CALL { MATCH (n:Nation) RETURN count(n) AS n_nations } "
+        "RETURN r.r_name AS region, n_nations",
+    ).collect()
+    n_nations = g.nodes["Nation"].count()
+    assert len(rows) == g.nodes["Region"].count()
+    assert all(r["n_nations"] == n_nations for r in rows)
+
+
+def test_call_subquery_errors(spark, sf_dir):
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="per-row top-k"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) "
+            "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+            "RETURN o.o_totalprice AS p ORDER BY p DESC LIMIT 3 } "
+            "RETURN count(*) AS n",
+        )
+    with pytest.raises(CypherAnalysisError, match="not a bound node"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) "
+            "CALL { WITH z MATCH (o:Orders) RETURN count(o) AS n } "
+            "RETURN count(*) AS m",
+        )
+    with pytest.raises(CypherAnalysisError, match="already bound"):
+        compile_cypher(
+            g,
+            "MATCH (c:Customer) WITH c.c_custkey AS n "
+            "CALL { MATCH (x:Nation) RETURN count(x) AS n } "
+            "RETURN count(*) AS m",
+        )
+
+
 def test_shortest_path_basic(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
     rows = compile_cypher(
