@@ -234,3 +234,40 @@ def test_winnow_sels_match_python_model(spark, corpora):
     for r in _winnow_sels(df).collect():
         got.setdefault(r.doc_id, set()).add(r.fp)
     assert got == expected
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_kcore_matches_python_peeling(spark, edge_list, k):
+    """Delta-based k_core vs a naive Python peeler on random graphs
+    including self-loops and reciprocal pairs (the cases the canonical
+    least/greatest dedup must get right: a reciprocal pair is ONE
+    undirected edge; a self-loop counts 1 toward its own degree)."""
+    from project_graphdb_spark.graph.algorithms import k_core
+
+    undirected = {tuple(sorted(e)) for e in edge_list}
+    adj: dict[str, set] = {}
+    for a, b in undirected:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # degree = #distinct neighbors, self-loop counts 1 (u in adj[u])
+    alive = set(adj)
+    while True:
+        doomed = {
+            v for v in alive if len(adj[v] & alive) < k
+        }
+        if not doomed:
+            break
+        alive -= doomed
+    expected = {v: len(adj[v] & alive) for v in alive}
+
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.id: r.core_degree for r in k_core(k=k, edges=df).collect()}
+    assert got == expected
