@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.io.tables import load_table
-from project_graphdb_spark.operators.text import tokens
+from project_graphdb_spark.operators.text import (
+    MIX_M,
+    mix32,
+    mix32_sql,
+    tokens,
+)
 from project_graphdb_spark.workload import register
 
 # every doc_id divisible by 29 plays the role of a held-out benchmark
@@ -271,7 +276,16 @@ def dup_span_profile(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
 
 def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     """Remove every token covered by a cross-document duplicated span
-    and re-assemble the text (ExactSubstr dedup, fixed windows)."""
+    and re-assemble the text (ExactSubstr dedup, fixed windows).
+
+    The per-token membership test runs over MERGED covered intervals,
+    not raw span starts: the sorted starts fold into disjoint
+    ``[lo, hi]`` ranges first (linear in starts), so a pathological
+    boilerplate-spam doc where every window is duplicated tests each
+    token against ONE interval instead of ~doc_len starts — the raw
+    form was O(doc_len x dup_starts) per doc, quadratic in doc length
+    at full duplication.
+    """
     spans, dup = _dup_span_frames(docs, n)
     dup_starts = (
         spans.join(dup, "gram", "left_semi")
@@ -283,13 +297,45 @@ def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
         "dup_starts",
         F.coalesce("dup_starts", F.array().cast("array<int>")),
     )
-    # token j is covered iff some duplicated span starts in
-    # [j - n + 1, j]; scrub = keep the uncovered tokens in order
+    # a start s covers tokens [s, s + n - 1]; fold the ASCENDING starts
+    # into disjoint intervals, merging when the next span overlaps or
+    # abuts the open interval (s <= hi + 1 -- abutting ranges cover the
+    # same token set merged or not)
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    intervals = F.aggregate(
+        F.col("dup_starts"),
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + F.lit(n - 1)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.alias("lo"), (s + F.lit(n - 1)).alias("hi")
+                    )
+                ),
+            )
+        ),
+    )
+    joined = joined.withColumn("__dup_iv", intervals)
+    # token j is covered iff it falls in some merged interval; scrub =
+    # keep the uncovered tokens in order
     kept = F.filter(
         toks,
         lambda tok, j: ~F.exists(
-            F.col("dup_starts"),
-            lambda st: (st <= j) & (j <= st + (n - 1)),
+            F.col("__dup_iv"),
+            lambda iv: (iv["lo"] <= j) & (j <= iv["hi"]),
         ),
     )
     return joined.select(
@@ -393,13 +439,11 @@ def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHUFFLE_SHARDS = 16  # training shards for the deterministic shuffle
-_MIX_A = 2654435761  # Knuth multiplicative-hash constant (2^32 / phi)
-_MIX_M = 4294967296  # 2^32
 # shard = HIGH bits of the mix (mix // this), never the low bits: the
 # quality of multiplicative hashing lives in the high bits — and
-# _MIX_A ≡ 1 (mod 16), so low-bit bucketing would degenerate to
+# MIX_A ≡ 1 (mod 16), so low-bit bucketing would degenerate to
 # round-robin on sequential ids (observed before this divisor landed)
-_MIX_SHARD_DIV = _MIX_M // SHUFFLE_SHARDS
+_MIX_SHARD_DIV = MIX_M // SHUFFLE_SHARDS
 
 
 @register(
@@ -407,7 +451,7 @@ _MIX_SHARD_DIV = _MIX_M // SHUFFLE_SHARDS
     oracle=f"""
     WITH m AS (
       SELECT doc_id,
-             (doc_id * {_MIX_A}) % {_MIX_M} AS mix
+             {mix32_sql("doc_id")} AS mix
       FROM documents
     )
     SELECT doc_id,
@@ -431,15 +475,15 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns (shard, intra-shard order), so the only wide op is the
     per-shard window and a re-run (or a failed-stage retry) lands every
     doc in exactly the same place. The arithmetic mixer is shared
-    verbatim with the oracle; a production run would swap in
-    ``F.xxhash64`` (better dispersion, engine-local determinism is all
-    a pipeline needs — the arithmetic form exists so DuckDB can
-    replicate it).
+    verbatim with the oracle (``text.mix32``, overflow-safe for any
+    bigint doc_id); a production run would swap in ``F.xxhash64``
+    (better dispersion, engine-local determinism is all a pipeline
+    needs — the arithmetic form exists so DuckDB can replicate it).
     """
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    mix = (F.col("doc_id") * _MIX_A) % _MIX_M
+    mix = mix32(F.col("doc_id"))
     w = W.partitionBy("shard_id").orderBy("mix", "doc_id")
     return (
         docs.select("doc_id", mix.alias("mix"))

@@ -299,8 +299,34 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nothing here may assume a parseable numeric suffix)
 MIX_EVEN_W = 2.0
 MIX_ODD_W = 1.0
-_MIX_REB_A = 2654435761  # same multiplicative mixer as doc_shuffle_shards
-_MIX_REB_M = 4294967296
+
+# Shared multiplicative mixer (doc_shuffle_shards, doc_mix_rebalance).
+MIX_A = 2654435761  # Knuth multiplicative-hash constant (2^32 / phi)
+MIX_M = 4294967296  # 2^32
+_MIX_A16 = (MIX_A * 65536) % MIX_M
+
+
+def mix32(col: Column) -> Column:
+    """``(col * MIX_A) mod 2^32`` without int64 overflow for ANY bigint
+    input. A plain ``(col * A) % 2^32`` wraps int64 once col exceeds
+    ~3.49e9 — exactly the corpus scale these operators advertise —
+    yielding negative mixes in Spark while DuckDB errors on the
+    overflow. Only the low 32 bits of col matter mod 2^32; splitting
+    them 16/16 keeps every intermediate below 2^49.
+    Production swaps in ``F.xxhash64`` (better dispersion; the
+    arithmetic form exists so DuckDB can replicate it bit-for-bit)."""
+    x = F.pmod(col, F.lit(MIX_M))
+    hi = F.shiftright(x, 16)
+    lo = x.bitwiseAND(F.lit(65535))
+    return F.pmod(hi * F.lit(_MIX_A16) + lo * F.lit(MIX_A), F.lit(MIX_M))
+
+
+def mix32_sql(expr: str) -> str:
+    """The identical overflow-safe mixer as DuckDB SQL (oracle side)."""
+    return (
+        f"((({expr} % {MIX_M}) >> 16) * {_MIX_A16} "
+        f"+ (({expr} % {MIX_M}) & 65535) * {MIX_A}) % {MIX_M}"
+    )
 
 
 @register(
@@ -325,8 +351,7 @@ _MIX_REB_M = 4294967296
     )
     SELECT d.doc_id, d.source, ROUND(f.frac, 6) AS sample_frac
     FROM documents d JOIN f ON d.source = f.source
-    WHERE ((d.doc_id * {_MIX_REB_A}) % {_MIX_REB_M})
-            / {_MIX_REB_M} < f.frac
+    WHERE ({mix32_sql("d.doc_id")}) * 1.0 / {MIX_M} < f.frac
     ORDER BY d.doc_id
     """,
     description="mixture rebalancing: derive per-source sampling "
@@ -369,7 +394,7 @@ def doc_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac"),
         )
     )
-    u = ((F.col("doc_id") * _MIX_REB_A) % _MIX_REB_M) / _MIX_REB_M
+    u = mix32(F.col("doc_id")) / F.lit(MIX_M)
     return (
         docs.join(F.broadcast(stats), "source")
         .filter(u < F.col("frac"))

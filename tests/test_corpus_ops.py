@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from project_graphdb_spark.io.jsonl import (
@@ -211,6 +212,15 @@ def test_mix_rebalance_respects_target(spark, oracle_sf_dir):
     above are downsampled to ~frac of their rows."""
     from project_graphdb_spark.operators.text import doc_mix_rebalance
 
+    from project_graphdb_spark.io.tables import load_table
+
+    src_counts = {
+        r.source: r.n
+        for r in load_table(spark, oracle_sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
     rows = doc_mix_rebalance(spark, oracle_sf_dir).collect()
     by_src: dict = {}
     for r in rows:
@@ -219,10 +229,43 @@ def test_mix_rebalance_respects_target(spark, oracle_sf_dir):
         frac = fracs[0]
         if len(src) % 2 == 0:  # double-weighted stratum
             assert frac == 1.0, (src, frac)
-            assert len(fracs) == 25  # kept whole (uniform 25/source)
+            assert len(fracs) == src_counts[src]  # kept whole
         else:
             assert frac < 1.0
-            assert len(fracs) < 25
+            assert len(fracs) < src_counts[src]
+
+
+def test_mix32_no_int64_overflow_on_huge_ids(spark):
+    """The shared mixer must equal (id * A) mod 2^32 computed in
+    arbitrary precision for ids past the int64 wrap point (~3.49e9),
+    on BOTH engines — the corpus scale the shuffle docs advertise."""
+    import duckdb
+
+    from project_graphdb_spark.operators.text import (
+        MIX_A,
+        MIX_M,
+        mix32,
+        mix32_sql,
+    )
+
+    ids = [0, 1, 3_490_000_000, 2**32 - 1, 2**32, 2**40 + 123, 2**62]
+    exp = {i: (i * MIX_A) % MIX_M for i in ids}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id", mix32(F.col("doc_id")).alias("m")
+        ).collect()
+    }
+    assert got == exp
+    con = duckdb.connect()
+    duck = dict(
+        con.sql(
+            f"SELECT doc_id, {mix32_sql('doc_id')} AS m "
+            f"FROM (SELECT unnest({ids}) AS doc_id)"
+        ).fetchall()
+    )
+    assert duck == exp
 
 
 def _ref_bpe(words: dict, n_merges: int, min_freq: int):
@@ -323,3 +366,19 @@ def test_bpe_train_frees_superseded_checkpoints(spark, sf_dir):
     bpe_train(docs, keep_vocab=False)
     leaked = persistent_rdd_ids(spark.sparkContext) - before
     assert not leaked, f"keep_vocab=False leaked checkpoints: {leaked}"
+
+
+def test_dup_span_scrub_all_duplicate_doc(spark):
+    """Pathological boilerplate case: every window duplicated. The
+    merged-interval filter must scrub everything without the
+    O(doc_len^2) raw-starts blowup, and the result is exactly empty."""
+    from project_graphdb_spark.operators.corpus import dup_span_scrub
+
+    text = " ".join(f"t{i % 7}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dup_span_scrub(docs).collect()}
+    for d in (1, 2):
+        assert out[d].clean_text == ""
+        assert out[d].n_removed == 200
