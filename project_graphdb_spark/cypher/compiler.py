@@ -50,6 +50,12 @@ class _BoundVar:
     key: str | None = None  # node key column (nodes only)
 
 
+# guard for percentileDisc's collect_list fallback (contexts the
+# pre-aggregation window rewrite in _project does not cover): one group
+# larger than this raises at runtime instead of ballooning the
+# aggregation buffer
+PDISC_FALLBACK_MAX_GROUP = 1_000_000
+
 _AGG_FNS = frozenset(
     {
         "count", "sum", "avg", "min", "max", "collect",
@@ -584,13 +590,30 @@ class _ExprCompiler:
                 return F.min(F.col(pre))
             # fallback for contexts _project does not rewrite: sort the
             # group's values and pick the ceil(p*n)-th (1-based; p=0 ->
-            # min). Memory O(group) — exactness over boundedness.
+            # min). Memory O(group) — guarded: a group past the bound
+            # raises a clear error pointing at the window rewrite
+            # rather than silently ballooning an aggregation buffer.
             arr = F.sort_array(F.collect_list(self.compile(e.args[0])))
             n = F.size(arr)
             idx = F.greatest(
                 F.lit(1), F.ceil(self.compile(e.args[1]) * n).cast("int")
             )
-            return F.when(n > 0, F.element_at(arr, idx))
+            guarded = F.when(
+                n <= F.lit(PDISC_FALLBACK_MAX_GROUP),
+                F.element_at(arr, idx),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "percentileDisc fallback group exceeded "
+                        f"{PDISC_FALLBACK_MAX_GROUP} values; use "
+                        "percentileDisc in a grouped WITH/RETURN item "
+                        "so the bounded pre-aggregation window rewrite "
+                        "applies (or raise compiler."
+                        "PDISC_FALLBACK_MAX_GROUP)"
+                    )
+                )
+            )
+            return F.when(n > 0, guarded)
         if name in _SCALAR_FNS:
             return _SCALAR_FNS[name]([self.compile(a) for a in e.args])
         self.scope.errors.append(f"unknown function {name}()")

@@ -736,6 +736,36 @@ def test_undirected_var_length(spark, sf_dir):
     assert got == n_edges
 
 
+def test_percentile_disc_fallback_group_size_guard(spark, monkeypatch):
+    """The collect_list fallback (contexts the _project window rewrite
+    does not cover — every registered/hand-written shape IS rewritten,
+    this is defense-in-depth) refuses a group above the configurable
+    bound with an error pointing at the rewrite, instead of silently
+    ballooning the aggregation buffer."""
+    from project_graphdb_spark.cypher import compiler as C
+    from project_graphdb_spark.cypher.parser import _Parser, tokenize
+
+    def pdisc_expr():
+        return _Parser(
+            tokenize("percentileDisc(x, 0.5)")
+        ).parse_expr()
+
+    df = spark.range(100).selectExpr("CAST(id AS DOUBLE) AS x")
+    scope = C._Scope(None, {"x"}, df)
+    comp = C._ExprCompiler(scope, exact_decimal_sums=True)
+    # pdisc_cols left empty == the un-rewritten fallback path
+    monkeypatch.setattr(C, "PDISC_FALLBACK_MAX_GROUP", 10)
+    col = comp.compile(pdisc_expr())
+    assert not scope.errors
+    with pytest.raises(Exception, match="percentileDisc fallback"):
+        df.agg(col.alias("p")).collect()
+    # under the bound the exact nearest-rank value comes back
+    monkeypatch.setattr(C, "PDISC_FALLBACK_MAX_GROUP", 1000)
+    comp2 = C._ExprCompiler(scope, exact_decimal_sums=True)
+    col2 = comp2.compile(pdisc_expr())
+    assert df.agg(col2.alias("p")).collect()[0]["p"] == 49.0
+
+
 def test_percentile_disc_exact(spark, sf_dir):
     """percentileDisc returns an actual element (nearest-rank), exactly."""
     g = tpch_graph(spark, sf_dir)
