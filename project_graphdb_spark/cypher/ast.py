@@ -283,9 +283,14 @@ class Segment:
     )
     # UNWIND list AS alias clauses (before this segment's WHERE)
     unwinds: list[tuple[Expr, str]] = field(default_factory=list)
-    # CALL { } subqueries (applied after this segment's patterns /
-    # unwinds, before its WHERE)
+    # CALL { } subqueries (applied after this segment's patterns,
+    # interleaved with unwinds per `steps`, before its WHERE)
     calls: list["CallSub"] = field(default_factory=list)
+    # source order of unwind/call clauses: ("unwind", i) / ("call", i)
+    # indices into the two lists — CALL { … RETURN xs } UNWIND xs must
+    # apply the CALL first. Empty (hand-built Segment) = unwinds then
+    # calls.
+    steps: list[tuple[str, int]] = field(default_factory=list)
     where: Expr | None = None
     projection: Projection | None = None  # the terminating WITH
     # WITH-level ORDER BY / SKIP / LIMIT (Cypher's mid-query top-k),

@@ -27,6 +27,7 @@ of Spark's accumulation order (see operators/exact.py).
 
 from __future__ import annotations
 
+import copy
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -52,8 +53,9 @@ class _BoundVar:
 
 # guard for percentileDisc's collect_list fallback (contexts the
 # pre-aggregation window rewrite in _project does not cover): one group
-# larger than this raises at runtime instead of ballooning the
-# aggregation buffer
+# larger than this raises a diagnosable error pointing at the window
+# rewrite (the collect buffer has already been built when the size
+# check runs — the guard names the fix, it does not bound memory)
 PDISC_FALLBACK_MAX_GROUP = 1_000_000
 
 _AGG_FNS = frozenset(
@@ -590,9 +592,11 @@ class _ExprCompiler:
                 return F.min(F.col(pre))
             # fallback for contexts _project does not rewrite: sort the
             # group's values and pick the ceil(p*n)-th (1-based; p=0 ->
-            # min). Memory O(group) — guarded: a group past the bound
-            # raises a clear error pointing at the window rewrite
-            # rather than silently ballooning an aggregation buffer.
+            # min). Memory O(group) — the size guard fires only AFTER
+            # collect_list has buffered the group, so it makes an
+            # oversized group fail diagnosably (naming the bounded
+            # window rewrite to use instead); it does not bound the
+            # buffer itself.
             arr = F.sort_array(F.collect_list(self.compile(e.args[0])))
             n = F.size(arr)
             idx = F.greatest(
@@ -1476,15 +1480,27 @@ def _apply_call_subquery(
     seeds). Correlated: the imported node variables' key columns are
     injected into the subquery RETURN — Cypher's implicit grouping
     then aggregates *per correlation key*, which is exactly per-row
-    execution — and the result joins back on those keys. A subquery
-    whose RETURN aggregates uses a LEFT join (openCypher: an aggregate
-    over zero matches still yields a row) with ``count()`` backfilled
-    to 0; a non-aggregate subquery inner-joins (zero matches drop the
-    outer row).
+    execution — and the result joins back on those keys.
 
-    Out of scope (clear analysis errors): ORDER BY / SKIP / LIMIT
-    inside a *correlated* CALL (per-row top-k needs a window rewrite),
-    importing non-node variables.
+    Zero-match semantics (openCypher): a subquery whose RETURN items
+    are ALL aggregates still yields one row per outer row — LEFT join,
+    with the aggregates whose empty-input value is non-NULL backfilled
+    (``count()`` → 0, ``sum()`` → 0, ``collect()`` → []; min/max/avg
+    are NULL, which the left join already gives). A RETURN that mixes
+    a grouping key with an aggregate produces *no groups* over empty
+    input, so a zero-match outer row drops — INNER join. A pure
+    non-aggregate subquery likewise inner-joins.
+
+    Correlated ORDER BY / SKIP / LIMIT (the per-entity top-k idiom,
+    ``CALL { WITH c MATCH … RETURN o ORDER BY o.total DESC LIMIT 1 }``)
+    lowers to a ``row_number()`` window over the correlation keys —
+    supported for non-aggregating subqueries; combined with aggregates
+    it stays a clear analysis error. An importing WITH with no inner
+    MATCH mentioning the variable (``CALL { WITH c RETURN c.x AS y }``)
+    binds the variable to its label frame and inner-joins on the key.
+
+    Out of scope (clear analysis errors): importing non-node
+    variables, UNION inside a correlated CALL.
     """
     errors: list[str] = []
     sub_q = call.query
@@ -1508,16 +1524,24 @@ def _apply_call_subquery(
         raise CypherAnalysisError(
             ["CALL { WITH … } cannot import variables before any MATCH"]
         )
-    if (
+    if sub_q.unions:
+        raise CypherAnalysisError(
+            ["UNION inside a correlated CALL {} is not supported"]
+        )
+    agg_flags = [_is_aggregate(i.expr) for i in sub_q.ret.items]
+    has_agg = any(agg_flags)
+    all_agg = bool(agg_flags) and all(agg_flags)
+    windowed = (
         sub_q.order_by
         or sub_q.skip is not None
         or sub_q.limit is not None
-    ):
+    )
+    if windowed and has_agg:
         raise CypherAnalysisError(
             [
-                "ORDER BY / SKIP / LIMIT inside a correlated CALL {} "
-                "(per-row top-k) is not supported; use WITH + a rank "
-                "window pattern instead"
+                "ORDER BY / SKIP / LIMIT combined with aggregates "
+                "inside a correlated CALL {} is not supported; "
+                "aggregate in an outer WITH instead"
             ]
         )
     key_cols: list[tuple[str, str]] = []  # (outer col, injected alias)
@@ -1541,7 +1565,10 @@ def _apply_call_subquery(
         inject.append(A.Item(A.Prop(v, bv.key), alias))
         # bind the imported var's label inside the subquery patterns
         # (same fill as EXISTS blocks); an explicit conflicting label
-        # is an analysis error, not a silent wrong-key join
+        # is an analysis error, not a silent wrong-key join. (The AST
+        # is this compile's private deep copy, so resolving in place
+        # is safe.)
+        mentioned = False
         for seg in sub_q.segments:
             pats = list(seg.patterns) + [
                 p for p, _ in seg.optional_patterns
@@ -1550,6 +1577,7 @@ def _apply_call_subquery(
                 for node in pat.nodes:
                     if node.var != v:
                         continue
+                    mentioned = True
                     if node.label is None:
                         node.label = bv.label
                     elif node.label != bv.label:
@@ -1558,16 +1586,39 @@ def _apply_call_subquery(
                             f":{node.label} but the enclosing query "
                             f"binds it as :{bv.label}"
                         )
+        if not mentioned:
+            # CALL { WITH c RETURN c.x AS y } — no inner MATCH uses c;
+            # bind it to its label frame (the key join below restores
+            # per-outer-row scoping)
+            sub_q.segments[0].patterns.insert(
+                0, A.PathPat(nodes=[A.NodePat(v, bv.label)], edges=[])
+            )
     if errors:
         raise CypherAnalysisError(errors)
-    has_agg = any(_is_aggregate(i.expr) for i in sub_q.ret.items)
     out_items = list(sub_q.ret.items)
+    # per-row ORDER BY / SKIP / LIMIT: strip the subquery-global forms
+    # and re-apply them per correlation key via row_number() below
+    order_by = list(sub_q.order_by)
+    o_skip, o_limit = sub_q.skip, sub_q.limit
+    sub_q.order_by, sub_q.skip, sub_q.limit = [], None, None
+    ord_specs: list[tuple[str, bool]] = []  # (column, ascending)
+    ord_injected: list[str] = []
+    for oi, ok in enumerate(order_by):
+        name = None
+        for item in out_items:
+            if ok.expr == item.expr or (
+                isinstance(ok.expr, A.Var) and ok.expr.name == item.alias
+            ):
+                name = item.out_name().replace(".", "_")
+                break
+        if name is None:
+            name = f"__call_ord{oi}"
+            inject.append(A.Item(ok.expr, name))
+            ord_injected.append(name)
+        ord_specs.append((name, ok.ascending))
     sub_q.ret.items = out_items + inject
-    try:
-        sub_df = compile_cypher(graph, sub_q, exact_decimal_sums)
-    finally:
-        sub_q.ret.items = out_items  # leave the AST reusable
-    injected = {alias for _, alias in key_cols}
+    sub_df = compile_cypher(graph, sub_q, exact_decimal_sums)
+    injected = {alias for _, alias in key_cols} | set(ord_injected)
     new_cols = [c for c in sub_df.columns if c not in injected]
     collide = set(new_cols) & set(df.columns)
     if collide:
@@ -1578,20 +1629,54 @@ def _apply_call_subquery(
                 for c in sorted(collide)
             ]
         )
+    key_aliases = [alias for _, alias in key_cols]
+    if windowed:
+        # per-correlation-key top-k: rank within each outer key. One
+        # shuffle on the key — the same plan shape as the hand-written
+        # "top N per group" idiom; no per-row subquery execution.
+        from pyspark.sql.window import Window
+
+        okeys = [
+            (sub_df[n].asc() if asc else sub_df[n].desc())
+            for n, asc in ord_specs
+        ] or [F.lit(1).asc()]  # bare SKIP/LIMIT: arbitrary stable pick
+        w = Window.partitionBy(*[sub_df[a] for a in key_aliases]).orderBy(
+            *okeys
+        )
+        sub_df = sub_df.withColumn("__call_rn", F.row_number().over(w))
+        lo = o_skip or 0
+        keep = F.col("__call_rn") > F.lit(lo)
+        if o_limit is not None:
+            keep = keep & (F.col("__call_rn") <= F.lit(lo + o_limit))
+        sub_df = sub_df.filter(keep).drop("__call_rn", *ord_injected)
     cond = None
     for outer_col, alias in key_cols:
         c = df[outer_col] == sub_df[alias]
         cond = c if cond is None else (cond & c)
+    # all-aggregate RETURN: zero matches still yield one row per outer
+    # row (LEFT). Grouping keys present (or no aggregates): zero-match
+    # outer rows drop (INNER) — grouped aggregation over empty input
+    # has no groups.
     joined = df.join(
-        sub_df, on=cond, how="left" if has_agg else "inner"
-    ).drop(*[sub_df[a] for a in injected])
-    if has_agg:
-        # count() over zero matches is 0 in per-row execution
+        sub_df, on=cond, how="left" if all_agg else "inner"
+    ).drop(*[sub_df[a] for a in key_aliases])
+    if all_agg:
+        # empty-input aggregate values (openCypher): count()=0, sum()=0,
+        # collect()=[]; min/max/avg stay NULL (the left join's default)
+        dtypes = {f.name: f.dataType for f in joined.schema.fields}
         for item, out in zip(out_items, new_cols):
             e = item.expr
-            if isinstance(e, A.FnCall) and e.name == "count":
+            if not isinstance(e, A.FnCall):
+                continue
+            if e.name in ("count", "sum"):
                 joined = joined.withColumn(
-                    out, F.coalesce(F.col(out), F.lit(0))
+                    out,
+                    F.coalesce(F.col(out), F.lit(0).cast(dtypes[out])),
+                )
+            elif e.name == "collect":
+                joined = joined.withColumn(
+                    out,
+                    F.coalesce(F.col(out), F.array().cast(dtypes[out])),
                 )
     return joined, set(flat) | set(new_cols)
 
@@ -1891,7 +1976,11 @@ def compile_cypher(
     """Compile a parsed (or source-text) Cypher query to a DataFrame."""
     from project_graphdb_spark.cypher.parser import parse
 
-    q = parse(query) if isinstance(query, str) else query
+    # deep-copy a pre-parsed AST: compilation resolves schema facts into
+    # the tree (untyped-edge types, imported-label fills, parameter
+    # substitution), and a caller must be able to recompile the same
+    # Query object against a different graph without stale resolutions
+    q = parse(query) if isinstance(query, str) else copy.deepcopy(query)
     missing: set[str] = set()
     _substitute_params(q, params, missing)
     if missing:
@@ -1966,22 +2055,31 @@ def compile_cypher(
                     anon_seed=si * 10000 + (i + 1) * 1000,
                     opt_where=opt_where,
                 )
-        for expr, alias in seg.unwinds:
-            if df is None:
-                # query starts with UNWIND: a one-row seed frame
-                spark = next(iter(graph.nodes.values())).sparkSession
-                df = spark.range(1).select(F.lit(1).alias("__seed"))
-            scope_u = _Scope(vars or None, flat or None, df)
-            comp_u = _ExprCompiler(scope_u, exact_decimal_sums)
-            col = comp_u.compile(expr)
-            if scope_u.errors:
-                raise CypherAnalysisError(scope_u.errors)
-            df = df.withColumn(alias, F.explode(col)).drop("__seed")
-            flat = set(flat) | {alias}
-        for call in seg.calls:
-            df, flat = _apply_call_subquery(
-                graph, df, vars, flat, call, exact_decimal_sums
-            )
+        # unwinds and calls apply in source order (steps) — a CALL's
+        # returned list may feed a following UNWIND
+        steps = seg.steps or (
+            [("unwind", i) for i in range(len(seg.unwinds))]
+            + [("call", i) for i in range(len(seg.calls))]
+        )
+        for kind, idx in steps:
+            if kind == "unwind":
+                expr, alias = seg.unwinds[idx]
+                if df is None:
+                    # query starts with UNWIND: a one-row seed frame
+                    spark = next(iter(graph.nodes.values())).sparkSession
+                    df = spark.range(1).select(F.lit(1).alias("__seed"))
+                scope_u = _Scope(vars or None, flat or None, df)
+                comp_u = _ExprCompiler(scope_u, exact_decimal_sums)
+                col = comp_u.compile(expr)
+                if scope_u.errors:
+                    raise CypherAnalysisError(scope_u.errors)
+                df = df.withColumn(alias, F.explode(col)).drop("__seed")
+                flat = set(flat) | {alias}
+            else:
+                df, flat = _apply_call_subquery(
+                    graph, df, vars, flat, seg.calls[idx],
+                    exact_decimal_sums,
+                )
         if df is None:
             if seg.patterns or seg.where is not None:
                 raise CypherAnalysisError(["query has no MATCH pattern"])

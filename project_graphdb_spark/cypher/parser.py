@@ -268,9 +268,11 @@ class _Parser:
             if self.accept("kw", "unwind"):
                 expr = self.parse_expr()
                 self.expect("kw", "as")
+                seg.steps.append(("unwind", len(seg.unwinds)))
                 seg.unwinds.append((expr, self.expect_name()))
                 continue
             if self.accept("kw", "call"):
+                seg.steps.append(("call", len(seg.calls)))
                 seg.calls.append(self.parse_call_subquery())
                 continue
             self.accept("kw", "match")
@@ -302,10 +304,11 @@ class _Parser:
     def parse_call_subquery(self) -> CallSub:
         """``CALL { [WITH a, b] <single query> }`` (the CALL keyword is
         consumed). The leading WITH is the *importing* WITH — bare
-        variable names only (openCypher's subquery scope rule); a WITH
-        carrying expressions/aliases or not followed by a reading
-        clause is a normal projection WITH of the inner query and is
-        backtracked to it."""
+        variable names only (openCypher's subquery scope rule),
+        followed by a reading clause or RETURN (``CALL { WITH c RETURN
+        c.x AS y }`` is valid); a WITH carrying expressions/aliases is
+        a normal projection WITH of the inner query and is backtracked
+        to it."""
         self.expect("{")
         imports: list[str] = []
         if self.at_kw("with"):
@@ -320,7 +323,9 @@ class _Parser:
                 imps.append(self.next()[1])
                 if not self.accept(","):
                     break
-            if ok and self.at_kw("match", "unwind", "call", "with"):
+            if ok and self.at_kw(
+                "match", "unwind", "call", "with", "return"
+            ):
                 imports = imps
             else:
                 self.i = save

@@ -1136,12 +1136,12 @@ def test_call_subquery_uncorrelated(spark, sf_dir):
 
 def test_call_subquery_errors(spark, sf_dir):
     g = tpch_graph(spark, sf_dir)
-    with pytest.raises(CypherAnalysisError, match="per-row top-k"):
+    with pytest.raises(CypherAnalysisError, match="combined with aggregates"):
         compile_cypher(
             g,
             "MATCH (c:Customer) "
             "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
-            "RETURN o.o_totalprice AS p ORDER BY p DESC LIMIT 3 } "
+            "RETURN sum(o.o_totalprice) AS p ORDER BY p DESC LIMIT 3 } "
             "RETURN count(*) AS n",
         )
     with pytest.raises(CypherAnalysisError, match="not a bound node"):
@@ -1158,6 +1158,160 @@ def test_call_subquery_errors(spark, sf_dir):
             "CALL { MATCH (x:Nation) RETURN count(x) AS n } "
             "RETURN count(*) AS m",
         )
+
+
+def test_call_subquery_mixed_agg_drops_zero_match(spark, sf_dir):
+    """RETURN mixing a grouping key with an aggregate yields no groups
+    over empty input — zero-match outer rows DROP (inner join), they
+    must not survive with NULL keys and a backfilled 0."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (p:Part) "
+        "CALL { WITH p MATCH (o:Orders)-[:CONTAINS_ITEM]->(p) "
+        "RETURN o.o_orderstatus AS status, count(o) AS n } "
+        "RETURN p.p_partkey AS pk, status, n",
+    ).collect()
+    assert all(r["status"] is not None and r["n"] > 0 for r in rows)
+    got_parts = {r["pk"] for r in rows}
+    exp_parts = {
+        r["dst"]
+        for r in g.edges["CONTAINS_ITEM"].df.select("dst").distinct().collect()
+    }
+    assert got_parts == exp_parts
+
+
+def test_call_subquery_sum_collect_backfill(spark, sf_dir):
+    """All-aggregate RETURN over zero matches: sum() is 0 and collect()
+    is [] (not NULL through the left join); min() stays NULL."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        # the inner WHERE never holds, so every outer row is zero-match
+        "MATCH (c:Customer) "
+        "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "WHERE o.o_totalprice < 0 "
+        "RETURN sum(o.o_totalprice) AS s, collect(o.o_orderkey) AS ks, "
+        "min(o.o_totalprice) AS lo } "
+        "RETURN count(*) AS n_rows, sum(s) AS total, count(lo) AS n_lo, "
+        "sum(size(ks)) AS total_ks",
+    ).collect()[0]
+    n_cust = g.nodes["Customer"].count()
+    assert rows["n_rows"] == n_cust  # all outer rows survive (left)
+    assert rows["total"] == 0.0  # every zero-match sum backfilled to 0
+    assert rows["total_ks"] == 0  # collect() backfilled to [], not NULL
+    assert rows["n_lo"] == 0  # min over zero rows stays NULL
+
+
+def test_call_subquery_topk_per_row(spark, sf_dir):
+    """Correlated ORDER BY … LIMIT 1: the per-entity top-1 idiom lowers
+    to a row_number window over the correlation key."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (c:Customer) "
+        "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN o.o_totalprice AS top_price ORDER BY top_price DESC "
+        "LIMIT 1 } "
+        "RETURN c.c_custkey AS ck, top_price",
+    ).collect()
+    exp = {
+        r["dst"]: r["m"]
+        for r in g.edges["PLACED_BY"]
+        .df.join(
+            g.nodes["Orders"].select(
+                F.col("o_orderkey").alias("src"), "o_totalprice"
+            ),
+            "src",
+        )
+        .groupBy("dst")
+        .agg(F.max("o_totalprice").alias("m"))
+        .collect()
+    }
+    assert len(rows) == len(exp)  # zero-order customers drop (inner)
+    for r in rows:
+        assert r["top_price"] == exp[r["ck"]]
+
+
+def test_call_subquery_topk_order_by_unreturned_prop(spark, sf_dir):
+    """ORDER BY a property that is not among the RETURN items — the
+    sort key is injected for the window, then dropped."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (n:Nation {n_nationkey: 1}) "
+        "CALL { WITH n MATCH (c:Customer)-[:FROM_NATION]->(n) "
+        "RETURN c.c_name AS name ORDER BY c.c_acctbal DESC LIMIT 2 } "
+        "RETURN name",
+    ).collect()
+    exp = [
+        r["c_name"]
+        for r in g.nodes["Customer"]
+        .filter(F.col("c_nationkey") == 1)
+        .orderBy(F.col("c_acctbal").desc())
+        .limit(2)
+        .collect()
+    ]
+    assert sorted(r["name"] for r in rows) == sorted(exp)
+
+
+def test_call_subquery_import_without_inner_match(spark, sf_dir):
+    """CALL { WITH c RETURN c.x AS y } — importing WITH followed
+    directly by RETURN binds c to its label frame."""
+    g = tpch_graph(spark, sf_dir)
+    rows = compile_cypher(
+        g,
+        "MATCH (r:Region) "
+        "CALL { WITH r RETURN r.r_name AS rname } "
+        "RETURN r.r_regionkey AS rk, rname",
+    ).collect()
+    exp = {
+        r["r_regionkey"]: r["r_name"] for r in g.nodes["Region"].collect()
+    }
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert r["rname"] == exp[r["rk"]]
+
+
+def test_call_then_unwind_in_source_order(spark, sf_dir):
+    """CALL { … RETURN collect(...) AS ks } UNWIND ks AS k — the UNWIND
+    consumes the CALL's output, so clause order must be preserved."""
+    g = tpch_graph(spark, sf_dir)
+    got = compile_cypher(
+        g,
+        "MATCH (r:Region) "
+        "CALL { MATCH (n:Nation) RETURN collect(n.n_nationkey) AS ks } "
+        "UNWIND ks AS k "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert got == g.nodes["Region"].count() * g.nodes["Nation"].count()
+
+
+def test_compile_does_not_mutate_ast(spark, sf_dir):
+    """Compilation resolves schema facts (untyped edges, imported
+    labels, CALL return injection) into a private deep copy — the
+    caller's parsed Query must come back byte-identical."""
+    import copy as _copy
+
+    from project_graphdb_spark.cypher.parser import parse
+
+    g = tpch_graph(spark, sf_dir)
+    for text in [
+        "MATCH (c:Customer)-->(n) RETURN count(*) AS n",  # untyped edge
+        "MATCH (c:Customer) "
+        "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN count(o) AS n_orders } RETURN count(*) AS n",
+        "MATCH (c:Customer) "
+        "CALL { WITH c RETURN c.c_name AS nm } RETURN count(*) AS n",
+        "MATCH (c:Customer) "
+        "CALL { WITH c MATCH (o:Orders)-[:PLACED_BY]->(c) "
+        "RETURN o.o_totalprice AS p ORDER BY o.o_orderdate LIMIT 1 } "
+        "RETURN count(*) AS n",
+    ]:
+        q = parse(text)
+        snap = _copy.deepcopy(q)
+        compile_cypher(g, q)
+        assert q == snap, text
 
 
 def test_shortest_path_basic(spark, sf_dir):
