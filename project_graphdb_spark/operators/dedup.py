@@ -18,14 +18,20 @@ Scale story:
 * **simhash** — 64-bit signatures; pigeonhole banding on 16-bit chunks
   turns hamming<=k search into 4 equi-joins.
 * **winnowing** — rolling md5 gram hashes, window minima kept (MOSS);
-  the overlap join touches only the winnowed sample. The one near-dup
-  tier that is exactly oracle-able end to end.
+  the overlap join touches only the winnowed sample.
 * **clustering / keep-lists** — connected components over a pair frame
   plus a canonical or quality-ranked keep decision; each has an exact
-  tier (the oracle) and an LSH-fed tier (the 100 TB path).
+  tier and an LSH-fed tier (the 100 TB path).
 
-Everything is built-in expressions (xxhash64, md5, bit ops, array
-ops) — no Python UDFs anywhere.
+Every tier — including MinHash/LSH and SimHash — is exactly
+reproducible in DuckDB and hash-checked against a chained-CTE oracle:
+base hashes are md5-derived (``md5_int60``) and the MinHash
+permutations are ``(a·x + b) mod 2^31−1`` int64 arithmetic, identical
+in both engines. xxhash64 survives only as an internal band-bucket
+join-key compaction (see ``lsh_candidate_pairs``).
+
+Everything is built-in expressions (md5, conv, bit ops, array ops) —
+no Python UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -81,6 +87,60 @@ def lsh_params(
     return best[1], best[2]
 
 
+# MinHash permutation family: h_i(x) = (a_i·x + b_i) mod P over the
+# md5-derived 60-bit shingle hash reduced mod P. P = 2^31 − 1 keeps
+# every product a_i·x < 2^62 — exact int64 arithmetic in BOTH Spark and
+# DuckDB, which (together with the md5 base hash) is what makes the
+# whole MinHash/LSH stack reproducible as a chained-CTE SQL oracle:
+# the same engine-portability move the winnowing tier made with md5
+# grams (see _WINNOW_SEL_CTES). The a/b constants come from a fixed
+# Knuth LCG (public constants, no RNG library state) so the oracle SQL
+# inlines the identical values.
+MINHASH_PRIME = 2_147_483_647  # 2^31 − 1 (Mersenne)
+
+
+def _perm_constants(n: int) -> tuple[list[int], list[int]]:
+    s = 0x5EED5EED
+    draws = []
+    for _ in range(2 * n):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        draws.append(s >> 33)
+    a = [1 + v % (MINHASH_PRIME - 1) for v in draws[:n]]
+    b = [v % MINHASH_PRIME for v in draws[n:]]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _perm_constants(NUM_PERM)
+
+
+def md5_int60(col: str | Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit bigint —
+    bit-identical to DuckDB's ``('0x' || substr(md5(x), 1, 15))::BIGINT``
+    (verified by the dedup oracles). 60 bits keeps the unsigned value
+    inside int64 range in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _md5_int60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_int60`."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _perm_hash(x: Column, i: int) -> Column:
+    """Permutation i applied to an md5-derived shingle hash."""
+    return (
+        F.lit(MINHASH_A[i]) * (x % MINHASH_PRIME) + F.lit(MINHASH_B[i])
+    ) % MINHASH_PRIME
+
+
+def _perm_hash_sql(expr: str, i: int) -> str:
+    return (
+        f"({MINHASH_A[i]} * (({expr}) % {MINHASH_PRIME}) + {MINHASH_B[i]})"
+        f" % {MINHASH_PRIME}"
+    )
+
+
 def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-gram shingles of a text column (JVM-side,
     zip-of-slices construction — see ``text.sliding_structs``)."""
@@ -90,16 +150,21 @@ def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
 
 
 def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
-    """Distinct word k-gram shingles as 64-bit hashes, computed straight
-    from the token array — no intermediate shingle strings. The MinHash
-    path only ever hashes shingles, so building concat strings first is
-    pure overhead (and a wider shuffle); hash collisions at 64 bits are
-    negligible for Jaccard estimation."""
-    from project_graphdb_spark.operators.text import sliding_structs
+    """Distinct word k-gram shingles as md5-derived 60-bit hashes.
+
+    md5 (not an engine-local hash like xxhash64) so a DuckDB oracle
+    reproduces every value byte-for-byte; Jaccard over 60-bit hashes ==
+    Jaccard over shingle strings (collisions negligible). Gram strings
+    are deduped BEFORE hashing (md5 is the expensive step — measured 2×
+    on prose, whose grams repeat); the outer array_distinct only guards
+    the astronomically-rare 60-bit collision so sizes match the
+    oracle's ``DISTINCT (doc_id, g)`` exactly. One md5 per distinct
+    gram — the 64 MinHash permutations downstream are pure int64
+    arithmetic on this base value, not 64 separate string hashes."""
+    from project_graphdb_spark.operators.text import sliding_grams
 
     grams = F.transform(
-        sliding_structs(tokens(col), k),
-        lambda s: F.xxhash64(*[s[f"t{j}"] for j in range(k)]),
+        F.array_distinct(sliding_grams(tokens(col), k)), md5_int60
     )
     return F.array_distinct(grams)
 
@@ -237,6 +302,68 @@ _EXACT_PAIRS_CTES = f"""toks AS MATERIALIZED (
     )"""
 
 
+def _lsh_pairs_ctes(threshold: float = JACCARD_THRESHOLD) -> str:
+    """Chained-CTE DuckDB twin of :func:`lsh_verified_pairs`, ending in
+    a CTE named ``pairs`` (doc_a, doc_b, jaccard).
+
+    Reproduces the WHOLE pipeline — md5-based 60-bit gram hashes, the
+    64 ``(a·x + b) mod P`` permutation minima, threshold-derived
+    banding, band-collision candidates, exact Jaccard verify — with
+    the identical constants, so the Spark output is hash-checkable.
+    (The 3-way token self-join mirrors ``_EXACT_PAIRS_CTES``; both
+    hardcode SHINGLE_K=3.)
+    """
+    assert SHINGLE_K == 3, "oracle CTE hardcodes 3-token shingles"
+    bands, rows = lsh_params(threshold)
+    sig_cols = ",\n             ".join(
+        f"MIN({_perm_hash_sql('g', i)}) AS h{i}" for i in range(NUM_PERM)
+    )
+    band_arms = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bk "
+        "FROM msig".format(
+            b=b, cols=", ".join(f"h{b * rows + j}" for j in range(rows))
+        )
+        for b in range(bands)
+    )
+    jac = "CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common)"
+    return f"""mtoks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+               AS i
+      FROM documents
+    ), msh AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id,
+             {_md5_int60_sql("a.w || ' ' || b.w || ' ' || c.w")} AS g
+      FROM mtoks a
+      JOIN mtoks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN mtoks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ), msig AS MATERIALIZED (
+      SELECT doc_id,
+             {sig_cols}
+      FROM msh GROUP BY doc_id
+    ), mband AS MATERIALIZED (
+      {band_arms}
+    ), mcand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mband a JOIN mband b
+        ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ), msz AS (
+      SELECT doc_id, COUNT(*) AS sz FROM msh GROUP BY doc_id
+    ), minter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM mcand c
+      JOIN msh x ON x.doc_id = c.doc_a
+      JOIN msh y ON y.doc_id = c.doc_b AND y.g = x.g
+      GROUP BY 1, 2
+    ), pairs AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b, {jac} AS jaccard
+      FROM minter i
+      JOIN msz s1 ON i.doc_a = s1.doc_id
+      JOIN msz s2 ON i.doc_b = s2.doc_id
+      WHERE {jac} >= {threshold}
+    )"""
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -261,14 +388,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, h0..h{num_perm-1}) — min of seeded xxhash64 per shingle.
+    """(doc_id, h0..h{num_perm-1}) — min of permutation i over the
+    hashed ``shingle`` column (md5-derived 60-bit values).
 
     One shuffle (groupBy doc_id); signature width is fixed and narrow.
     Kept for parity tests; the operator path uses the shuffle-free
     :func:`minhash_signature_arrays` (identical values).
     """
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(_perm_hash(F.col("shingle"), i)).alias(f"h{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -278,16 +406,24 @@ def minhash_signature_arrays(
     doc_arrs: DataFrame, num_perm: int = NUM_PERM
 ) -> DataFrame:
     """(doc_id, h0..h{num_perm-1}) straight from the per-doc shingle
-    array: ``array_min(transform(sh_arr, s -> xxhash64(s, i)))``.
+    array: ``array_min(transform(sh_arr, s -> (a_i·s + b_i) mod P))``.
 
     Same hash values as :func:`minhash_signatures` but a NARROW map —
     the explode + 64-way groupBy shuffle disappears entirely. Per-doc
-    work is identical (num_perm hashes per shingle); at 100 TB this
-    keeps signature building inside the scan stage.
+    work is num_perm int64 mul/add/mod per shingle (the md5 base hash
+    was already paid in ``hashed_shingle_array``); the ``mod P``
+    reduction is hoisted into ONE pre-pass array so the 64 permutation
+    scans do a single multiply-add-mod each. At 100 TB this keeps
+    signature building inside the scan stage.
     """
+    xm = F.transform(F.col("sh_arr"), lambda s: s % MINHASH_PRIME)
     cols = [
         F.array_min(
-            F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(
+                F.col("__xm"),
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                % MINHASH_PRIME,
+            )
         ).alias(f"h{i}")
         for i in range(num_perm)
     ]
@@ -295,13 +431,25 @@ def minhash_signature_arrays(
     # signature would be all-null and every such doc would collide in
     # every LSH band (O(m²) candidate blowup among short docs). The
     # explode path emits no rows for them, so drop them here too.
-    return doc_arrs.filter(F.size("sh_arr") > 0).select("doc_id", *cols)
+    return (
+        doc_arrs.filter(F.size("sh_arr") > 0)
+        .select("doc_id", xm.alias("__xm"))
+        .select("doc_id", *cols)
+    )
 
 
 def lsh_candidate_pairs(
     sig: DataFrame, bands: int = LSH_BANDS, num_perm: int = NUM_PERM
 ) -> DataFrame:
-    """Band the signature, bucket-join per band, union distinct pairs."""
+    """Band the signature, bucket-join per band, union distinct pairs.
+
+    The bucket stays xxhash64 — it is a join-key COMPACTION, not part
+    of the result semantics: equal band tuples always hash equal, and a
+    64-bit collision between unequal tuples can only add a candidate,
+    which still has to pass the exact-Jaccard verify to be emitted
+    (probability of one such pair surviving anywhere ≈ 2^-64 per
+    band-pair — not a reproducibility concern for the md5-based
+    oracle, which defines candidates by band-tuple equality)."""
     rows_per_band = num_perm // bands
     # one scan of sig: array of per-band bucket hashes, exploded —
     # not a bands-wide union that would rescan the signature frame
@@ -436,10 +584,15 @@ def lsh_verified_pairs(
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures are Spark-specific; rows-only check.
-    # Recall vs the exact operator is asserted in tests/test_llm_data_ops.py.
+    oracle=f"""
+    WITH {_lsh_pairs_ctes(JACCARD_THRESHOLD)}
+    SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
+    """,
     description="MinHash(64)+LSH(16 bands) near-dup: shingle→signature→"
-    "band buckets→candidate join→exact verify (scale path)",
+    "band buckets→candidate join→exact verify (scale path); md5-based "
+    "permutation family makes the full pipeline hash-checkable against "
+    "a chained-CTE DuckDB oracle (recall vs the exact operator is "
+    "additionally asserted in tests/test_llm_data_ops.py)",
     headline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,12 +604,15 @@ STRICT_THRESHOLD = 0.8
 
 @register(
     "dedup_minhash_lsh_strict",
-    oracle=None,  # Spark-specific hashes; recall at j>=0.9 asserted in
-    # tests/test_llm_data_ops.py (8 bands of 8: ~99% collision at 0.9)
+    oracle=f"""
+    WITH {_lsh_pairs_ctes(STRICT_THRESHOLD)}
+    SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
+    """,
     description="MinHash(64)+LSH near-dup at a strict 0.8 Jaccard gate: "
     "lsh_params(0.8) derives 8 bands of 8 rows (steeper s-curve, far "
     "smaller candidate set than the 0.5 default) — the banding knob is "
-    "load-bearing, not fixed",
+    "load-bearing, not fixed; hash-checked against the same chained-CTE "
+    "oracle family at its own banding",
 )
 def dedup_minhash_lsh_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(spark, sf_dir, STRICT_THRESHOLD).orderBy(
@@ -473,17 +629,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — classic 64-bit simhash over distinct tokens.
 
     bit_i(simhash) = 1 iff sum over tokens of ±1 (by bit_i of the token
-    hash) is positive. Entirely JVM bit arithmetic.
+    hash) is positive. Entirely JVM bit arithmetic. The 64 token-hash
+    bits come from md5 (bits 0-59 from hex chars 1-15, bits 60-63 from
+    chars 17-31) so a DuckDB oracle reproduces the signatures exactly —
+    same portability move as the MinHash tier.
     """
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
     tok = repartition_for_cpu(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     )
-    h = F.xxhash64("tok")
+    lo = md5_int60("tok")
+    hi = F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10).cast("bigint")
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                (
+                    F.shiftright(lo, i) if i < 60 else F.shiftright(hi, i - 60)
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
@@ -502,11 +668,66 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 SIMHASH_MAX_HAMMING = 6
 
 
+def _simhash_ctes() -> str:
+    """DuckDB twin of :func:`simhash_signatures`, ending in ``spack``
+    (doc_id, plo, phi) — bits 0-59 packed in ``plo``, 60-63 in ``phi``
+    (split keeps every packed value positive, dodging signed-shift
+    pitfalls). Hamming then = bit_count(xor(plo)) + bit_count(xor(phi)).
+    The oracle joins all pairs (fine at sf0.01); the Spark operator's
+    pigeonhole blocking is exact (6 flips cannot touch all 8 chunks),
+    so both produce the identical pair set."""
+    sums = ",\n             ".join(
+        "SUM(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END)"
+        " AS b{i}".format(
+            src="lo" if i < 60 else "hi",
+            sh=i if i < 60 else i - 60,
+            i=i,
+        )
+        for i in range(64)
+    )
+    plo = " | ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    phi = " | ".join(
+        f"(CASE WHEN b{60 + j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(4)
+    )
+    return f"""stok AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+')))
+               AS tok
+      FROM documents
+    ), shh AS (
+      SELECT doc_id, {_md5_int60_sql("tok")} AS lo,
+             ('0x' || substr(md5(tok), 17, 15))::BIGINT AS hi
+      FROM stok
+    ), ssum AS (
+      SELECT doc_id,
+             {sums}
+      FROM shh GROUP BY doc_id
+    ), spack AS MATERIALIZED (
+      SELECT doc_id, {plo} AS plo, {phi} AS phi FROM ssum
+    )"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # Spark-specific hash; rows-only check + unit tests
+    oracle=f"""
+    WITH {_simhash_ctes()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.plo, b.plo))
+                + bit_count(xor(a.phi, b.phi)) AS INTEGER) AS hamming
+    FROM spack a JOIN spack b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.plo, b.plo)) + bit_count(xor(a.phi, b.phi))
+          <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
     description="SimHash-64 near-dup pairs (hamming<=6) with 8-bit "
-    "pigeonhole chunk blocking",
+    "pigeonhole chunk blocking; md5-derived token-hash bits make the "
+    "signatures engine-portable, so the pair set is hash-checked "
+    "against an all-pairs DuckDB oracle (blocking is exact — 6 flips "
+    "cannot touch all 8 chunks — so the sets coincide)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -552,13 +773,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cluster_ctes(iters: int = 16) -> tuple[str, str]:
-    """(CTE block, final-level name) for min-label propagation over the
-    exact-Jaccard pair graph (same CTE-chain technique as the
-    galg_connected_components oracle). ``iters`` must exceed the
-    diameter of the largest duplicate cluster; near-dup clusters are
-    near-cliques, so 16 is far beyond safe. Shared by the
-    dedup_clusters and dedup_keep_best oracles."""
+def _cluster_ctes(
+    iters: int = 16, pairs_block: str | None = None
+) -> tuple[str, str]:
+    """(CTE block, final-level name) for min-label propagation over a
+    near-dup pair graph (same CTE-chain technique as the
+    galg_connected_components oracle). ``pairs_block`` is any CTE chain
+    ending in ``pairs`` (doc_a, doc_b, …) — exact-Jaccard by default,
+    or :func:`_lsh_pairs_ctes` for the LSH-fed tiers. ``iters`` must
+    exceed the diameter of the largest duplicate cluster; near-dup
+    clusters are near-cliques, so 16 is far beyond safe. Shared by the
+    dedup_clusters[_lsh] and dedup_keep_best[_lsh] oracles."""
+    if pairs_block is None:
+        pairs_block = _EXACT_PAIRS_CTES
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)"]
     for k in range(1, iters + 1):
         ctes.append(
@@ -571,7 +798,7 @@ def _cluster_ctes(iters: int = 16) -> tuple[str, str]:
       ) t GROUP BY t.id
     )"""
         )
-    block = f"""{_EXACT_PAIRS_CTES},
+    block = f"""{pairs_block},
     sym AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
@@ -582,8 +809,10 @@ def _cluster_ctes(iters: int = 16) -> tuple[str, str]:
     return block, f"l{iters}"
 
 
-def _clusters_oracle(iters: int = 16) -> str:
-    block, last = _cluster_ctes(iters)
+def _clusters_oracle(
+    iters: int = 16, pairs_block: str | None = None
+) -> str:
+    block, last = _cluster_ctes(iters, pairs_block)
     return f"""
     WITH {block}
     SELECT id AS doc_id, comp AS cluster_id,
@@ -654,13 +883,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters_lsh",
-    oracle=None,  # Spark-specific hashes in the LSH tier; cluster-pair
-    # agreement >=0.95 vs the exact-fed dedup_clusters is asserted in
-    # tests/test_llm_data_ops.py
+    oracle=_clusters_oracle(pairs_block=_lsh_pairs_ctes()),
     description="duplicate clustering over MinHash+LSH verified pairs: "
     "connected components + canonical keep-list with NO all-pairs join "
-    "anywhere in the plan — the 100 TB composition (dedup_clusters is "
-    "its exact-tier equivalence oracle)",
+    "anywhere in the plan — the 100 TB composition; md5-based LSH "
+    "makes even this tier hash-checkable (min-label-propagation CTEs "
+    "over the LSH pair chain), and cluster-pair agreement vs the "
+    "exact-fed dedup_clusters is additionally asserted in tests",
 )
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-tier clustering: same decision layer as
@@ -676,10 +905,12 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_assignments(lsh_verified_pairs(spark, sf_dir))
 
 
-def _keep_best_oracle(iters: int = 16) -> str:
+def _keep_best_oracle(
+    iters: int = 16, pairs_block: str | None = None
+) -> str:
     from project_graphdb_spark.operators.text import QUALITY_SCORE_SQL
 
-    block, last = _cluster_ctes(iters)
+    block, last = _cluster_ctes(iters, pairs_block)
     return f"""
     WITH {block},
     cl AS (
@@ -739,12 +970,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_keep_best_lsh",
-    oracle=None,  # Spark-specific hashes in the LSH tier; keep-set
-    # agreement vs the exact-fed form is asserted in tests
+    oracle=_keep_best_oracle(pairs_block=_lsh_pairs_ctes()),
     description="quality-aware keep-list over MinHash+LSH verified "
     "pairs: the dedup_keep_best decision layer with NO all-pairs join "
-    "anywhere in the plan — the 100 TB composition (dedup_keep_best "
-    "is its exact-tier equivalence oracle)",
+    "anywhere in the plan — the 100 TB composition; md5-based LSH "
+    "makes the full composition hash-checkable (keep-set agreement vs "
+    "the exact-fed form is additionally asserted in tests)",
 )
 def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -818,7 +1049,7 @@ WINNOW_MIN_SHARED = 3  # shared fingerprints to flag a pair
 # Shared CTE block: per-doc winnowed fingerprint selection. The gram
 # hash is the first 8 hex chars of md5 — identical in Spark and DuckDB,
 # which is what makes the whole winnowing stack EXACTLY oracle-able
-# (unlike the MinHash tier, whose xxhash64 signatures are Spark-local).
+# (the move the MinHash/SimHash tiers later adopted via md5_int60).
 # Window minima compare lexicographically on the hex string: a total
 # order both engines share byte-for-byte.
 _WINNOW_SEL_CTES = f"""wtoks AS MATERIALIZED (
