@@ -171,6 +171,15 @@ def repair_property_typos(cypher: str, errors: list[str], schema: str) -> str:
 
     fixed = cypher
     for err in errors:
+        # multi-label node (n:A:B) … keep :X — strip the chain down to
+        # the label the analysis error says exists in the graph
+        ml = re.search(
+            r"multi-label node \(\w*(:[\w:]+)\).*keep :(\w+)", err
+        )
+        if ml:
+            chain, keep = ml.group(1), ml.group(2)
+            fixed = fixed.replace(chain, f":{keep}")
+            continue
         m = re.search(r"unknown property '(\w+)' on \w+:(\w+)", err)
         if not m:
             continue

@@ -183,6 +183,10 @@ class NodePat:
     label: str | None
     # inline property map: (n:Label {prop: expr, ...}) — equality filters
     props: list[tuple[str, Expr]] = field(default_factory=list)
+    # labels beyond the first in a multi-label pattern (n:A:B) — parsed
+    # so the compiler can raise a targeted, corrector-repairable error
+    # (each node carries exactly one label in this graph model)
+    extra_labels: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -868,6 +868,37 @@ def _bind_patterns(
         return out
 
     for pat in patterns:
+        # multi-label patterns (n:A:B): each node carries exactly one
+        # label in this graph model, so conjunctive labels cannot match
+        # anything — reject with an error precise enough for the
+        # correction loop's deterministic repair (name the label to
+        # keep when the schema determines it)
+        for node in pat.nodes:
+            extras = sorted({l for l in node.extra_labels if l != node.label})
+            if not extras:
+                continue
+            all_labels = [node.label, *extras]
+            known = [l for l in all_labels if l in graph.nodes]
+            chain = ":" + ":".join(all_labels)
+            if len(known) == 1:
+                hint = (
+                    f"keep :{known[0]} (the only one that exists in "
+                    "this graph)"
+                )
+            elif known:
+                hint = "keep exactly one of " + ", ".join(
+                    f":{l}" for l in known
+                )
+            else:
+                hint = "use one existing label"
+            errors.append(
+                f"multi-label node ({node.var or ''}{chain}) is not "
+                "supported: each node has exactly one label in this "
+                f"graph; {hint} and drop the rest"
+            )
+        if errors:
+            raise CypherAnalysisError(errors)
+
         # type-agnostic edge scan: ()-[r]->() with anonymous unlabeled
         # endpoints and no relationship type
         if (

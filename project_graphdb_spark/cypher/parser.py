@@ -424,11 +424,16 @@ class _Parser:
         k, v = self.peek()
         if k == "ident":
             var = self.next()[1]
-        if self.accept(":"):
-            label = self.expect_name()
+        labels: list[str] = []
+        while self.accept(":"):
+            labels.append(self.expect_name())
+        if labels:
+            label = labels[0]
         props = self.parse_prop_map()
         self.expect(")")
-        return NodePat(var=var, label=label, props=props)
+        return NodePat(
+            var=var, label=label, props=props, extra_labels=labels[1:]
+        )
 
     def parse_case(self) -> Expr:
         """Searched or simple CASE (the 'case' keyword is consumed).

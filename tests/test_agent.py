@@ -232,6 +232,44 @@ def test_correction_loop_trace_reversed_arrow_and_typo(graph):
     assert len(state["database_records"]) == 5
 
 
+def test_correction_loop_repairs_multi_label(graph):
+    """A generation with a multi-label node (the (c:Customer:Person)
+    shape LLMs emit) must be rejected with an error naming the label to
+    keep, and the deterministic corrector must strip the chain down to
+    it — live-firing generate -> validate -> correct -> execute."""
+    from project_graphdb_spark.agent.workflow import FaultyPlanner
+
+    state = run_agent_workflow(
+        new_state("top 5 customers by revenue"), graph,
+        FaultyPlanner(
+            "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer:Person) "
+            "RETURN c.c_name AS name, sum(o.o_totalprice) AS total "
+            "ORDER BY total DESC LIMIT 5"
+        ),
+    )
+    steps = state["steps"]
+    assert "correct_cypher" in steps and "execute_cypher" in steps
+    assert ":Person" not in state["cypher_statement"]
+    assert ":Customer" in state["cypher_statement"]
+    assert len(state["database_records"]) == 5
+
+
+def test_multi_label_repair_unit():
+    from project_graphdb_spark.agent.workflow import repair_property_typos
+
+    fixed = repair_property_typos(
+        "MATCH (c:Customer:Person) RETURN count(*) AS n",
+        [
+            "multi-label node (c:Customer:Person) is not supported: "
+            "each node has exactly one label in this graph; keep "
+            ":Customer (the only one that exists in this graph) and "
+            "drop the rest"
+        ],
+        "",
+    )
+    assert fixed == "MATCH (c:Customer) RETURN count(*) AS n"
+
+
 def test_repair_property_typos_unit():
     from project_graphdb_spark.agent.workflow import repair_property_typos
 

@@ -1287,6 +1287,25 @@ def test_call_then_unwind_in_source_order(spark, sf_dir):
     assert got == g.nodes["Region"].count() * g.nodes["Nation"].count()
 
 
+def test_multi_label_rejected_with_repair_hint(spark, sf_dir):
+    """(n:A:B) — each node has exactly one label in this model; the
+    error names the one existing label so the corrector can strip the
+    chain. Duplicate labels (:A:A) dedup silently."""
+    g = tpch_graph(spark, sf_dir)
+    with pytest.raises(CypherAnalysisError, match="keep :Customer"):
+        compile_cypher(
+            g, "MATCH (c:Customer:Person) RETURN count(*) AS n"
+        )
+    with pytest.raises(CypherAnalysisError, match="keep exactly one of"):
+        compile_cypher(
+            g, "MATCH (x:Customer:Supplier) RETURN count(*) AS n"
+        )
+    got = compile_cypher(
+        g, "MATCH (c:Customer:Customer) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert got == g.nodes["Customer"].count()
+
+
 def test_compile_does_not_mutate_ast(spark, sf_dir):
     """Compilation resolves schema facts (untyped edges, imported
     labels, CALL return injection) into a private deep copy — the
