@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.error
 import urllib.request
 from typing import Callable
 
@@ -77,8 +78,22 @@ def _http_transport(
                 "Authorization": f"Bearer {api_key}",
             },
         )
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            body = json.loads(resp.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                body = json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            # surface the endpoint's own error message (OpenAI-style
+            # {"error": {"message": ...}} body) instead of a bare code
+            detail = ""
+            try:
+                err_body = json.loads(e.read().decode("utf-8"))
+                detail = (err_body.get("error") or {}).get("message", "")
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"LLM endpoint returned HTTP {e.code}"
+                + (f": {detail}" if detail else "")
+            ) from e
         return body["choices"][0]["message"]["content"]
 
     return call
