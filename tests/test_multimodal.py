@@ -13,6 +13,7 @@ from project_graphdb_spark.operators.multimodal import (
     decode_image,
     encode_bmp,
     encode_gif,
+    encode_jpeg,
     encode_png,
     multimodal_image_dims,
 )
@@ -230,11 +231,74 @@ def test_resize_image_nearest_neighbor_exact():
     assert (up[::2, ::2, 0] == px[:, :, 0]).all()
 
 
-def test_resize_rejects_non_png_honestly():
+def test_resize_rejects_jpeg_honestly():
+    """JPEG entropy decode needs a codec library — still an honest
+    NotImplementedError; GIF/BMP now decode for real."""
     from project_graphdb_spark.operators.multimodal import resize_image
 
-    with pytest.raises(NotImplementedError, match="gif"):
-        resize_image(encode_gif(4, 4), 2, 2)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        resize_image(encode_jpeg(4, 4), 2, 2)
+
+
+def test_gif_pixel_roundtrip_exact():
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (17, 23), (40, 47)]:
+        px = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+        out = decode_gif_pixels(encode_gif_pixels(px))
+        assert out.shape == (h, w, 1)
+        assert (out == px).all()
+    # LZW-friendly constant + repetitive data (dict growth exercised)
+    px = np.tile(
+        np.arange(256, dtype=np.uint8).reshape(16, 16)[:, :, None], (8, 8, 1)
+    )
+    assert (decode_gif_pixels(encode_gif_pixels(px)) == px).all()
+
+
+def test_bmp_pixel_roundtrip_exact():
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    for c in (1, 3):
+        for h, w in [(1, 1), (3, 5), (10, 13)]:  # 13 exercises padding
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            out = decode_bmp_pixels(encode_bmp_pixels(px))
+            assert out.shape == (h, w, c)
+            assert (out == px).all()
+
+
+def test_resize_parity_across_formats():
+    """The same source pixels resized via PNG, GIF, and BMP payloads
+    must produce the identical resized image."""
+    import numpy as np
+
+    from project_graphdb_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_bmp_pixels,
+        encode_gif_pixels,
+        encode_png_pixels,
+        resize_image,
+    )
+
+    r = np.arange(20).reshape(-1, 1)
+    c = np.arange(30).reshape(1, -1)
+    px = ((7 * r + 13 * c + 5) % 256).astype(np.uint8)[:, :, None]
+    outs = [
+        decode_png_pixels(resize_image(enc(px), 8, 8))
+        for enc in (encode_png_pixels, encode_gif_pixels, encode_bmp_pixels)
+    ]
+    assert (outs[0] == outs[1]).all() and (outs[0] == outs[2]).all()
 
 
 def test_multidepth_png_rejected():

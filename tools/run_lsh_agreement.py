@@ -92,6 +92,23 @@ def main() -> None:
         "sec_clusters_exact": round(t_clusters_exact, 1),
     }
     print(json.dumps(result))
+    # paste-ready SCALE.md row (the measured-agreement table) so the
+    # doc cannot silently stale when lsh_params change: refresh with
+    #   python tools/run_lsh_agreement.py <sf_dir>
+    # and replace the matching row.
+    print(
+        "| SCALE.md row | `{sf}` | {n} | {b}×{r} | {cand:,} "
+        "({frac:.1e} of all-pairs) | {ver:,} | {agr:.3f} |".format(
+            sf=os.path.basename(sf_dir.rstrip("/")),
+            n=n_docs,
+            b=bands,
+            r=rows,
+            cand=n_candidates,
+            frac=n_candidates / all_pairs,
+            ver=n_verified,
+            agr=agreement,
+        )
+    )
     if out_json:
         with open(out_json, "w") as f:
             json.dump(result, f, indent=2)
