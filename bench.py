@@ -6,10 +6,12 @@ Usage: ``python bench.py`` — honors ``SPARK_GRAFT_SF_DIR`` (default
 Each headline query is executed to completion (count action, so results
 are materialized but not collected to the driver) and timed individually
 after one untimed warm-up of the session (JVM + parquet footer reads).
-Every query is timed over ``SPARK_GRAFT_BENCH_PASSES`` (default 3)
+Every query is timed over ``SPARK_GRAFT_BENCH_PASSES`` (default 5)
 passes; the headline number is the per-query MEDIAN (single-run timings
 at sub-second magnitudes are noise — a +30% delta on one pass means
-nothing), with min/max spread reported alongside.
+nothing), with min/max spread reported alongside. Five passes (r6, was
+3) tighten the median so spread-level movement between rounds stops
+reading as regression.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ def main() -> None:
     for fn in heads.values():
         _run_once(fn(spark, sf_dir))
 
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     samples: dict[str, list[float]] = {name: [] for name in heads}
     for _ in range(passes):
         for name, fn in heads.items():

@@ -857,34 +857,15 @@ def bpe_train(
     return merges_df, vocab
 
 
-def _bpe_oracle(
-    n_merges: int = BPE_MERGES, min_freq: int = BPE_MIN_FREQ
-) -> str:
-    """Fixed-round BPE training as one DuckDB statement: the same
-    chained-CTE technique as the connected-components oracle
-    (``dedup.py`` ``l0..l16``), one CTE block per merge round.
+_BPE_US = "\x1f"
 
-    Key trick: a word's symbolization is carried as ONE delimited
-    string — every symbol wrapped in unit separators, so the string is
-    ``US s1 US US s2 US … US sk US`` — and the greedy left-to-right
-    non-overlapping merge fold (``F.aggregate`` on the Spark side) is
-    exactly SQL ``replace()`` of ``US a US US b US`` with
-    ``US ab US``: ``replace`` scans left to right and resumes AFTER
-    each substitution, so ``a a a`` under merge (a,a) becomes
-    ``aa a`` on both engines. The double-separator framing makes a
-    match align to whole symbols only (a suffix of one symbol plus a
-    prefix of the next can never contain ``US a US US b US``).
-    Precondition: no word contains the 0x1f byte (true of
-    whitespace-tokenized text; a production corpus would pre-filter
-    control bytes in the quality gate anyway).
 
-    The ``min_freq`` early-stop is a prefix filter at the end
-    (cumulative min of pair counts ≥ threshold): rounds the Spark loop
-    never ran are computed but not emitted, and since emission stops
-    at the first below-threshold round the extra rounds cannot differ
-    on any emitted row.
-    """
-    us = "\x1f"
+def _bpe_cte_chain(n_merges: int) -> list[str]:
+    """The fixed-round BPE CTE blocks shared by the training and
+    encoding oracles: ``vocab0 .. vocab{n}`` (delimited-string
+    symbolizations) and ``top0 .. top{n-1}`` (the per-round winning
+    pair) — see :func:`_bpe_oracle` for the delimiter trick."""
+    us = _BPE_US
     d = us + us
     ctes = [
         f"""wtoks AS (
@@ -919,6 +900,37 @@ def _bpe_oracle(
       FROM vocab{r} v CROSS JOIN top{r} t
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle(
+    n_merges: int = BPE_MERGES, min_freq: int = BPE_MIN_FREQ
+) -> str:
+    """Fixed-round BPE training as one DuckDB statement: the same
+    chained-CTE technique as the connected-components oracle
+    (``dedup.py`` ``l0..l16``), one CTE block per merge round.
+
+    Key trick: a word's symbolization is carried as ONE delimited
+    string — every symbol wrapped in unit separators, so the string is
+    ``US s1 US US s2 US … US sk US`` — and the greedy left-to-right
+    non-overlapping merge fold (``F.aggregate`` on the Spark side) is
+    exactly SQL ``replace()`` of ``US a US US b US`` with
+    ``US ab US``: ``replace`` scans left to right and resumes AFTER
+    each substitution, so ``a a a`` under merge (a,a) becomes
+    ``aa a`` on both engines. The double-separator framing makes a
+    match align to whole symbols only (a suffix of one symbol plus a
+    prefix of the next can never contain ``US a US US b US``).
+    Precondition: no word contains the 0x1f byte (true of
+    whitespace-tokenized text; a production corpus would pre-filter
+    control bytes in the quality gate anyway).
+
+    The ``min_freq`` early-stop is a prefix filter at the end
+    (cumulative min of pair counts ≥ threshold): rounds the Spark loop
+    never ran are computed but not emitted, and since emission stops
+    at the first below-threshold round the extra rounds cannot differ
+    on any emitted row.
+    """
+    ctes = _bpe_cte_chain(n_merges)
     unions = "\n      UNION ALL ".join(
         f'SELECT {i} AS "rank", a, b, cnt FROM top{i}'
         for i in range(n_merges)
@@ -952,6 +964,75 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges, _ = bpe_train(docs, keep_vocab=False)
     return merges.orderBy("rank")
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Encoding oracle: run the same fixed-round vocab chain, then join
+    every corpus word position against the FINAL segmented vocabulary
+    and aggregate per-doc token counts."""
+    us = _BPE_US
+    d = us + us
+    ctes = ",\n    ".join(_bpe_cte_chain(n_merges))
+    return f"""
+    WITH {ctes},
+    dwords AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ), seg AS (
+      SELECT w.doc_id,
+             len(string_split(trim(v.s, '{us}'), '{d}')) AS n_sym
+      FROM dwords w JOIN vocab{n_merges} v ON w.word = v.word
+      WHERE w.word <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS tokens_per_word
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "doc_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    description=f"BPE tokenizer APPLICATION: encode every document "
+    f"with the {BPE_MERGES} merges learned by corpus_bpe_merges — "
+    "per-doc word count, BPE token count, and tokens/word. Encoding "
+    "is a word-level join against the trained segmented vocabulary "
+    "(each distinct word segmented once, not once per occurrence); "
+    "the join is left size-based — the vocabulary is "
+    "distinct-word-bounded, so AQE broadcasts it at test scale and "
+    "falls back to a shuffle join when a 100 TB corpus's vocabulary "
+    "outgrows broadcast. Oracle = the training CTE chain + the same "
+    "vocab join",
+)
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges.
+
+    Classic-BPE property: segmentation is a function of the WORD, so
+    the corpus-side work is one tokenize + one join with the segmented
+    vocabulary (`bpe_train`'s final state) — the merge fold never runs
+    per occurrence. At 100 TB the corpus side is a narrow explode and
+    the vocabulary side is bounded by distinct words.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _merges, vocab = bpe_train(docs.select("text"))
+    words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    seg = words.join(vocab.select("word", F.size("sym").alias("n_sym")), "word")
+    return (
+        seg.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            (
+                F.sum("n_sym").cast("double") / F.count("*")
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
