@@ -89,6 +89,14 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
         names = only
+    skipped: list[str] = []
+    if "--skip" in sys.argv:  # loud exclusion, e.g. quadratic tiers at sf10
+        idx = sys.argv.index("--skip") + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
+            raise SystemExit("--skip needs a comma-separated query list")
+        skipped = sys.argv[idx].split(",")
+        names = [n for n in names if n not in skipped]
+        print(f"SKIPPED (explicit): {skipped}")
     results: dict[str, dict] = {}
     for name in names:
         fn = workload.REGISTRY[name].fn
@@ -121,6 +129,7 @@ def main() -> None:
         "results": results,
         "blocked_candidate_stats": cand_stats,
         "excluded_quadratic_oracles": EXCLUDED,
+        "skipped_explicit": skipped,
     }
     if out_json:
         with open(out_json, "w") as f:
