@@ -70,6 +70,16 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # broadcast policy (see session.py): conservative static threshold
+    # (scan-size estimates lie for column-pruned fact tables), generous
+    # ADAPTIVE threshold (decides on actual post-shuffle bytes)
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024)
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        str(64 * 1024 * 1024),
+    )
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",

@@ -67,7 +67,21 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # -- quieter local runs -----------------------------------------
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy: the STATIC threshold trusts the parquet
+        # scan-size estimate, which for a column-pruned fact table is
+        # compressed bytes of one column — at sf10 it rated the 15M-row
+        # orders key column broadcastable and the build cost 6.7× the
+        # query (g_revenue_by_brand 2.8→18.8 s, while the same join as
+        # SMJ ran 2× faster). So the static threshold stays conservative
+        # (16 MB, true dims only) and the ADAPTIVE threshold — which
+        # decides on the ACTUAL post-shuffle bytes AQE measured — is the
+        # generous one (64 MB): mid-size dims still get runtime BHJ
+        # conversion, mis-estimated fact columns do not.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
