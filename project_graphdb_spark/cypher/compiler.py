@@ -874,12 +874,26 @@ def _bind_patterns(
         # correction loop's deterministic repair (name the label to
         # keep when the schema determines it)
         for node in pat.nodes:
-            extras = sorted({l for l in node.extra_labels if l != node.label})
+            # source order preserved (dedup only): the corrector's
+            # textual repair replaces the chain as the error prints it,
+            # so the printed chain must match the query text
+            extras = list(
+                dict.fromkeys(
+                    l for l in node.extra_labels if l != node.label
+                )
+            )
             if not extras:
                 continue
-            all_labels = [node.label, *extras]
-            known = [l for l in all_labels if l in graph.nodes]
-            chain = ":" + ":".join(all_labels)
+            known = list(
+                dict.fromkeys(
+                    l
+                    for l in [node.label, *extras]
+                    if l in graph.nodes
+                )
+            )
+            # the chain prints VERBATIM (dups included) so the
+            # corrector's replace finds it in the query text
+            chain = ":" + ":".join([node.label, *node.extra_labels])
             if len(known) == 1:
                 hint = (
                     f"keep :{known[0]} (the only one that exists in "
@@ -1562,6 +1576,27 @@ def _apply_call_subquery(
     agg_flags = [_is_aggregate(i.expr) for i in sub_q.ret.items]
     has_agg = any(agg_flags)
     all_agg = bool(agg_flags) and all(agg_flags)
+    if all_agg:
+        # the zero-match backfill below knows the empty-input value of
+        # BARE aggregates only; a compound expression (count(o) + 1,
+        # sum(x) * 2) would silently stay NULL where per-row openCypher
+        # gives 1 / 0 — reject loudly instead of answering wrong
+        compound = [
+            i.alias or "<unaliased expression>"
+            for i in sub_q.ret.items
+            if not isinstance(i.expr, A.FnCall)
+        ]
+        if compound:
+            raise CypherAnalysisError(
+                [
+                    f"correlated CALL {{}} RETURN item {name!r} wraps an "
+                    "aggregate in an expression; return the bare "
+                    "aggregate and compute the expression outside the "
+                    "CALL (zero-match backfill is defined for bare "
+                    "count/sum/collect/min/max/avg only)"
+                    for name in compound
+                ]
+            )
     windowed = (
         sub_q.order_by
         or sub_q.skip is not None

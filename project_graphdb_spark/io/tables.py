@@ -72,14 +72,30 @@ def ensure_engine_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # broadcast policy (see session.py): conservative static threshold
     # (scan-size estimates lie for column-pruned fact tables), generous
-    # ADAPTIVE threshold (decides on actual post-shuffle bytes)
-    spark.conf.set(
-        "spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024)
+    # ADAPTIVE threshold (decides on actual post-shuffle bytes). Only
+    # applied while the conf is still at Spark's default — a value the
+    # caller set deliberately (e.g. -1 to disable broadcasts when
+    # debugging) is left alone, same contract as shuffle.partitions.
+    from project_graphdb_spark.session import (
+        ADAPTIVE_BROADCAST_THRESHOLD,
+        STATIC_BROADCAST_THRESHOLD,
     )
-    spark.conf.set(
-        "spark.sql.adaptive.autoBroadcastJoinThreshold",
-        str(64 * 1024 * 1024),
-    )
+
+    if spark.conf.get("spark.sql.autoBroadcastJoinThreshold") in (
+        "10485760b",  # Spark's untouched 10 MB default
+        "10MB",
+    ):
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(STATIC_BROADCAST_THRESHOLD),
+        )
+    if spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ) in (None, "-1", "-1b"):  # unset default: fall back to static
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(ADAPTIVE_BROADCAST_THRESHOLD),
+        )
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set(
             "spark.sql.shuffle.partitions",

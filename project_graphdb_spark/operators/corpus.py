@@ -966,15 +966,74 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("rank")
 
 
-def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
-    """Encoding oracle: run the same fixed-round vocab chain, then join
-    every corpus word position against the FINAL segmented vocabulary
-    and aggregate per-doc token counts."""
+def _bpe_encode_oracle(
+    n_merges: int = BPE_MERGES, min_freq: int = BPE_MIN_FREQ
+) -> str:
+    """Encoding oracle: run the vocab chain WITH the trainer's
+    early-stop, then join every corpus word position against the FINAL
+    segmented vocabulary and aggregate per-doc token counts.
+
+    The early-stop is replicated by a freeze: each round's rewrite is a
+    LEFT JOIN against its winning pair filtered to ``cnt >= min_freq``
+    — an empty or below-threshold round leaves the symbolization
+    unchanged (COALESCE back to the previous string), and a frozen
+    vocabulary recomputes the same below-threshold argmax every
+    following round, so it stays frozen — exactly ``bpe_train``'s
+    ``break``. (The fixed-round chain without this guard would keep
+    merging cnt=1 pairs the trainer never learned, or go EMPTY on a
+    zero-pair round via its CROSS JOIN.)"""
     us = _BPE_US
     d = us + us
-    ctes = ",\n    ".join(_bpe_cte_chain(n_merges))
+    # base block only (wtoks/words/vocab0) — the freeze chain below
+    # replaces the fixed-round chain entirely
+    ctes = ",\n    ".join(_bpe_cte_chain(0))
+    freeze = ",\n    ".join(
+        f"""fvocab{r + 1} AS (
+      SELECT v.word, v.n,
+             COALESCE(replace(v.s, '{us}' || t.a || '{d}' || t.b || '{us}',
+                              '{us}' || t.a || t.b || '{us}'), v.s) AS s
+      FROM fvocab{r} v LEFT JOIN (
+        SELECT f.a, f.b FROM ftop{r} f WHERE f.cnt >= {min_freq}
+      ) t ON TRUE
+    ), fsy{r + 1} AS (
+      SELECT word, n,
+             unnest(string_split(trim(s, '{us}'), '{d}')) AS c,
+             generate_subscripts(string_split(trim(s, '{us}'), '{d}'), 1)
+               AS i
+      FROM fvocab{r + 1}
+    ), ftop{r + 1} AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b, SUM(x.n) AS cnt
+      FROM fsy{r + 1} x JOIN fsy{r + 1} y
+        ON x.word = y.word AND y.i = x.i + 1
+      GROUP BY x.c, y.c ORDER BY cnt DESC, a, b LIMIT 1
+    )"""
+        for r in range(n_merges - 1)
+    )
     return f"""
     WITH {ctes},
+    fvocab0 AS (SELECT * FROM vocab0),
+    fsy0 AS (
+      SELECT word, n,
+             unnest(string_split(trim(s, '{us}'), '{d}')) AS c,
+             generate_subscripts(string_split(trim(s, '{us}'), '{d}'), 1)
+               AS i
+      FROM fvocab0
+    ), ftop0 AS MATERIALIZED (
+      SELECT x.c AS a, y.c AS b, SUM(x.n) AS cnt
+      FROM fsy0 x JOIN fsy0 y ON x.word = y.word AND y.i = x.i + 1
+      GROUP BY x.c, y.c ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    {freeze},
+    fvocab{n_merges} AS (
+      SELECT v.word, v.n,
+             COALESCE(replace(v.s,
+                              '{us}' || t.a || '{d}' || t.b || '{us}',
+                              '{us}' || t.a || t.b || '{us}'), v.s) AS s
+      FROM fvocab{n_merges - 1} v LEFT JOIN (
+        SELECT f.a, f.b FROM ftop{n_merges - 1} f
+        WHERE f.cnt >= {min_freq}
+      ) t ON TRUE
+    ),
     dwords AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS word
@@ -982,7 +1041,7 @@ def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
     ), seg AS (
       SELECT w.doc_id,
              len(string_split(trim(v.s, '{us}'), '{d}')) AS n_sym
-      FROM dwords w JOIN vocab{n_merges} v ON w.word = v.word
+      FROM dwords w JOIN fvocab{n_merges} v ON w.word = v.word
       WHERE w.word <> ''
     )
     SELECT doc_id,

@@ -568,15 +568,26 @@ def decode_bmp_pixels(payload: bytes):
     if bpp == 24:
         bgr = px[:, : w * 3].reshape(h, w, 3)
         return bgr[:, :, ::-1].copy()  # BGR -> RGB
-    # 8-bit paletted: BGRA quads after the info header
+    # 8-bit paletted: BGRA quads after the info header. Palette size =
+    # biClrUsed when set (0 means "full" = 256), further bounded by the
+    # bytes actually present before the pixel data — spec-valid BMPs
+    # may carry fewer than 256 entries.
+    (clr_used,) = struct.unpack("<I", payload[46:50])
     pal_off = 14 + hdr_size
-    pal = np.frombuffer(
-        payload, dtype=np.uint8, count=256 * 4, offset=pal_off
-    ).reshape(256, 4)[:, :3][:, ::-1]  # BGR0 -> RGB
+    n_pal = min(clr_used or 256, max(0, (data_off - pal_off) // 4))
+    if n_pal == 0:
+        raise ValueError("8-bit BMP with no color table")
+    pal8 = np.zeros((256, 3), dtype=np.uint8)
+    pal8[:n_pal] = np.frombuffer(
+        payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+    ).reshape(n_pal, 4)[:, :3][:, ::-1]  # BGR0 -> RGB
     idx = px[:, :w]
-    if (pal == np.arange(256, dtype=np.uint8)[:, None]).all():
+    gray_ident = (
+        pal8[:n_pal] == np.arange(n_pal, dtype=np.uint8)[:, None]
+    ).all() and int(idx.max(initial=0)) < n_pal
+    if gray_ident:
         return idx[:, :, None].copy()  # gray-identity palette
-    return pal[idx]
+    return pal8[idx]
 
 
 def encode_bmp_pixels(pixels) -> bytes:

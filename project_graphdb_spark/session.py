@@ -24,6 +24,14 @@ from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "project_graphdb_spark"
 
+# Broadcast policy (shared with io.tables.ensure_engine_conf): the
+# STATIC threshold trusts scan-size estimates, which lie for
+# column-pruned fact tables (SCALE.md finding 10) — keep it
+# conservative; the ADAPTIVE threshold decides on actual post-shuffle
+# bytes and carries the generous value.
+STATIC_BROADCAST_THRESHOLD = 16 * 1024 * 1024
+ADAPTIVE_BROADCAST_THRESHOLD = 64 * 1024 * 1024
+
 
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
@@ -77,10 +85,13 @@ def get_spark(
         # decides on the ACTUAL post-shuffle bytes AQE measured — is the
         # generous one (64 MB): mid-size dims still get runtime BHJ
         # conversion, mis-estimated fact columns do not.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(STATIC_BROADCAST_THRESHOLD),
+        )
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
-            str(64 * 1024 * 1024),
+            str(ADAPTIVE_BROADCAST_THRESHOLD),
         )
     )
     for key, value in (extra_conf or {}).items():

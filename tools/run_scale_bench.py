@@ -95,6 +95,9 @@ def main() -> None:
         if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
             raise SystemExit("--skip needs a comma-separated query list")
         skipped = sys.argv[idx].split(",")
+        unknown = [n for n in skipped if n not in workload.REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries in --skip: {unknown}")
         names = [n for n in names if n not in skipped]
         print(f"SKIPPED (explicit): {skipped}")
     results: dict[str, dict] = {}
