@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.io.tables import load_table
-from project_graphdb_spark.operators.text import (
+from project_graphdb_spark.operators.text_fns import (
     MIX_M,
     mix32,
     mix32_sql,
@@ -59,7 +59,7 @@ CHUNK_STRIDE = 24  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 def _ngram_array(col, n: int):
     """Distinct word n-gram strings of a text column (JVM-side,
     zip-of-slices construction — see ``text.sliding_structs``)."""
-    from project_graphdb_spark.operators.text import sliding_grams
+    from project_graphdb_spark.operators.text_fns import sliding_grams
 
     return F.array_distinct(sliding_grams(tokens(col), n))
 
@@ -212,7 +212,7 @@ def _span_grams(col, n: int):
     """Positional word n-grams of a text column: index i of the result
     array is the 0-based token start of that span (unlike
     ``_ngram_array`` this keeps duplicates and positions)."""
-    from project_graphdb_spark.operators.text import sliding_grams
+    from project_graphdb_spark.operators.text_fns import sliding_grams
 
     return sliding_grams(tokens(col), n)
 
@@ -652,7 +652,7 @@ def _bigram_frames(docs: DataFrame):
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
     docs = repartition_for_cpu(docs, "doc_id")
-    from project_graphdb_spark.operators.text import sliding_structs
+    from project_graphdb_spark.operators.text_fns import sliding_structs
 
     bg = docs.select(
         "doc_id", F.explode(sliding_structs(tokens("text"), 2)).alias("b")
@@ -802,7 +802,7 @@ def bpe_train(
     last vocab frame stays pinned for the life of the session.
     """
     from project_graphdb_spark.graph.algorithms import _ckpt, _unpersist
-    from project_graphdb_spark.operators.text import sliding_structs
+    from project_graphdb_spark.operators.text_fns import sliding_structs
 
     spark = docs.sparkSession
     sc = spark.sparkContext
@@ -1100,7 +1100,7 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_oracle() -> str:
-    from project_graphdb_spark.operators.text import (
+    from project_graphdb_spark.operators.text_fns import (
         QUALITY_GATE_PRED_SQL,
         quality_ctes_from,
     )
@@ -1153,7 +1153,7 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the ones the component operators already own. Each stage is the
     SHARED core of its standalone operator (quality_gate_stats,
     dup_span_scrub, pack_bins) — no duplicated logic."""
-    from project_graphdb_spark.operators.text import quality_gate_stats
+    from project_graphdb_spark.operators.text_fns import quality_gate_stats
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"

@@ -44,7 +44,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from project_graphdb_spark.io.tables import load_table
-from project_graphdb_spark.operators.text import tokens
+from project_graphdb_spark.operators.text_fns import (
+    QUALITY_SCORE_SQL,
+    quality_score,
+    sliding_grams,
+    tokens,
+)
 from project_graphdb_spark.workload import register
 
 SHINGLE_K = 3  # word n-gram size
@@ -145,8 +150,6 @@ def _perm_hash_sql(expr: str, i: int) -> str:
 def shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     """Distinct word k-gram shingles of a text column (JVM-side,
     zip-of-slices construction — see ``text.sliding_structs``)."""
-    from project_graphdb_spark.operators.text import sliding_grams
-
     return F.array_distinct(sliding_grams(tokens(col), k))
 
 
@@ -162,8 +165,6 @@ def hashed_shingle_array(col: str | Column, k: int = SHINGLE_K) -> Column:
     oracle's ``DISTINCT (doc_id, g)`` exactly. One md5 per distinct
     gram — the 64 MinHash permutations downstream are pure int64
     arithmetic on this base value, not 64 separate string hashes."""
-    from project_graphdb_spark.operators.text import sliding_grams
-
     grams = F.transform(
         F.array_distinct(sliding_grams(tokens(col), k)), md5_int60
     )
@@ -929,8 +930,6 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _keep_best_oracle(
     iters: int = 16, pairs_block: str | None = None
 ) -> str:
-    from project_graphdb_spark.operators.text import QUALITY_SCORE_SQL
-
     block, last = _cluster_ctes(iters, pairs_block)
     return f"""
     WITH {block},
@@ -1016,8 +1015,6 @@ def keep_best_decision(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     evaluated exactly once: cluster members get their score from the
     post-join tiny frame, not a second corpus-wide pass.
     """
-    from project_graphdb_spark.operators.text import quality_score
-
     # both joins broadcast the cluster-frame side explicitly: it comes
     # out of the iterative CC pass as a checkpointed frame whose size
     # estimate Catalyst treats as unknown-large, so the planner would
@@ -1117,8 +1114,6 @@ def _winnow_sels(docs: DataFrame) -> DataFrame:
     cost is CPU per row (measured at sf0.1: 3.95 s coalesced vs
     0.78 s at explicit parallelism)."""
     from project_graphdb_spark.spark_util import repartition_for_cpu
-
-    from project_graphdb_spark.operators.text import sliding_grams
 
     docs = repartition_for_cpu(docs, "doc_id")
     grams = F.transform(

@@ -81,23 +81,35 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    # imports are for their @register side effects
+    # Imports are for their @register side effects. ORDER IS LOAD-BEARING:
+    # the driver's correctness gate samples the FIRST 50 registry entries
+    # in insertion order, so the import sequence below rotates per round
+    # to put the least-recently-driver-checked query families inside the
+    # sampled window. Round 7 leads with streaming (its only prior driver
+    # contact was the r1 nanos crash), the never-sampled relational and
+    # similarity families, dedup (its LSH tier changed this round) and
+    # skew — exactly 50 queries. Families with recent green driver rows
+    # (agent, corpus/text doc_*, cypher core, graph_queries) go last.
+    # NOTE: modules must not import each other at module level, or the
+    # importee's registrations jump the queue (dedup's `text` imports are
+    # function-local for this reason).
     from project_graphdb_spark.operators import (  # noqa: F401
-        agent_workload,
-        asof,
-        corpus,
-        cypher_workload,
-        dedup,
-        graph_algo_workload,
-        graph_queries,
+        streaming_workload,  # 6   ev_*                      -> 0-5
+        relational,          # 24  flagship/windows/set-ops  -> 6-29
+        similarity,          # 6   ANN/kNN/embedding         -> 30-35
+        dedup,               # 12  exact/LSH/simhash/winnow  -> 36-47
+        skew,                # 2   salted agg / contention   -> 48-49
+        # ---- 50-query driver window closes here ----
         jsonl_workload,
-        streaming_workload,
+        sqlite_workload,
         multimodal,
         rangejoin,
-        relational,
-        similarity,
-        skew,
-        sqlite_workload,
+        graph_algo_workload,
+        asof,
+        agent_workload,
+        cypher_workload,
+        graph_queries,
+        corpus,
         text,
     )
 
