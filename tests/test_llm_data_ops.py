@@ -139,19 +139,23 @@ def test_stratified_sample_fractions_and_determinism(spark):
 
 
 def test_minhash_signature_paths_agree(spark):
-    """The narrow array formulation is value-identical to the exploded
-    groupBy one (dedup_minhash_lsh rides on the former)."""
+    """All three signature formulations are value-identical: the
+    Arrow/numpy kernel (the operator path dedup_minhash_lsh rides on),
+    the pure-JVM narrow array form, and the exploded groupBy one."""
     from project_graphdb_spark.operators.dedup import (
         _shingle_arrays_persisted,
         minhash_signature_arrays,
+        minhash_signature_arrays_jvm,
         minhash_signatures,
     )
 
     sf = "/root/testdata/sf0.001"
     arrs = _shingle_arrays_persisted(spark, sf)
     sh = arrs.select("doc_id", F.explode("sh_arr").alias("shingle"))
-    narrow = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature_arrays(arrs).collect()}
+    arrow = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature_arrays(arrs).collect()}
+    narrow = {r["doc_id"]: tuple(r)[1:] for r in minhash_signature_arrays_jvm(arrs).collect()}
     grouped = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(sh).collect()}
+    assert arrow == grouped
     assert narrow == grouped
 
 
@@ -400,8 +404,8 @@ def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):
     D.clear_shingle_cache()
     df1 = D._shingle_arrays_persisted(spark, sf_dir)
     n1 = df1.count()
-    key = (id(spark), sf_dir)
-    _, ids = D._SHINGLE_CACHE[key]
+    key = (id(spark), sf_dir, "shingles")
+    _, ids = D._PERSIST_CACHE[key]
     assert ids and ids <= D._live_persistent_ids(spark)
 
     # the foreign sweep (exactly what the bench runners do)
@@ -411,7 +415,7 @@ def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):
     assert not (ids & D._live_persistent_ids(spark))
 
     df2 = D._shingle_arrays_persisted(spark, sf_dir)
-    _, ids2 = D._SHINGLE_CACHE[key]
+    _, ids2 = D._PERSIST_CACHE[key]
     # a fresh, genuinely-live cache entry backs the returned frame
     assert ids2 and ids2 <= D._live_persistent_ids(spark)
     assert df2.count() == n1
