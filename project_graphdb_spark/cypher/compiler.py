@@ -712,16 +712,38 @@ def _bind_patterns(
         tuple[int, str | None, bool, Column, Column, Column]
     ] = []
 
-    def node_frame(var: str, label: str) -> DataFrame:
+    def node_frame(
+        var: str, label: str, extras: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Bind a node pattern's frame. ``extras`` carries the extra
+        labels of a VALID conjunctive multi-label pattern (n:A:B) —
+        validated upfront in the per-pattern loop below: every label
+        exists and shares the primary label's key column. The
+        conjunction compiles to an intersection (inner key-join) of
+        the per-label frames; the bound property set is the union
+        (first-label-wins on name collisions, key joined once)."""
         node_def = graph.schema.node(label)
         frame = graph.nodes[label]
+        cols = list(frame.columns)
+        for l in extras:
+            ef = graph.nodes[l]
+            new_cols = [c for c in ef.columns if c not in cols]
+            frame = frame.join(
+                ef.select(node_def.key, *new_cols), node_def.key, "inner"
+            )
+            cols.extend(new_cols)
         renamed = frame.select(
-            *[F.col(c).alias(f"{var}__{c}") for c in frame.columns]
+            *[F.col(c).alias(f"{var}__{c}") for c in cols]
         )
-        vars[var] = _BoundVar(
-            "node", label, frame.columns, key=node_def.key
-        )
+        vars[var] = _BoundVar("node", label, cols, key=node_def.key)
         return renamed
+
+    def conj_extras(node: A.NodePat) -> tuple[str, ...]:
+        """The validated extra labels of a conjunctive node pattern
+        (empty for plain single-label nodes)."""
+        return tuple(
+            dict.fromkeys(l for l in node.extra_labels if l != node.label)
+        )
 
     def any_node_frame(var: str) -> DataFrame:
         """Label-agnostic scan — MATCH (n) with no label (C2/C3,
@@ -769,7 +791,7 @@ def _bind_patterns(
         if label not in graph.nodes:
             errors.append(f"unknown node label {label!r}")
             raise CypherAnalysisError(errors)
-        nf = node_frame(v, label)
+        nf = node_frame(v, label, conj_extras(p))
         df = nf if df is None else df.crossJoin(nf)
         return v
 
@@ -868,11 +890,16 @@ def _bind_patterns(
         return out
 
     for pat in patterns:
-        # multi-label patterns (n:A:B): each node carries exactly one
-        # label in this graph model, so conjunctive labels cannot match
-        # anything — reject with an error precise enough for the
-        # correction loop's deterministic repair (name the label to
-        # keep when the schema determines it)
+        # multi-label patterns (n:A:B): compiled CONJUNCTIVELY — an
+        # intersection (inner key-join) of the per-label frames with
+        # the union of their properties — when the conjunction is
+        # well-formed in this table-backed graph model: every label
+        # exists and all share the primary label's key column (the
+        # labels are views over the same entity-key domain, e.g. a
+        # base label plus a derived sub-label). Otherwise reject with
+        # an error precise enough for the correction loop's
+        # deterministic repair (name the label to keep when the
+        # schema determines it).
         for node in pat.nodes:
             # source order preserved (dedup only): the corrector's
             # textual repair replaces the chain as the error prints it,
@@ -884,6 +911,16 @@ def _bind_patterns(
             )
             if not extras:
                 continue
+            if (
+                node.label in graph.nodes
+                and all(l in graph.nodes for l in extras)
+                and all(
+                    graph.schema.node(l).key
+                    == graph.schema.node(node.label).key
+                    for l in extras
+                )
+            ):
+                continue  # valid conjunction — node_frame intersects
             known = list(
                 dict.fromkeys(
                     l
@@ -973,7 +1010,7 @@ def _bind_patterns(
             if prev.label not in graph.nodes:
                 errors.append(f"unknown node label {prev.label!r}")
                 raise CypherAnalysisError(errors)
-            nf = node_frame(prev_var, prev.label)
+            nf = node_frame(prev_var, prev.label, conj_extras(prev))
             df = nf if df is None else df.crossJoin(nf)
         for edge_pat, node_pat in zip(pat.edges, pat.nodes[1:]):
             if edge_pat.rel_type is None and not edge_pat.var_length:

@@ -1288,9 +1288,10 @@ def test_call_then_unwind_in_source_order(spark, sf_dir):
 
 
 def test_multi_label_rejected_with_repair_hint(spark, sf_dir):
-    """(n:A:B) — each node has exactly one label in this model; the
-    error names the one existing label so the corrector can strip the
-    chain. Duplicate labels (:A:A) dedup silently."""
+    """(n:A:B) with labels that do NOT form a valid conjunction (the
+    extra label is unknown, or the labels sit on different key
+    columns): the error names the one existing label so the corrector
+    can strip the chain. Duplicate labels (:A:A) dedup silently."""
     g = tpch_graph(spark, sf_dir)
     with pytest.raises(CypherAnalysisError, match="keep :Customer"):
         compile_cypher(
@@ -1304,6 +1305,37 @@ def test_multi_label_rejected_with_repair_hint(spark, sf_dir):
         g, "MATCH (c:Customer:Customer) RETURN count(*) AS n"
     ).collect()[0]["n"]
     assert got == g.nodes["Customer"].count()
+
+
+def test_multi_label_conjunction_compiles(spark, sf_dir):
+    """(c:Customer:ActiveBuyer) over labels sharing a key column
+    compiles to an intersection (inner key-join) with the UNION of the
+    two labels' properties accessible on the bound variable."""
+    from project_graphdb_spark.operators.cypher_workload import (
+        _multilabel_graph,
+    )
+
+    g = _multilabel_graph(spark, sf_dir)
+    # intersection row count == customers that placed >=1 order
+    n = compile_cypher(
+        g, "MATCH (c:Customer:ActiveBuyer) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    n_buyers = g.nodes["ActiveBuyer"].count()
+    assert n == n_buyers
+    assert n <= g.nodes["Customer"].count()
+    # property union: one RETURN touches both labels' properties
+    row = compile_cypher(
+        g,
+        "MATCH (c:Customer:ActiveBuyer) "
+        "RETURN c.c_name AS name, c.n_orders AS n_orders "
+        "ORDER BY name LIMIT 1",
+    ).collect()[0]
+    assert row["name"] is not None and row["n_orders"] >= 1
+    # label order is irrelevant to the match set
+    n2 = compile_cypher(
+        g, "MATCH (c:ActiveBuyer:Customer) RETURN count(*) AS n"
+    ).collect()[0]["n"]
+    assert n2 == n
 
 
 def test_compile_does_not_mutate_ast(spark, sf_dir):
