@@ -437,13 +437,24 @@ def _block_centroids(
 
 
 def _blocked_candidates(
-    spark: SparkSession, sf_dir: str, nprobe: int = BLOCK_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = BLOCK_NPROBE,
+    a_sample_mod: int | None = None,
 ) -> tuple[DataFrame | None, int, int]:
     """(candidate-pair frame, n_vectors, k_centroids) for the blocked
     near-dup path: every vector lands in its top-``nprobe`` of
     ``k ~ sqrt(n)`` trained centroids; candidates are the distinct
     same-centroid (vec_a < vec_b) pairs from an equi-join on centroid
-    id. The frame carries only ids — vectors join back later."""
+    id. The frame carries only ids — vectors join back later.
+
+    ``a_sample_mod`` (telemetry only, never the operator path)
+    restricts the LEFT side of the pair join to the deterministic
+    1/mod hash-sample of vectors — the join cost scales by ~1/mod and
+    each unordered pair survives iff its ``vec_a`` member is sampled,
+    so ``count * mod`` is an unbiased estimate of the full candidate
+    volume (xxhash64 sampling is independent of the id order that
+    defines ``vec_a``)."""
     import math
 
     emb = _emb(spark, sf_dir)
@@ -455,7 +466,12 @@ def _blocked_candidates(
     probes = emb.select(
         "vec_id", F.explode(probe_cids(cents, nprobe)).alias("cid")
     )
-    a = probes.alias("a")
+    a_side = probes
+    if a_sample_mod is not None and a_sample_mod > 1:
+        a_side = probes.filter(
+            F.pmod(F.xxhash64("vec_id"), F.lit(a_sample_mod)) == 0
+        )
+    a = a_side.alias("a")
     b = probes.alias("b")
     cand = (
         a.join(
@@ -473,17 +489,32 @@ def _blocked_candidates(
 
 
 def blocked_candidate_stats(
-    spark: SparkSession, sf_dir: str, nprobe: int = BLOCK_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = BLOCK_NPROBE,
+    sample_mod: int | None = None,
 ) -> dict:
     """Measured vs predicted candidate volume for the blocked near-dup
     path — the observability hook the scale bench records so SCALE.md
     can track whether the P^2 * n^2 / k envelope actually holds as data
     grows (one count job over the id-only candidate frame; never part
-    of the registered query's plan)."""
-    cand, n, k = _blocked_candidates(spark, sf_dir, nprobe)
-    measured = cand.count() if cand is not None else 0
+    of the registered query's plan).
+
+    At small SFs the count is exact. At the big SFs where a second full
+    candidate generation would double a multi-minute job, pass
+    ``sample_mod=m`` to count only the pairs whose ``vec_a`` falls in a
+    deterministic 1/m hash-sample and report ``count * m`` — the join
+    touches ~1/m of the a-side, bounding telemetry cost to a small
+    fraction of the operator run while keeping the estimate unbiased
+    (see :func:`_blocked_candidates`)."""
+    cand, n, k = _blocked_candidates(
+        spark, sf_dir, nprobe, a_sample_mod=sample_mod
+    )
+    raw = cand.count() if cand is not None else 0
+    exact = sample_mod is None or sample_mod <= 1
+    measured = raw if exact else raw * sample_mod
     predicted = nprobe * nprobe * n * n / k if k else 0.0
-    return {
+    out = {
         "n_vectors": n,
         "k_centroids": k,
         "nprobe": nprobe,
@@ -491,6 +522,11 @@ def blocked_candidate_stats(
         "predicted_pairs": round(predicted, 1),
         "all_pairs": n * (n - 1) // 2,
     }
+    if not exact:
+        out["sample_mod"] = sample_mod
+        out["sampled_pairs"] = raw
+        out["estimated"] = True
+    return out
 
 
 @register(

@@ -388,8 +388,29 @@ def test_blocked_candidate_stats(spark, sf_dir):
     s = blocked_candidate_stats(spark, sf_dir)
     assert s["n_vectors"] > 0 and s["k_centroids"] >= 8
     assert 0 < s["candidate_pairs"] <= s["all_pairs"]
+    assert "estimated" not in s  # exact by default
     narrow = blocked_candidate_stats(spark, sf_dir, nprobe=1)
     assert narrow["candidate_pairs"] <= s["candidate_pairs"]
+
+
+def test_blocked_candidate_stats_sampled_estimate(spark, oracle_sf_dir):
+    """The hash-sampled telemetry mode (big-SF path): the 1/m a-side
+    sample produces an unbiased estimate — at sf0.01 (500 vectors,
+    m=4) it must land within 40% of the exact count — and reports its
+    sampling metadata."""
+    from project_graphdb_spark.operators.similarity import (
+        blocked_candidate_stats,
+    )
+
+    exact = blocked_candidate_stats(spark, oracle_sf_dir)
+    est = blocked_candidate_stats(spark, oracle_sf_dir, sample_mod=4)
+    assert est["estimated"] and est["sample_mod"] == 4
+    assert est["candidate_pairs"] == est["sampled_pairs"] * 4
+    ratio = est["candidate_pairs"] / max(exact["candidate_pairs"], 1)
+    assert 0.6 <= ratio <= 1.4, (
+        est["candidate_pairs"],
+        exact["candidate_pairs"],
+    )
 
 
 def test_shingle_cache_self_heals_after_foreign_unpersist(spark, sf_dir):

@@ -119,12 +119,18 @@ def main() -> None:
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
-    # track whether the sub-quadratic envelope holds as data grows
+    # track whether the sub-quadratic envelope holds as data grows.
+    # Past ~100k vectors an exact second candidate generation would
+    # double a multi-minute job, so switch to the 1/16 hash-sampled
+    # estimate (unbiased; cost ~1/16 of the full join).
     from project_graphdb_spark.operators.similarity import (
+        _emb,
         blocked_candidate_stats,
     )
 
-    cand_stats = blocked_candidate_stats(spark, sf_dir)
+    n_emb = _emb(spark, sf_dir).count()
+    cand_mod = 16 if n_emb > 100_000 else None
+    cand_stats = blocked_candidate_stats(spark, sf_dir, sample_mod=cand_mod)
     print("blocked_candidate_stats:", json.dumps(cand_stats))
 
     payload = {
