@@ -25,6 +25,7 @@ unions into one id space (same construction as the oracle SQL).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import Column, DataFrame
@@ -71,8 +72,29 @@ def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
     runs on a shared session cannot capture (and later free) each
     other's checkpoint ids; foreign persists racing the window remain
     the caller's responsibility.
+
+    Cluster mode: when ``GRAPHDB_SPARK_CHECKPOINT_DIR`` is set, the
+    superstep state goes through RELIABLE ``checkpoint`` into that
+    directory (HDFS / object storage on a real cluster) instead of
+    ``localCheckpoint``. That removes the executor/driver block-storage
+    pressure entirely — state lives in files, not the block manager —
+    and survives executor loss, at the price of a write+read round
+    trip per checkpoint. The returned id set is empty in this mode
+    (there are no superseded block-manager blocks to free); checkpoint
+    FILES are reclaimed by Spark's ContextCleaner when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is on, or by
+    the cluster's retention policy on the checkpoint root.
     """
     sc = df.sparkSession.sparkContext
+    ckpt_dir = os.environ.get("GRAPHDB_SPARK_CHECKPOINT_DIR")
+    if ckpt_dir:
+        with CKPT_LOCK:
+            # setCheckpointDir appends a UUID subdir, so test by
+            # prefix; re-setting would scatter state across subdirs
+            cur = sc.getCheckpointDir()
+            if not cur or ckpt_dir.rstrip("/") not in cur:
+                sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True), set()
     with CKPT_LOCK:
         before = persistent_rdd_ids(sc)
         out = df.localCheckpoint(eager=True)

@@ -247,3 +247,39 @@ def test_kcore_peels_low_degree_chain(spark):
         (r.id, r.core_degree) for r in k_core(k=2, edges=cycle).collect()
     }
     assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_reliable_checkpoint_dir_env(spark, tmp_path, monkeypatch):
+    """GRAPHDB_SPARK_CHECKPOINT_DIR switches superstep state from
+    localCheckpoint (block manager) to reliable checkpoint files under
+    the given directory — the cluster-mode path that removes the
+    driver/executor block-storage pressure of long iterative runs.
+    Same results, and checkpoint files actually land in the dir."""
+    import os
+
+    verts = spark.createDataFrame(
+        [(f"v{i:02d}",) for i in range(10)], "id string"
+    )
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(9)],
+        "src string, dst string",
+    )
+    base = {
+        (r.id, r.component)
+        for r in connected_components(vertices=verts, edges=edges).collect()
+    }
+
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("GRAPHDB_SPARK_CHECKPOINT_DIR", ckdir)
+    reliable = {
+        (r.id, r.component)
+        for r in connected_components(vertices=verts, edges=edges).collect()
+    }
+    assert reliable == base
+    # reliable checkpoint files were written under the env dir
+    written = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckdir)
+        for f in fn
+    ]
+    assert written, "no checkpoint files under GRAPHDB_SPARK_CHECKPOINT_DIR"
