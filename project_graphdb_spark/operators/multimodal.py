@@ -822,6 +822,10 @@ def decode_pixels(payload: bytes):
     if payload[:2] == b"BM":
         return decode_bmp_pixels(payload)
     fmt = decode_image(payload)["format"]
+    # JPEG pixel decode is a PERMANENT non-goal (SURVEY.md §7.3): a
+    # stdlib baseline-DCT Huffman decoder adds ~1k LoC of codec work
+    # and zero Spark-side surface. A real cluster swaps Pillow/libjpeg
+    # into this same dispatch.
     raise NotImplementedError(
         f"pixel decode for {fmt} requires a codec library; "
         "PNG/GIF/BMP resize is supported in this environment"
