@@ -90,9 +90,18 @@ def _ensure_loaded() -> None:
     # similarity families, dedup (its LSH tier changed this round) and
     # skew — exactly 50 queries. Families with recent green driver rows
     # (agent, corpus/text doc_*, cypher core, graph_queries) go last.
-    # NOTE: modules must not import each other at module level, or the
-    # importee's registrations jump the queue (dedup's `text` imports are
-    # function-local for this reason).
+    # NOTE: modules must not import registration modules at module
+    # level, or the importee's registrations jump the queue (pure
+    # expression helpers live in operators/text_fns.py for this
+    # reason).
+    # ROUND 8 ROTATION PLAN: after r7's window lands, the only queries
+    # never driver-sampled are ~16: the 10 newer cypher_* (bare
+    # patterns, CALL subqueries, count blocks, list comprehension,
+    # multilabel), galg_shortest_paths, galg_kcore_3,
+    # jsonl_roundtrip_lang_stats, multimodal_image_dims/_image_resize,
+    # sqlite_ingest_customers_per_region. Lead r8 with cypher_workload
+    # (+ graph_queries), jsonl_workload, sqlite_workload, multimodal,
+    # graph_algo_workload to finish the union.
     from project_graphdb_spark.operators import (  # noqa: F401
         streaming_workload,  # 6   ev_*                      -> 0-5
         relational,          # 24  flagship/windows/set-ops  -> 6-29
