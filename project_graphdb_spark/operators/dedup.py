@@ -845,6 +845,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import itertools
 
+    # NOT persisted, unlike the MinHash signature store: this
+    # signature plan is pure JVM, so the chunk-pair bucket SELF-join's
+    # two identical sides qualify for exchange reuse and the
+    # token-explode + md5 + 64-bit-sum aggregation runs once. (The
+    # MinHash frame needed the persist only because its Arrow kernel
+    # disqualifies the sides from reuse. Measured at sf1: persisting
+    # here is net-negative cold — the cache read re-shuffles both
+    # sides where the reused exchange is read in place.)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sig = simhash_signatures(docs)
     chunks = [

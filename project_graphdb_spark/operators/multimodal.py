@@ -909,3 +909,159 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         sample_frames(every_n=2), schema=FRAME_SCHEMA
     ).orderBy("doc_id", "frame_index")
+
+
+# ---------------------------------------------------------------------------
+# Audio: real stdlib WAV (RIFF/PCM16) encode + decode + feature extract
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+WAV_HALF_PERIOD = 4  # square-wave half-period in frames
+
+
+def _wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, amplitude, n_channels) planted from the doc id so an
+    oracle recomputes the expected features arithmetically. n_frames is
+    always a multiple of 2*WAV_HALF_PERIOD, so the square wave holds
+    equally many +A and -A samples and RMS == A exactly (A <= 13250
+    keeps A^2 sums inside float64's exact-integer range)."""
+    n_frames = 400 + (doc_id % 8) * 100
+    amplitude = 1000 + (doc_id % 50) * 250
+    n_channels = 1 + (doc_id % 2)
+    return n_frames, amplitude, n_channels
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 payload via stdlib ``wave``: a
+    square wave of planted amplitude/length/channels (numpy-built
+    frames — no per-sample Python loop)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n_frames, amplitude, n_channels = _wav_params(doc_id)
+    idx = np.arange(n_frames)
+    mono = np.where(
+        (idx // WAV_HALF_PERIOD) % 2 == 0, amplitude, -amplitude
+    ).astype("<i2")
+    frames = np.repeat(mono, n_channels).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL stdlib WAV decode: RIFF header via ``wave``, PCM16 samples
+    via numpy — returns format metadata plus computed signal features
+    (RMS over all interleaved samples, absolute peak). Raises
+    ``ValueError`` on non-WAV payloads (quarantine path, like the
+    image decoder)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            nf = w.getnframes()
+            raw = w.readframes(nf)
+    except wave.Error as e:
+        raise ValueError(f"not a WAV payload: {e}") from e
+    if sw != 2:
+        raise ValueError(f"only PCM16 supported, got sampwidth={sw}")
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    rms = math.sqrt(float(np.mean(data * data))) if data.size else 0.0
+    peak = int(np.max(np.abs(data))) if data.size else 0
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": nf,
+        "duration_s": nf / float(sr),
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_frames bigint, "
+    "duration_s double, rms double, peak bigint"
+)
+
+
+def synthesize_wav_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: doc_id → deterministic WAV payload, built
+    executor-side inside the Arrow batch (driver never sees a byte)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [encode_wav(int(i)) for i in pdf["doc_id"]],
+            }
+        )
+
+
+def extract_audio_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas operator: WAV payload → metadata + signal features
+    via the real stdlib decoder."""
+    for pdf in batches:
+        rows = [decode_wav(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": [r["sample_rate"] for r in rows],
+                "n_channels": [r["n_channels"] for r in rows],
+                "n_frames": [r["n_frames"] for r in rows],
+                "duration_s": [r["duration_s"] for r in rows],
+                "rms": [r["rms"] for r in rows],
+                "peak": [r["peak"] for r in rows],
+            }
+        )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           {WAV_SAMPLE_RATE} AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS n_channels,
+           CAST(400 + (doc_id % 8) * 100 AS BIGINT) AS n_frames,
+           CAST(400 + (doc_id % 8) * 100 AS DOUBLE) / {WAV_SAMPLE_RATE}.0
+             AS duration_s,
+           CAST(1000 + (doc_id % 50) * 250 AS DOUBLE) AS rms,
+           CAST(1000 + (doc_id % 50) * 250 AS BIGINT) AS peak
+    FROM documents ORDER BY doc_id
+    """,
+    description="multimodal audio: deterministic RIFF/PCM16 WAV "
+    "payloads built executor-side, then REAL stdlib wave-module decode "
+    "+ numpy signal features (RMS/peak) via chained mapInPandas — the "
+    "planted square wave makes RMS exactly the amplitude, so every "
+    "feature is arithmetic-checkable from the id alone",
+)
+def multimodal_audio_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio leg of the multimodal surface (brief: image/audio/video as
+    opaque binary + typed metadata). WAV is the one audio container
+    stdlib decodes for real — no codec stub anywhere in this path; a
+    real cluster swaps soundfile/ffmpeg into the same kernels for
+    compressed codecs."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        synthesize_wav_payloads, schema="doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(
+        extract_audio_features, schema=AUDIO_SCHEMA
+    ).orderBy("doc_id")

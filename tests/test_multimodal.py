@@ -310,3 +310,33 @@ def test_multidepth_png_rejected():
     bad[24] = 16
     with pytest.raises(ValueError, match="unsupported"):
         decode_png_pixels(bytes(bad))
+
+
+def test_wav_roundtrip_planted_params():
+    """encode_wav → decode_wav recovers exactly the planted sample
+    rate / channels / frames, and the square wave makes RMS == peak ==
+    amplitude exactly (float64-exact by construction)."""
+    from project_graphdb_spark.operators.multimodal import (
+        _wav_params,
+        decode_wav,
+        encode_wav,
+    )
+
+    for doc_id in [0, 1, 7, 49, 50, 123, 4567]:
+        n_frames, amplitude, n_channels = _wav_params(doc_id)
+        meta = decode_wav(encode_wav(doc_id))
+        assert meta["sample_rate"] == 8000
+        assert meta["n_channels"] == n_channels
+        assert meta["n_frames"] == n_frames
+        assert meta["duration_s"] == n_frames / 8000.0
+        assert meta["rms"] == float(amplitude)
+        assert meta["peak"] == amplitude
+
+
+def test_wav_decode_rejects_non_wav():
+    import pytest
+
+    from project_graphdb_spark.operators.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"definitely not RIFF data")
