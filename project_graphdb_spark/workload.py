@@ -109,6 +109,7 @@ def _ensure_loaded() -> None:
         dedup,               # 12  exact/LSH/simhash/winnow  -> 36-47
         skew,                # 2   salted agg / contention   -> 48-49
         # ---- 50-query driver window closes here ----
+        similarity_scale,
         jsonl_workload,
         sqlite_workload,
         multimodal,

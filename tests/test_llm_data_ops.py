@@ -63,6 +63,32 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(set(brute) & set(ivf)) >= 7
 
 
+def test_knn_join_ivf_recall_vs_brute(spark, sf_dir):
+    """The IVF-blocked kNN join must recover most of the exact tier's
+    (qid, neighbor) pairs — same recall contract as ann_ivf_top10 vs
+    ann_cosine_top10 — and never rank by anything but exact cosine
+    (cos_sim values of recovered pairs match the exact tier)."""
+    from project_graphdb_spark.operators.similarity import knn_join_top3
+    from project_graphdb_spark.operators.similarity_scale import (
+        knn_join_top3_ivf,
+    )
+
+    exact = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in knn_join_top3(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in knn_join_top3_ivf(spark, sf_dir).collect()
+    }
+    assert exact
+    hit = set(exact) & set(ivf)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.7, f"knn-join IVF recall {recall:.3f} < 0.7"
+    for k in hit:  # survivors score with the same exact cosine
+        assert ivf[k] == exact[k]
+
+
 def test_ivf_quantizer_deterministic(spark, sf_dir):
     """Re-training from scratch reproduces identical centroids (seeded
     init + 6-dp rounded means), so the ANN output is stable."""
