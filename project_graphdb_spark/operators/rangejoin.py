@@ -108,3 +108,39 @@ def ev_interval_join_campaigns(
         )
         .orderBy("window_id")
     )
+
+
+@register(
+    "ev_click_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+           purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.purchase_ts >= c.click_ts
+      AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTES
+    ORDER BY click_id, purchase_id
+    """,
+    description="click->purchase attribution interval join (60-minute "
+    "horizon) — the batch face of streaming/ops.py's stream-stream "
+    "join (same function body; batch/stream equality asserted in "
+    "tests/test_streaming.py, where both sides are watermarked streams "
+    "and the event-time range condition bounds the join state)",
+)
+def ev_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.streaming.ops import (
+        click_purchase_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    ).orderBy("click_id", "purchase_id")

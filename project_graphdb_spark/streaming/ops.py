@@ -214,3 +214,52 @@ def distinct_user_events(events: DataFrame) -> DataFrame:
     """(user_id, event_type) distinct — batch twin of
     ``dropDuplicatesWithinWatermark`` streaming dedup."""
     return events.select("user_id", "event_type").distinct()
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    with_watermark: bool = False,
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's click(s) in the preceding ``horizon_minutes``.
+
+    The canonical Structured Streaming two-stream shape: both sides
+    watermarked, equi-key on ``user_id`` plus an event-time RANGE
+    condition — which is exactly what lets the engine bound join state
+    (a click older than the horizon past the watermark can never match
+    a future purchase and is evicted; without the time bound the state
+    store grows forever, the #1 operational failure of streaming joins
+    at scale). Batch/stream unification: the same function body runs
+    as a plain interval join on batch frames, and the streaming test
+    asserts the two results are identical.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if with_watermark:
+        c = c.withWatermark("click_ts", "10 minutes")
+        p = p.withWatermark("purchase_ts", "10 minutes")
+    horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + horizon),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -237,3 +237,34 @@ def test_stream_upsert_into_node_store(spark, tmp_path):
     for u, ts in final.items():
         assert ts == want2.get(u, want1.get(u))
     assert set(final) == set(want1) | set(want2)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, staged):
+    """Stream-stream inner join with watermarks + an event-time range
+    condition (the state-bounding shape) produces exactly the batch
+    interval join's rows."""
+    from project_graphdb_spark.streaming.ops import (
+        click_purchase_attribution,
+    )
+
+    path, batch = staged
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    name = _run_to_memory(
+        click_purchase_attribution(
+            s_clicks, s_purch, with_watermark=True
+        ),
+        "t_ssjoin",
+        "append",
+    )
+    got = _rows(spark.table(name), "click_id", "purchase_id")
+    b_clicks = batch.filter(F.col("event_type") == "click")
+    b_purch = batch.filter(F.col("event_type") == "purchase")
+    want = _rows(
+        click_purchase_attribution(b_clicks, b_purch),
+        "click_id",
+        "purchase_id",
+    )
+    assert want, "test data should produce attributed purchases"
+    assert got == want
