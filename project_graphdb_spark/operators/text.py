@@ -500,3 +500,153 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "len_ok", "diversity_ok", "repetition_ok", "keep")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+# A fixed literal query, as a retrieval endpoint would bind it. Terms are
+# mid-frequency in the synthetic corpus so tf/df/doclen all matter.
+BM25_QUERY_TERMS = ("vector", "hash", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def _bm25_term_sql(term: str, i: int) -> str:
+    """Per-term tf + score fragments for the DuckDB oracle (Lucene-style
+    idf: ln(1 + (N - df + 0.5)/(df + 0.5)), guaranteed non-negative)."""
+    return (
+        f"len(list_filter(ws, w -> w = '{term}')) AS tf{i}",
+        f"""ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))
+           * tf{i} * ({BM25_K1} + 1.0)
+           / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))""",
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = []
+    score_terms = []
+    for i, t in enumerate(BM25_QUERY_TERMS):
+        tf_col, score = _bm25_term_sql(t, i)
+        tf_cols.append(tf_col)
+        score_terms.append(f"CASE WHEN tf{i} > 0 THEN {score} ELSE 0.0 END")
+    df_aggs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    # score terms added in FIXED left-to-right order (no SUM aggregate
+    # over terms -> no accumulation-order nondeterminism)
+    score_expr = " + ".join(score_terms)
+    return f"""
+    WITH per AS MATERIALIZED (
+      SELECT doc_id, len(ws) AS dl, {", ".join(tf_cols)}
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_aggs} FROM per
+    ), scored AS (
+      SELECT doc_id, ROUND({score_expr}, 6) AS bm25
+      FROM per, stats
+      WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))} > 0
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+             AS rank
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-10 keyword retrieval for a bound literal query "
+    f"{BM25_QUERY_TERMS} (k1={BM25_K1}, b={BM25_B}, Lucene-style "
+    "non-negative idf; Robertson 1994). Contamination tracing / "
+    "retrieval-quality audits over a training corpus. Scale shape: tf "
+    "per term is a NARROW array_size(filter(...)) per doc — no token "
+    "explode, no shuffle — persisted once per (session, sf_dir) so the "
+    "stats reduce and the scoring pass share one text scan; corpus "
+    "stats (N, avgdl, per-term df) reduce to ONE scalar row broadcast "
+    "back; top-k is TakeOrdered. One scan, one 1-row reduce, zero wide "
+    "shuffles — the bounded-literal-query specialization of an "
+    "inverted index (an ad-hoc many-term query would explode+join "
+    "instead). Term scores are added in fixed left-to-right order, not "
+    "SUM-aggregated, so the double result is accumulation-order "
+    "deterministic",
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    # dedup's session-scoped persisted-frame memo (eviction-self-healing)
+    from project_graphdb_spark.operators.dedup import _persisted_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        ws = tokens("text")
+
+        def tf_col(i: int, t: str):
+            # single-arg lambda: a 2-arg filter lambda would receive
+            # the element INDEX as its second arg, not the closure value
+            return (
+                F.size(F.filter(ws, lambda w: w == F.lit(t)))
+                .cast("bigint")
+                .alias(f"tf{i}")
+            )
+
+        return docs.select(
+            "doc_id",
+            F.size(ws).cast("bigint").alias("dl"),
+            *[tf_col(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+        )
+
+    # persisted so the stats reduce and the scoring pass share ONE text
+    # scan/tokenization — this narrow (doc_id, dl, tf*) frame is the
+    # "index" a retrieval pipeline materializes anyway
+    per = _persisted_memo(spark, sf_dir, "bm25_tf", build)
+    stats = per.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    joined = per.crossJoin(F.broadcast(stats))
+
+    def term_score(i: int):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        s = idf * tf * F.lit(BM25_K1 + 1.0) / denom
+        return F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    score = term_score(0)
+    for i in range(1, len(BM25_QUERY_TERMS)):
+        score = score + term_score(i)
+
+    any_hit = F.col("tf0")
+    for i in range(1, len(BM25_QUERY_TERMS)):
+        any_hit = any_hit + F.col(f"tf{i}")
+
+    scored = (
+        joined.where(any_hit > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")),
+    )

@@ -162,3 +162,24 @@ def test_pack_bins_window_is_partitioned(spark, sf_dir):
     # the only SinglePartition allowed is the presentation orderBy's
     # final range exchange, never upstream of the window
     assert "Exchange SinglePartition" not in window_part
+
+
+def test_bm25_scores_from_cached_narrow_frame(spark, sf_dir):
+    """doc_bm25_topk must (a) take the top-k via TakeOrderedAndProject
+    (never a global sort of the scored corpus), and (b) read BOTH the
+    stats reduce and the scoring pass from the persisted narrow tf
+    frame — exactly one parquet text scan in the whole plan."""
+    from project_graphdb_spark.operators.dedup import clear_shingle_cache
+    from project_graphdb_spark.operators.text import doc_bm25_topk
+
+    df = doc_bm25_topk(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    # the one FileScan is inside the InMemoryRelation's cached build
+    # lineage; both live plan branches read the cache (count on the
+    # final plan only — the AQE string repeats the initial plan below)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange SinglePartition") <= 1  # 1-row stats only
+    clear_shingle_cache()
