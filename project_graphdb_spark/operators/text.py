@@ -650,3 +650,84 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3  # keywords surfaced per document
+
+
+@register(
+    "doc_tfidf_terms",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tf AS MATERIALIZED (
+      SELECT doc_id, w AS term, count(*) AS tf
+      FROM toks GROUP BY doc_id, w
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term), nd
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank FROM ranked
+    WHERE rank <= {TFIDF_TOP_K}
+    ORDER BY doc_id, rank
+    """,
+    description=f"TF-IDF keyword extraction: top-{TFIDF_TOP_K} terms per "
+    "document by tf·ln(N/df) with deterministic (score desc, term) "
+    "tie-break. The GENERAL inverted path doc_bm25_topk's bounded-"
+    "literal specialization avoids: explode tokens -> per-doc tf "
+    "(one shuffle) -> vocab-bounded df frame joined back (size-based "
+    "planning broadcasts it while the vocabulary fits; Heaps' law "
+    "keeps it far below corpus rows) -> per-doc rank window "
+    "PARTITIONED BY doc_id (no global sort funnel). Ranking uses the "
+    "ROUNDED score so cross-engine rank order can never hinge on "
+    "sub-round-off double noise",
+)
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("df")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+        ),
+    )
+    return ranked.where(F.col("rank") <= TFIDF_TOP_K).orderBy(
+        "doc_id", "rank"
+    )
