@@ -263,3 +263,36 @@ def click_purchase_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def purchase_revenue_by_segment(
+    purchases: DataFrame,
+    customers: DataFrame,
+    with_watermark: bool = False,
+) -> DataFrame:
+    """Stream-static enrichment + aggregation: join the purchase stream
+    against a STATIC customer dimension (user_id -> market segment),
+    then aggregate revenue per segment.
+
+    The third canonical Structured Streaming join shape (after
+    stream-stream and the windowed self-aggregations): the static side
+    carries no watermark and holds no state — each micro-batch hash-
+    joins against it, and at scale the dimension is broadcast (or
+    bucket-co-located) exactly as in batch. The same body runs on
+    batch frames for the oracle gate. Money sums go through
+    DECIMAL(18,2) so the result hash-matches DuckDB regardless of
+    accumulation order.
+    """
+    p = _maybe_watermark(purchases, with_watermark)
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        p.join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )

@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
         sqlite_workload,
         multimodal,
         rangejoin,
+        streaming_enrich,
         graph_algo_workload,
         asof,
         agent_workload,

@@ -268,3 +268,31 @@ def test_stream_stream_interval_join_matches_batch(spark, staged):
     )
     assert want, "test data should produce attributed purchases"
     assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, staged):
+    """Stream-static enrichment (purchase stream x customer dim) with a
+    complete-mode aggregation produces exactly the batch result."""
+    from project_graphdb_spark.streaming.ops import (
+        purchase_revenue_by_segment,
+    )
+
+    path, batch = staged
+    customers = load_table(spark, SF, "customer")
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    name = _run_to_memory(
+        purchase_revenue_by_segment(
+            stream.filter(F.col("event_type") == "purchase"), customers
+        ),
+        "t_ssdim",
+        "complete",
+    )
+    got = _rows(spark.table(name), "segment")
+    want = _rows(
+        purchase_revenue_by_segment(
+            batch.filter(F.col("event_type") == "purchase"), customers
+        ),
+        "segment",
+    )
+    assert want, "test data should contain purchases"
+    assert got == want
