@@ -578,6 +578,18 @@ def _bm25_oracle() -> str:
     "deterministic",
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(spark, sf_dir, BM25_QUERY_TERMS)
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Parameterized BM25 core (the registered face binds the fixed
+    driver-corpus query; the scale bench binds terms drawn from the
+    synthetic scale corpus's ``wordNNN`` vocabulary)."""
     from pyspark.sql import Window as W
 
     # dedup's session-scoped persisted-frame memo (eviction-self-healing)
@@ -601,19 +613,21 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return docs.select(
             "doc_id",
             F.size(ws).cast("bigint").alias("dl"),
-            *[tf_col(i, t) for i, t in enumerate(BM25_QUERY_TERMS)],
+            *[tf_col(i, t) for i, t in enumerate(terms)],
         )
 
     # persisted so the stats reduce and the scoring pass share ONE text
     # scan/tokenization — this narrow (doc_id, dl, tf*) frame is the
     # "index" a retrieval pipeline materializes anyway
-    per = _persisted_memo(spark, sf_dir, "bm25_tf", build)
+    per = _persisted_memo(
+        spark, sf_dir, "bm25_tf:" + ",".join(terms), build
+    )
     stats = per.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-            for i in range(len(BM25_QUERY_TERMS))
+            for i in range(len(terms))
         ],
     )
     joined = per.crossJoin(F.broadcast(stats))
@@ -633,18 +647,18 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(F.col(f"tf{i}") > 0, s).otherwise(F.lit(0.0))
 
     score = term_score(0)
-    for i in range(1, len(BM25_QUERY_TERMS)):
+    for i in range(1, len(terms)):
         score = score + term_score(i)
 
     any_hit = F.col("tf0")
-    for i in range(1, len(BM25_QUERY_TERMS)):
+    for i in range(1, len(terms)):
         any_hit = any_hit + F.col(f"tf{i}")
 
     scored = (
         joined.where(any_hit > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOP_K)
+        .limit(top_k)
     )
     return scored.withColumn(
         "rank",
@@ -699,14 +713,42 @@ TFIDF_TOP_K = 3  # keywords surfaced per document
 def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
+    from project_graphdb_spark.operators.dedup import _persisted_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        return (
+            docs.select(
+                "doc_id", F.explode(tokens("text")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    # the (doc_id, term, tf) posting frame IS the inverted index a
+    # retrieval pipeline materializes; persisting it (a) computes the
+    # explode+aggregate once instead of twice (the df side and the
+    # probe side otherwise each rebuild it — measured as two identical
+    # (doc_id, term) exchanges at sf10), and (b) makes the df count
+    # below a cheap cache scan.
+    tf = _persisted_memo(spark, sf_dir, "tfidf_tf", build)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    nd = docs.agg(F.count("*").alias("n_docs"))
+    # measured-size join planning: Catalyst's estimate for an aggregate
+    # output is derived from its input size, so a vocab-bounded df
+    # table above a huge posting frame is rated SMJ — which shuffles
+    # the FULL posting frame onto the term key (tiny key domain = the
+    # worst possible partitioning). The vocabulary count is cheap over
+    # the cached frame and O(1) driver state; broadcast only when it is
+    # provably bounded, else leave the shuffle join for the open-vocab
+    # regime (same measured-quantity pattern as the IVF centroid count).
+    if dfreq.count() <= 2_000_000:  # ~64 MB at ~32 B/term row
+        dfreq = F.broadcast(dfreq)
+    nd = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+    )
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(nd))

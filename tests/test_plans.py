@@ -183,3 +183,21 @@ def test_bm25_scores_from_cached_narrow_frame(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange SinglePartition") <= 1  # 1-row stats only
     clear_shingle_cache()
+
+
+def test_tfidf_df_join_broadcasts_bounded_vocab(spark, sf_dir):
+    """The df (vocabulary) side of the tf-idf join must broadcast when
+    the measured vocabulary is bounded — a SortMergeJoin here shuffles
+    the FULL posting frame onto the term key (tiny key domain), the
+    sf10-measured pathology. The posting frame itself must come from
+    the persisted index (no duplicate explode+aggregate subtrees)."""
+    from project_graphdb_spark.operators.dedup import clear_shingle_cache
+    from project_graphdb_spark.operators.text import doc_tfidf_terms
+
+    df = doc_tfidf_terms(spark, sf_dir)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    clear_shingle_cache()
