@@ -94,14 +94,17 @@ def _ensure_loaded() -> None:
     # level, or the importee's registrations jump the queue (pure
     # expression helpers live in operators/text_fns.py for this
     # reason).
-    # ROUND 8 ROTATION PLAN: after r7's window lands, the only queries
-    # never driver-sampled are ~16: the 10 newer cypher_* (bare
+    # ROUND 8 ROTATION PLAN: after r7's window lands, the queries
+    # never driver-sampled are ~20: the 10 newer cypher_* (bare
     # patterns, CALL subqueries, count blocks, list comprehension,
     # multilabel), galg_shortest_paths, galg_kcore_3,
     # jsonl_roundtrip_lang_stats, multimodal_image_dims/_image_resize,
-    # sqlite_ingest_customers_per_region. Lead r8 with cypher_workload
+    # sqlite_ingest_customers_per_region, plus the four r7-session
+    # additions (ev_click_attribution, ev_purchase_revenue_by_segment,
+    # doc_bm25_topk, doc_tfidf_terms). Lead r8 with cypher_workload
     # (+ graph_queries), jsonl_workload, sqlite_workload, multimodal,
-    # graph_algo_workload to finish the union.
+    # rangejoin, streaming_enrich, graph_algo_workload, then text, to
+    # finish the union.
     from project_graphdb_spark.operators import (  # noqa: F401
         streaming_workload,  # 6   ev_*                      -> 0-5
         relational,          # 24  flagship/windows/set-ops  -> 6-29
