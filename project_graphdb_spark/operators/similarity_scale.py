@@ -79,3 +79,97 @@ def knn_join_top3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings
+    ), err AS (
+      SELECT e.vec_id, q.dim, q.scale,
+             CASE WHEN q.scale = 0 THEN list_transform(e.embedding, x -> 0.0)
+             ELSE list_transform(e.embedding,
+                  x -> abs(CAST(x AS DOUBLE)
+                       - greatest(least(floor(CAST(x AS DOUBLE) / q.scale
+                                              + 0.5), 127.0), -127.0)
+                         * q.scale))
+             END AS abs_errs
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+           ROUND(scale, 8) AS scale,
+           ROUND(list_max(abs_errs), 8) AS max_abs_err,
+           ROUND(list_aggregate(list_transform(abs_errs, x -> x * x),
+                                'sum') / dim, 8) AS mse
+    FROM err ORDER BY vec_id
+    """,
+    description="symmetric per-vector int8 absmax quantization with "
+    "reconstruction-error audit: scale = max|x|/127, q_i = "
+    "clamp(floor(x_i/scale + 0.5), ±127), reporting per-vector scale, "
+    "max absolute error and MSE — the 4× compression that makes a "
+    "100 TB embedding store (and its ANN index) feasible, with the "
+    "audit columns a pipeline gates on before swapping the fp32 "
+    "column out. Pure narrow per-row array arithmetic: no shuffle, no "
+    "UDF; floor(x/s + 0.5) instead of round() so both engines share "
+    "one exactly-defined rounding rule, and the only cross-engine "
+    "divergence (sequential in-vector summation) is rounded away at "
+    "8 dp exactly like emb_norm_stats",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.io.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    with_scale = emb.select(
+        "vec_id",
+        "embedding",
+        F.size("embedding").cast("int").alias("dim"),
+        scale,
+    )
+
+    def abs_err(x):
+        q = F.greatest(
+            F.least(
+                F.floor(x.cast("double") / F.col("scale") + F.lit(0.5))
+                .cast("double"),
+                F.lit(127.0),
+            ),
+            F.lit(-127.0),
+        )
+        return F.abs(x.cast("double") - q * F.col("scale"))
+
+    abs_errs = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0.0)),
+    ).otherwise(F.transform(F.col("embedding"), abs_err))
+    errf = with_scale.select(
+        "vec_id", "dim", "scale", abs_errs.alias("abs_errs")
+    )
+    mse = (
+        F.aggregate(
+            F.transform(F.col("abs_errs"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.col("dim")
+    )
+    return (
+        errf.select(
+            "vec_id",
+            "dim",
+            F.round("scale", 8).alias("scale"),
+            F.round(F.array_max("abs_errs"), 8).alias("max_abs_err"),
+            F.round(mse, 8).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -581,3 +581,18 @@ def test_incremental_winnow_flags_cross_parity_dups(spark, oracle_sf_dir):
     for r in rows:
         a, b = sorted((r.doc_id, r.first_base_match))
         assert (a, b) in full
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Symmetric absmax rounding guarantees max|x - q*s| <= s/2 (no
+    clamp can bind: |x| <= absmax = 127*s, and floor(|x|/s + 0.5) <=
+    127 exactly at the boundary)."""
+    from project_graphdb_spark.operators.similarity_scale import (
+        emb_quantize_int8,
+    )
+
+    rows = emb_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-12, r.vec_id
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12, r.vec_id
