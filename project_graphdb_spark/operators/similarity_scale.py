@@ -11,6 +11,8 @@ machinery directly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -205,6 +207,47 @@ def _emb_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_encode_udf(books: list[list[list[float]]], normalize: bool = False):
+    """Arrow-batched kernel: v -> array of M subspace codes; with
+    ``normalize`` the kernel L2-normalizes rows itself, so the full
+    encode pass takes RAW vectors and never pays the interpreted
+    per-element JVM division of ``_emb_unit``.
+
+    One numpy pass per batch computes every subspace's L2 argmin
+    (||s-c||² expanded to the matmul form; ``argmin`` takes the first
+    minimum = smallest-cid tie-break). A literal-argmax expression
+    formulation of the same assignment costs M*ks interpreted
+    higher-order ``dot`` lambdas per row (SCALE.md finding 9) —
+    measured 164 s for one sf1 train+encode vs ~2 s on this kernel."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = [np.asarray(b, dtype=np.float64) for b in books]
+    sub = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        if normalize and len(X):
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            np.maximum(n, 1e-300, out=n)
+            X = X / n
+        out = np.empty((len(X), len(C)), dtype=np.int32)
+        for m, Cm in enumerate(C):
+            S = X[:, m * sub : (m + 1) * sub]
+            d = (
+                (S * S).sum(1, keepdims=True)
+                - 2.0 * (S @ Cm.T)
+                + (Cm * Cm).sum(1)[None, :]
+            )
+            out[:, m] = d.argmin(1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+PQ_TRAIN_SAMPLE = 4096  # vectors used to train the codebooks
+
+
 def _pq_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> list[list[list[float]]]:
@@ -212,75 +255,84 @@ def _pq_codebooks(
 
     Driver state is O(M * ks * subdim) = 8*16*8 doubles — independent
     of corpus size (Jégou et al. 2011, "Product quantization for
-    nearest neighbor search"). Training reuses the deterministic Lloyd
-    trainer with metric="l2" on each subvector slice.
-    """
-    from project_graphdb_spark.operators.similarity import lloyd_centroids
-
-    if sf_dir not in _PQ_CACHE:
-        emb = _emb_unit(spark, sf_dir)
-        dim = len(emb.select("v").first()["v"])
-        sub = dim // PQ_M
-        books = []
-        for m in range(PQ_M):
-            sub_emb = emb.select(
-                "vec_id",
-                F.slice(F.col("v"), m * sub + 1, sub).alias("v"),
+    nearest neighbor search"). Trained on a deterministic
+    ``vec_id < PQ_TRAIN_SAMPLE`` slice (codebook training on a sample
+    is standard PQ practice — the codebooks are a fixed-size model,
+    not a per-vector artifact) with ALL M subspaces assigned per
+    iteration by ONE Arrow kernel pass + one (m, cid, pos) mean
+    aggregation: 2 jobs per iteration total, vs 2*M for per-subspace
+    Lloyd runs. Seeds = the ks lowest-vec_id unit vectors, centroid
+    means rounded to 6 dp (bit-reproducible across partitionings),
+    emptied clusters keep their previous codeword — the same contract
+    as similarity.lloyd_centroids."""
+    if sf_dir in _PQ_CACHE:
+        return _PQ_CACHE[sf_dir]
+    emb = _emb_unit(spark, sf_dir)
+    sample = emb.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE)
+    seeds = [
+        list(r["v"])
+        for r in sample.filter(F.col("vec_id") < PQ_KS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    if not seeds:
+        raise ValueError("pq: no seed vectors (vec_id < ks)")
+    dim = len(seeds[0])
+    sub = dim // PQ_M
+    books = [
+        [s[m * sub : (m + 1) * sub] for s in seeds] for m in range(PQ_M)
+    ]
+    for _ in range(2):
+        cs = _pq_encode_udf(books)(F.col("v")).alias("cs")
+        means = (
+            sample.select(cs, "v")
+            .select("cs", F.posexplode("v").alias("pos", "x"))
+            .select(
+                (F.col("pos") / sub).cast("int").alias("m"),
+                F.element_at(
+                    "cs", ((F.col("pos") / sub).cast("int") + 1)
+                ).alias("cid"),
+                (F.col("pos") % sub).alias("sp"),
+                "x",
             )
-            books.append(
-                lloyd_centroids(
-                    spark, sub_emb, k=PQ_KS, iters=2, metric="l2"
-                )
-            )
-        _PQ_CACHE[sf_dir] = books
-    return _PQ_CACHE[sf_dir]
+            .groupBy("m", "cid", "sp")
+            .agg(F.round(F.avg("x"), 6).alias("mv"))
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            got.setdefault((r["m"], r["cid"]), {})[r["sp"]] = r["mv"]
+        books = [
+            [
+                [got[(m, j)][p] for p in sorted(got[(m, j)])]
+                if (m, j) in got
+                else books[m][j]
+                for j in range(len(books[m]))
+            ]
+            for m in range(PQ_M)
+        ]
+    _PQ_CACHE[sf_dir] = books
+    return books
 
 
 def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, c0..c{M-1}) PQ code frame, persisted per (session,
-    sf_dir) — this 8-codes-per-vector frame IS the stored index: the
+    """(vec_id, cs: array<int>) PQ code frame, persisted per (session,
+    sf_dir) — this M-codes-per-vector frame IS the stored index: the
     ADC scan reads ~M bytes per vector instead of the full fp32
     embedding (32x less I/O at 100 TB), and the full vectors are only
-    touched again for the tiny shortlist rerank."""
+    touched again for the tiny shortlist rerank. Encoding is one
+    Arrow-kernel pass over the corpus."""
     from project_graphdb_spark.operators.dedup import _persisted_memo
-    from project_graphdb_spark.operators.similarity import (
-        _lit_vec,
-        _rank_sim,
-        dot,
-    )
 
     books = _pq_codebooks(spark, sf_dir)
 
-    def _code_for(sv: F.Column, book: list[list[float]]) -> F.Column:
-        # literal L2 argmin over the codebook against subvector sv
-        # (argmin ||sv-c||² = argmax (sv·c − ||c||²/2), smallest-cid
-        # tie-break — same shape as similarity._nearest_cid_l2)
-        sims = F.array(
-            *[
-                F.struct(
-                    _rank_sim(
-                        dot(sv, _lit_vec(cv))
-                        - F.lit(sum(x * x for x in cv) / 2.0)
-                    ).alias("s"),
-                    F.lit(-cid).alias("nc"),
-                )
-                for cid, cv in enumerate(book)
-            ]
-        )
-        return -F.array_max(sims)["nc"]
-
     def build() -> DataFrame:
-        emb = _emb_unit(spark, sf_dir)
-        dim = len(emb.select("v").first()["v"])
-        sub = dim // PQ_M
+        # raw vectors in; the kernel normalizes — the corpus-sized pass
+        # stays entirely Arrow-side (no interpreted JVM lambdas)
+        emb = _emb(spark, sf_dir)
         return emb.select(
             "vec_id",
-            *[
-                _code_for(F.slice(F.col("v"), m * sub + 1, sub), book)
-                .cast("int")
-                .alias(f"c{m}")
-                for m, book in enumerate(books)
-            ],
+            _pq_encode_udf(books, normalize=True)(F.col("v")).alias("cs"),
         )
 
     return _persisted_memo(spark, sf_dir, "pq_codes", build)
@@ -292,7 +344,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ann_cosine_top10 twin asserted in tests/test_llm_data_ops.py
     description="PQ ANN (Jégou 2011): per-subspace L2 Lloyd codebooks "
     f"(M={PQ_M} subspaces x ks={PQ_KS} codewords, O(M*ks*subdim) "
-    "driver state), vectors encoded once into a persisted "
+    f"driver state, trained on a {PQ_TRAIN_SAMPLE}-vector sample with "
+    "ALL subspaces assigned per iteration by one Arrow kernel pass), "
+    "vectors encoded once into a persisted "
     f"{PQ_M}-byte code frame (the compressed index — the ADC scan "
     "reads ~32x fewer bytes than the fp32 column), query-time "
     "asymmetric distance computation as literal per-subspace lookup "
@@ -328,7 +382,8 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = F.lit(0.0)
     for m, table in enumerate(tables):
         approx = approx + F.element_at(
-            F.array(*[F.lit(v) for v in table]), F.col(f"c{m}") + 1
+            F.array(*[F.lit(v) for v in table]),
+            F.element_at("cs", m + 1) + 1,
         )
     shortlist = (
         codes.filter(F.col("vec_id") != 0)
