@@ -99,9 +99,10 @@ def _ensure_loaded() -> None:
     # patterns, CALL subqueries, count blocks, list comprehension,
     # multilabel), galg_shortest_paths, galg_kcore_3,
     # jsonl_roundtrip_lang_stats, multimodal_image_dims/_image_resize,
-    # sqlite_ingest_customers_per_region, plus the four r7-session
+    # sqlite_ingest_customers_per_region, plus the six r7-session
     # additions (ev_click_attribution, ev_purchase_revenue_by_segment,
-    # doc_bm25_topk, doc_tfidf_terms). Lead r8 with cypher_workload
+    # doc_bm25_topk, doc_tfidf_terms, emb_quantize_int8,
+    # ann_pq_top10). Lead r8 with cypher_workload
     # (+ graph_queries), jsonl_workload, sqlite_workload, multimodal,
     # rangejoin, streaming_enrich, graph_algo_workload, then text, to
     # finish the union.
