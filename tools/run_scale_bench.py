@@ -47,6 +47,15 @@ EXTRA_STACK = [
     "doc_bigram_logprob",
     "corpus_bpe_merges",
     "pipeline_clean_pack",
+    "doc_tfidf_terms",
+    "emb_quantize_int8",
+    "ann_pq_top10",
+    "ev_click_attribution",
+    "ev_purchase_revenue_by_segment",
+    # doc_bm25_topk is NOT here: its registered face binds driver-corpus
+    # terms that don't exist in the scale corpus's wordNNN vocabulary
+    # (0 rows). Scale-measure it via the parameterized bm25_topk core
+    # with scale-corpus terms instead (SCALE.md retrieval family).
 ]
 EXCLUDED = [
     "dedup_ngram_jaccard",
