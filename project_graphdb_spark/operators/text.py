@@ -514,9 +514,10 @@ BM25_B = 0.75
 BM25_TOP_K = 10
 
 
-def _bm25_term_sql(term: str, i: int) -> str:
-    """Per-term tf + score fragments for the DuckDB oracle (Lucene-style
-    idf: ln(1 + (N - df + 0.5)/(df + 0.5)), guaranteed non-negative)."""
+def _bm25_term_sql(term: str, i: int) -> tuple[str, str]:
+    """(tf column, score expression) fragments for the DuckDB oracle
+    (Lucene-style idf: ln(1 + (N - df + 0.5)/(df + 0.5)), guaranteed
+    non-negative)."""
     return (
         f"len(list_filter(ws, w -> w = '{term}')) AS tf{i}",
         f"""ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))

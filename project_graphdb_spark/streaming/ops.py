@@ -221,6 +221,7 @@ def click_purchase_attribution(
     purchases: DataFrame,
     horizon_minutes: int = 60,
     with_watermark: bool = False,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: attribute each purchase to the same
     user's click(s) in the preceding ``horizon_minutes``.
@@ -250,11 +251,18 @@ def click_purchase_attribution(
         c = c.withWatermark("click_ts", "10 minutes")
         p = p.withWatermark("purchase_ts", "10 minutes")
     horizon = F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+    # how="left_outer" emits unattributed clicks with null purchase
+    # columns — in streaming mode the engine holds each click until the
+    # watermark proves no in-horizon purchase can still arrive, then
+    # flushes the null-padded row as it EVICTS the state (the outer
+    # result is itself the state-expiry signal; inner joins just drop
+    # the state silently)
     return c.join(
         p,
         (F.col("c_user") == F.col("p_user"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + horizon),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

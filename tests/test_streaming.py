@@ -296,3 +296,71 @@ def test_stream_static_join_matches_batch(spark, staged):
     )
     assert want, "test data should contain purchases"
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_on_watermark(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: an unattributed click is held in
+    state and emitted null-padded only once the watermark proves no
+    in-horizon purchase can still arrive (the outer result IS the
+    state-eviction signal). Driven by two micro-batches: batch 1 has a
+    matched click and an unmatched one; batch 2 is a far-future
+    sentinel on BOTH sides (the join's eviction watermark is the min
+    across inputs) that pushes the watermark past horizon+delay."""
+    import datetime as dt
+
+    from project_graphdb_spark.streaming.ops import (
+        click_purchase_attribution,
+    )
+
+    d = str(tmp_path / "events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, ts, user, etype, value=1.0):
+        return (eid, ts, user, etype, value)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch1 = spark.createDataFrame(
+        [
+            ev(1, t0, 1, "click"),  # matched by purchase 10 min later
+            ev(2, t0 + dt.timedelta(minutes=10), 1, "purchase"),
+            ev(3, t0, 2, "click"),  # never matched
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(d, mode="append")
+    stream = spark.readStream.schema(batch1.schema).parquet(d)
+    joined = click_purchase_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        with_watermark=True,
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_outer")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_outer").collect()
+    }
+    assert (1, 2) in got1  # matched pair emits promptly
+    assert (3, None) not in got1  # unmatched held: watermark not past
+
+    # sentinel 2h later on both sides -> watermark (min across inputs)
+    # passes click_ts + 60min horizon + 10min delay for click 3
+    t2 = t0 + dt.timedelta(hours=2)
+    spark.createDataFrame(
+        [ev(90, t2, 98, "click"), ev(91, t2, 99, "purchase")], schema
+    ).coalesce(1).write.parquet(d, mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_outer").collect()
+    }
+    assert (3, None) in got2, got2  # evicted state flushed null-padded
