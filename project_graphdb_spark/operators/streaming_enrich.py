@@ -29,8 +29,9 @@ from project_graphdb_spark.workload import register
     "against the STATIC customer dimension (user_id -> market segment), "
     "revenue aggregated per segment. The third canonical Structured "
     "Streaming join shape — the static side holds no state and carries "
-    "no watermark; each micro-batch hash-joins against it, broadcast at "
-    "scale exactly as in batch. Same function body runs on batch frames "
+    "no watermark; each micro-batch hash-joins against it, planner-"
+    "broadcast while the pruned dim fits (no forced hint — customer "
+    "grows with SF). Same function body runs on batch frames "
     "(this oracle-gated face) and on readStream (streaming equality "
     "asserted in tests/test_streaming.py); DECIMAL(18,2) money sums "
     "keep the hash engine-independent",

@@ -296,8 +296,12 @@ def purchase_revenue_by_segment(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
+    # no forced broadcast: customer grows linearly with SF (the repo's
+    # no-forced-broadcast-of-SF-scaled-tables policy) — the planner
+    # broadcasts the pruned 2-column dim while it fits and falls back
+    # to a shuffle join past the threshold
     return (
-        p.join(F.broadcast(dim), "user_id")
+        p.join(dim, "user_id")
         .groupBy("segment")
         .agg(
             F.count("*").alias("n_purchases"),
