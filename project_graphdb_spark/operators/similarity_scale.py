@@ -412,3 +412,137 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
     )
     return reranked
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) and the hash-provable quantizer-assignment kernel
+# --------------------------------------------------------------------------
+
+SEMANTIC_DUP_THRESHOLD = 0.4  # same corpus-calibrated tau as the near-dup ops
+
+
+def _semantic_keep(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Greedy min-id keep/drop decision over a near-dup pair frame.
+
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keeps one
+    representative per semantic-duplicate group. The deterministic,
+    order-free form of that rule: DROP a vector iff some vector with a
+    SMALLER id is within ``tau`` cosine — no iteration, no tie-break
+    ambiguity, and (unlike a connected-components pass) expressible as
+    one aggregation + one left join, so the exact tier is
+    DuckDB-hash-provable end to end.
+
+    Scale shape: ``pairs`` is the only data-dependent input — the
+    aggregation runs over near-dup pairs (sparse by construction), the
+    join back to the corpus is key-equi on vec_id. No window, no
+    all-pairs anything in THIS stage; the pair frame's own cost is the
+    caller's tier choice (brute verification tier vs blocked scale
+    tier).
+    """
+    dropped = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.max("cos_sim").alias("max_sim_to_prior")
+    )
+    return (
+        emb.select("vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "max_sim_to_prior",
+            F.col("max_sim_to_prior").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    p AS (
+      SELECT b.vec_id,
+             max(round(list_cosine_similarity(a.v, b.v), 6))
+               AS max_sim_to_prior
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6)
+              >= {SEMANTIC_DUP_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT e.vec_id, p.max_sim_to_prior,
+           p.max_sim_to_prior IS NULL AS keep
+    FROM e LEFT JOIN p USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+    description="semantic dedup, exact tier (SemDeDup, Abbas 2023): "
+    "drop every vector that has a smaller-id neighbor within cosine "
+    "tau — greedy min-id representative per duplicate group, as one "
+    "pair aggregation + left join. Exact all-pairs tier is the "
+    "hash-checked twin of dedup_semantic_blocked (quadratic BY DESIGN, "
+    "verification scale only)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return _semantic_keep(emb, embedding_near_dup_pairs(spark, sf_dir))
+
+
+@register(
+    "dedup_semantic_blocked",
+    oracle=None,  # approximate by construction: candidate pairs come
+    # from the IVF-centroid blocking; dropped-set recall vs the exact
+    # twin is asserted in tests/test_llm_data_ops.py
+    description="semantic dedup, scale tier: the same greedy min-id "
+    "keep rule over IVF-centroid-blocked candidate pairs (every vector "
+    "probes its top-5 of ~sqrt(n) trained centroids; sub-quadratic "
+    "P^2*n^1.5 candidate envelope, measured in SCALE.md) — this IS "
+    "SemDeDup's cluster-then-compare shape, with multi-probe instead "
+    "of hard cluster boundaries so near-dups straddling a boundary are "
+    "not missed. Rows-only by design; dropped-set recall vs "
+    "dedup_semantic pytest-asserted",
+)
+def dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.operators.similarity import (
+        embedding_near_dup_blocked,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return _semantic_keep(emb, embedding_near_dup_blocked(spark, sf_dir))
+
+
+@register(
+    "emb_ivf_assign",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             sign(list_cosine_similarity(e.v, c.cv))
+               * floor(abs(list_cosine_similarity(e.v, c.cv)) * 1e6
+                       + 0.5) AS rnk
+      FROM e, c
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cid
+    FROM (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY rnk DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1 ORDER BY vec_id
+    """,
+    description="hash-provable IVF/k-means assignment kernel: nearest "
+    "seed centroid (the k=8 lowest-vec_id vectors, zero Lloyd rounds) "
+    "per vector via the SAME literal-argmax expression the trained "
+    "IVF/PQ tiers use — one narrow map, no join/window/shuffle on the "
+    "corpus side. With training pinned out, the full kernel (1e-6 "
+    "rank grid, min-cid tie-break) is DuckDB-hash-checked; the "
+    "trained tiers reuse it verbatim and are recall-asserted",
+)
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.operators.similarity import lloyd_centroids
+
+    emb = _emb(spark, sf_dir)
+    seeds = lloyd_centroids(spark, emb, k=8, iters=0)
+    return emb.select("vec_id", _nearest_cid(seeds)).orderBy("vec_id")

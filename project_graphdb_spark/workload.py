@@ -95,17 +95,18 @@ def _ensure_loaded() -> None:
     # expression helpers live in operators/text_fns.py for this
     # reason).
     # ROUND 8 ROTATION PLAN: after r7's window lands, the queries
-    # never driver-sampled are ~20: the 10 newer cypher_* (bare
+    # never driver-sampled are ~23: the 10 newer cypher_* (bare
     # patterns, CALL subqueries, count blocks, list comprehension,
     # multilabel), galg_shortest_paths, galg_kcore_3,
     # jsonl_roundtrip_lang_stats, multimodal_image_dims/_image_resize,
-    # sqlite_ingest_customers_per_region, plus the six r7-session
+    # sqlite_ingest_customers_per_region, plus the nine r7-session
     # additions (ev_click_attribution, ev_purchase_revenue_by_segment,
-    # doc_bm25_topk, doc_tfidf_terms, emb_quantize_int8,
-    # ann_pq_top10). Lead r8 with cypher_workload
-    # (+ graph_queries), jsonl_workload, sqlite_workload, multimodal,
-    # rangejoin, streaming_enrich, graph_algo_workload, then text, to
-    # finish the union.
+    # doc_bm25_topk, doc_tfidf_terms, emb_quantize_int8, ann_pq_top10,
+    # dedup_semantic, dedup_semantic_blocked, emb_ivf_assign). Lead r8
+    # with cypher_workload (+ graph_queries), jsonl_workload,
+    # sqlite_workload, multimodal, rangejoin, streaming_enrich,
+    # similarity_scale, graph_algo_workload, then text, to finish the
+    # union.
     from project_graphdb_spark.operators import (  # noqa: F401
         streaming_workload,  # 6   ev_*                      -> 0-5
         relational,          # 24  flagship/windows/set-ops  -> 6-29
@@ -114,6 +115,7 @@ def _ensure_loaded() -> None:
         skew,                # 2   salted agg / contention   -> 48-49
         # ---- 50-query driver window closes here ----
         similarity_scale,
+        relational_ext,
         jsonl_workload,
         sqlite_workload,
         multimodal,

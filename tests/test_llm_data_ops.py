@@ -612,3 +612,49 @@ def test_pq_recall_vs_brute_force(spark, oracle_sf_dir):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
+
+
+def test_semantic_dedup_blocked_agreement(spark, oracle_sf_dir):
+    """The blocked semantic-dedup tier must agree with the exact twin
+    on >=95% of the dropped set at sf0.01, and must never drop a vector
+    the exact tier keeps (candidates are a subset of all pairs and
+    verification is exact cosine, so false drops are impossible by
+    construction — asserted anyway)."""
+    from project_graphdb_spark.operators.similarity_scale import (
+        dedup_semantic,
+        dedup_semantic_blocked,
+    )
+
+    exact_drop = {
+        r.vec_id
+        for r in dedup_semantic(spark, oracle_sf_dir).collect()
+        if not r.keep
+    }
+    blocked_drop = {
+        r.vec_id
+        for r in dedup_semantic_blocked(spark, oracle_sf_dir).collect()
+        if not r.keep
+    }
+    assert exact_drop, "sf0.01 embeddings should contain semantic dups"
+    assert blocked_drop <= exact_drop  # no false drops
+    recall = len(blocked_drop & exact_drop) / len(exact_drop)
+    assert recall >= 0.95, f"dropped-set recall {recall:.3f} < 0.95"
+
+
+def test_emb_ivf_assign_matches_trained_kernel_shape(spark, sf_dir):
+    """The seeded-assignment query runs the production argmax kernel:
+    every vector gets exactly one cid in [0, 8), seed vectors assign to
+    themselves (cos=1 is the max), and the plan is join-free on the
+    corpus side (literal centroids, narrow map)."""
+    from project_graphdb_spark.operators.similarity_scale import (
+        emb_ivf_assign,
+    )
+
+    df = emb_ivf_assign(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == len({r.vec_id for r in rows})
+    assert all(0 <= r.cid < 8 for r in rows)
+    self_assigned = {r.vec_id: r.cid for r in rows if r.vec_id < 8}
+    assert self_assigned == {i: i for i in range(8)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -52,6 +52,8 @@ EXTRA_STACK = [
     "ann_pq_top10",
     "ev_click_attribution",
     "ev_purchase_revenue_by_segment",
+    "dedup_semantic_blocked",
+    "emb_ivf_assign",
     # doc_bm25_topk is NOT here: its registered face binds driver-corpus
     # terms that don't exist in the scale corpus's wordNNN vocabulary
     # (0 rows). Scale-measure it via the parameterized bm25_topk core
@@ -61,6 +63,7 @@ EXCLUDED = [
     "dedup_ngram_jaccard",
     "embedding_near_dup_pairs",
     "dedup_keep_best",  # exact-pair tier: dedup_keep_best_lsh's oracle
+    "dedup_semantic",  # exact-pair tier: dedup_semantic_blocked's twin
 ]
 
 
