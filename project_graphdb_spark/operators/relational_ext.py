@@ -129,3 +129,130 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+@register(
+    "cheapest_customer_per_nation",
+    oracle="""
+    WITH mn AS (
+      SELECT c_nationkey, MIN(c_acctbal) AS min_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT n.n_name AS nation, c.c_name AS customer,
+           c.c_acctbal AS acctbal
+    FROM customer c
+    JOIN mn ON c.c_nationkey = mn.c_nationkey
+           AND c.c_acctbal = mn.min_bal
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY nation, customer
+    """,
+    description="TPC-H Q2 shape: group-minimum join-back (the "
+    "min-supplycost correlated subquery, re-keyed to the tables this "
+    "corpus has — lowest-balance customer per nation, ties kept). "
+    "Decorrelated into a per-key MIN aggregate equi-joined back to "
+    "the base table: the base shuffles ONCE on the group key and AQE "
+    "broadcasts the tiny aggregate side; the min values join by "
+    "equality on untouched doubles (no arithmetic), so the comparison "
+    "is bit-exact in both engines",
+)
+def cheapest_customer_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    mn = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.min("c_acctbal").alias("min_bal")
+    )
+    return (
+        cust.join(
+            mn,
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .orderBy("nation", "customer")
+    )
+
+
+LATE_DAYS = 90  # ship-lag beyond which a line counts as late
+
+
+@register(
+    "sole_late_supplier_orders",
+    oracle=f"""
+    WITH lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate >
+                        o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      FROM lines GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS supplier, COUNT(*) AS numwait
+    FROM lines li
+    JOIN per_order po ON li.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    WHERE li.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier
+    """,
+    description="TPC-H Q21 shape: suppliers who were the SOLE late "
+    "supplier on multi-supplier finished orders (EXISTS another "
+    "supplier in the order + NOT EXISTS another LATE supplier), with "
+    "lateness = shipped more than 90 days after the order date (this "
+    "corpus has no commit/receipt dates). The semi/anti pair is "
+    "decorrelated into one per-(order, supplier) aggregate and one "
+    "per-order rollup of it — the fact join output shuffles ONCE on "
+    "l_orderkey and both aggregations plus the final probe reuse that "
+    "partitioning; the supplier dim is broadcast. Counts are of "
+    "distinct (order, supplier) waits, giving the rank a "
+    "deterministic total order",
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        lines.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "supplier")
+    )

@@ -95,18 +95,23 @@ def _ensure_loaded() -> None:
     # expression helpers live in operators/text_fns.py for this
     # reason).
     # ROUND 8 ROTATION PLAN: after r7's window lands, the queries
-    # never driver-sampled are ~23: the 10 newer cypher_* (bare
+    # never driver-sampled are ~32: the 10 newer cypher_* (bare
     # patterns, CALL subqueries, count blocks, list comprehension,
     # multilabel), galg_shortest_paths, galg_kcore_3,
     # jsonl_roundtrip_lang_stats, multimodal_image_dims/_image_resize,
-    # sqlite_ingest_customers_per_region, plus the nine r7-session
+    # sqlite_ingest_customers_per_region, plus the r7-session
     # additions (ev_click_attribution, ev_purchase_revenue_by_segment,
     # doc_bm25_topk, doc_tfidf_terms, emb_quantize_int8, ann_pq_top10,
-    # dedup_semantic, dedup_semantic_blocked, emb_ivf_assign). Lead r8
-    # with cypher_workload (+ graph_queries), jsonl_workload,
-    # sqlite_workload, multimodal, rangejoin, streaming_enrich,
-    # similarity_scale, graph_algo_workload, then text, to finish the
-    # union.
+    # dedup_semantic, dedup_semantic_blocked, emb_ivf_assign,
+    # small_quantity_part_revenue, promo_revenue_share,
+    # cheapest_customer_per_nation, sole_late_supplier_orders,
+    # ev_daily_active_users(+_hll), lineitem_quantity_percentiles_
+    # approx, ev_dedup_replayed, doc_train_split_counts,
+    # orc_roundtrip_order_priority). Lead r8 with cypher_workload
+    # (+ graph_queries), relational_ext, sketches, orc_workload,
+    # jsonl_workload, sqlite_workload, multimodal, rangejoin,
+    # streaming_enrich, similarity_scale, graph_algo_workload, then
+    # text, to finish the union.
     from project_graphdb_spark.operators import (  # noqa: F401
         streaming_workload,  # 6   ev_*                      -> 0-5
         relational,          # 24  flagship/windows/set-ops  -> 6-29
@@ -116,6 +121,8 @@ def _ensure_loaded() -> None:
         # ---- 50-query driver window closes here ----
         similarity_scale,
         relational_ext,
+        sketches,
+        orc_workload,
         jsonl_workload,
         sqlite_workload,
         multimodal,
