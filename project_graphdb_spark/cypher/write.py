@@ -69,6 +69,10 @@ class NodeMergeStmt:
     # SET n += {prop: row.col, ...}; empty + set_all_row for SET n += row
     set_props: list[tuple[str, str]] = field(default_factory=list)
     set_all_row: bool = False
+    # ON CREATE SET / ON MATCH SET — conditional prop lists applied only
+    # to inserted / updated rows respectively (None = clause absent)
+    on_create_props: list[tuple[str, str]] | None = None
+    on_match_props: list[tuple[str, str]] | None = None
     count_alias: str | None = None
 
 
@@ -204,25 +208,80 @@ class _WriteParser(_Parser):
             param, row_var, node.label, key,
             _row_col(key_expr, row_var, "merge key"),
         )
+        # ON CREATE SET / ON MATCH SET (each at most once, either
+        # order), then an optional unconditional SET — Neo4j's MERGE
+        # clause shape, which generated Cypher uses freely even though
+        # the reference's own two load templates only emit plain SET
+        while self._at_ident_ci("on"):
+            self.next()
+            which = self.expect_name().lower()
+            if which not in ("create", "match"):
+                raise CypherSyntaxError(
+                    f"expected ON CREATE or ON MATCH, got ON {which!r}"
+                )
+            self.expect("kw", "set")
+            props, all_row = self._parse_set_items(row_var)
+            if all_row:
+                # conditional `+= row` would silently alias the plain
+                # SET; require explicit props so intent is visible
+                raise CypherSyntaxError(
+                    f"ON {which.upper()} SET needs explicit properties "
+                    f"(n.p = row.col or n += {{...}}), not += row"
+                )
+            attr = f"on_{which}_props"
+            if getattr(stmt, attr) is not None:
+                raise CypherSyntaxError(
+                    f"duplicate ON {which.upper()} SET clause"
+                )
+            setattr(stmt, attr, props)
         if self.accept("kw", "set"):
-            self.expect_name()  # the merge variable
-            self.expect("+=")
+            stmt.set_props, stmt.set_all_row = self._parse_set_items(
+                row_var
+            )
+        return stmt
+
+    def _at_ident_ci(self, word: str) -> bool:
+        k, v = self.peek()
+        return k == "ident" and v.lower() == word
+
+    def _parse_set_items(
+        self, row_var: str
+    ) -> tuple[list[tuple[str, str]], bool]:
+        """One SET item list: ``n += row`` | ``n += {p: row.c, ...}`` |
+        ``n.p = row.c [, n.q = row.d]*`` → (props, all_row)."""
+        props: list[tuple[str, str]] = []
+        mvar = self.expect_name()  # the merge variable
+        if self.accept("+="):
             k, v = self.peek()
             if k == "ident" and v == row_var:
                 self.next()
-                stmt.set_all_row = True
-            else:
-                self.expect("{")
-                while True:
-                    prop = self.expect_name()
-                    self.expect(":")
-                    stmt.set_props.append(
-                        (prop, _row_col(self.parse_expr(), row_var, "SET"))
-                    )
-                    if not self.accept(","):
-                        break
-                self.expect("}")
-        return stmt
+                return props, True
+            self.expect("{")
+            while True:
+                prop = self.expect_name()
+                self.expect(":")
+                props.append(
+                    (prop, _row_col(self.parse_expr(), row_var, "SET"))
+                )
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return props, False
+        while True:
+            self.expect(".")
+            prop = self.expect_name()
+            self.expect("=")
+            props.append(
+                (prop, _row_col(self.parse_expr(), row_var, "SET"))
+            )
+            if not self.accept(","):
+                break
+            nxt = self.expect_name()
+            if nxt != mvar:
+                raise CypherSyntaxError(
+                    f"SET list must stay on variable {mvar!r}, got {nxt!r}"
+                )
+        return props, False
 
     def _rel_merge(
         self,
@@ -282,16 +341,60 @@ def cypher_write(
     rows = params[stmt.param]
 
     if isinstance(stmt, NodeMergeStmt):
-        if stmt.set_all_row:
-            updates = rows.withColumnRenamed(stmt.key_src, stmt.key)
-        else:
+
+        def _project(
+            batch: DataFrame, props: list[tuple[str, str]]
+        ) -> DataFrame:
+            """rows-batch -> update frame keyed on the merge key."""
+            if stmt.set_all_row:
+                out = batch.withColumnRenamed(stmt.key_src, stmt.key)
+                for prop, src in props:
+                    if prop != stmt.key:
+                        out = out.withColumn(
+                            prop,
+                            F.col(
+                                stmt.key if src == stmt.key_src else src
+                            ),
+                        )
+                return out
             cols = [F.col(stmt.key_src).alias(stmt.key)] + [
                 F.col(src).alias(prop)
-                for prop, src in stmt.set_props
+                for prop, src in props
                 if prop != stmt.key
             ]
-            updates = rows.select(*cols)
-        merged = merge_upsert(graph.node(stmt.label), updates, stmt.key)
+            return batch.select(*cols)
+
+        existing = graph.node(stmt.label)
+        if stmt.on_create_props is None and stmt.on_match_props is None:
+            merged = merge_upsert(
+                existing, _project(rows, stmt.set_props), stmt.key
+            )
+        else:
+            # conditional MERGE: split the batch on key existence, so
+            # ON MATCH props touch only updated nodes and ON CREATE
+            # props only inserted ones (the plain SET applies to both).
+            # Two keyed passes over the SAME join key — the second
+            # reuses the first's partitioning; matched updates carry
+            # only their named columns, so nothing else is clobbered,
+            # and created keys match nothing, so pass 2 is pure insert.
+            ex_keys = existing.select(F.col(stmt.key).alias("__mk"))
+            on_key = rows[stmt.key_src] == F.col("__mk")
+            matched = rows.join(ex_keys, on_key, "left_semi")
+            created = rows.join(ex_keys, on_key, "left_anti")
+            merged = merge_upsert(
+                existing,
+                _project(
+                    matched, stmt.set_props + (stmt.on_match_props or [])
+                ),
+                stmt.key,
+            )
+            merged = merge_upsert(
+                merged,
+                _project(
+                    created, stmt.set_props + (stmt.on_create_props or [])
+                ),
+                stmt.key,
+            )
         nodes = dict(graph.nodes)
         nodes[stmt.label] = merged
         out = PropertyGraph(graph.schema, nodes, dict(graph.edges))

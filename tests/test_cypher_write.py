@@ -179,3 +179,110 @@ def test_missing_param_rejected(spark):
     g = tpch_graph(spark, SF_DIR)
     with pytest.raises(KeyError, match="rows"):
         cypher_write(g, NODE_TEMPLATE, {})
+
+
+ON_TEMPLATE = """
+UNWIND $rows AS row
+MERGE (n:Customer {c_custkey: row.c_custkey})
+ON CREATE SET n.c_name = row.new_name, n.c_comment = row.tag
+ON MATCH SET n.c_comment = row.tag
+SET n.c_acctbal = row.bal
+RETURN count(n) AS processed
+"""
+
+
+def test_parse_on_create_on_match():
+    stmt = parse_write(ON_TEMPLATE)
+    assert isinstance(stmt, NodeMergeStmt)
+    assert stmt.on_create_props == [
+        ("c_name", "new_name"), ("c_comment", "tag")
+    ]
+    assert stmt.on_match_props == [("c_comment", "tag")]
+    assert stmt.set_props == [("c_acctbal", "bal")]
+    assert stmt.set_all_row is False
+
+
+def test_parse_on_clause_rejects():
+    with pytest.raises(CypherSyntaxError, match="explicit properties"):
+        parse_write(
+            "UNWIND $rows AS row MERGE (n:Customer {c_custkey: "
+            "row.k}) ON CREATE SET n += row RETURN count(n) AS c"
+        )
+    with pytest.raises(CypherSyntaxError, match="duplicate ON MATCH"):
+        parse_write(
+            "UNWIND $rows AS row MERGE (n:Customer {c_custkey: row.k}) "
+            "ON MATCH SET n.c_name = row.a "
+            "ON MATCH SET n.c_name = row.b RETURN count(n) AS c"
+        )
+    with pytest.raises(CypherSyntaxError, match="ON CREATE or ON MATCH"):
+        parse_write(
+            "UNWIND $rows AS row MERGE (n:Customer {c_custkey: row.k}) "
+            "ON DELETE SET n.c_name = row.a RETURN count(n) AS c"
+        )
+    with pytest.raises(CypherSyntaxError, match="must stay on variable"):
+        parse_write(
+            "UNWIND $rows AS row MERGE (n:Customer {c_custkey: row.k}) "
+            "SET n.c_name = row.a, m.c_name = row.b "
+            "RETURN count(n) AS c"
+        )
+
+
+def test_node_merge_on_create_on_match(spark):
+    """ON CREATE props touch only inserted nodes, ON MATCH only updated
+    ones, the plain SET both (Neo4j MERGE semantics)."""
+    g = tpch_graph(spark, SF_DIR)
+    before = g.node("Customer")
+    existing_key = before.select("c_custkey").orderBy("c_custkey").first()[0]
+    old_name = (
+        before.filter(F.col("c_custkey") == existing_key)
+        .select("c_name").first()[0]
+    )
+    rows = spark.createDataFrame(
+        [
+            (existing_key, "SHOULD NOT APPLY", "tag-upd", 11.0),
+            (99_999_902, "FRESH NODE", "tag-new", 22.0),
+        ],
+        "c_custkey bigint, new_name string, tag string, bal double",
+    )
+    g2, ret = cypher_write(g, ON_TEMPLATE, {"rows": rows})
+    assert ret.first()[0] == 2
+    after = g2.node("Customer")
+    got = {
+        r.c_custkey: r
+        for r in after.filter(
+            after.c_custkey.isin(existing_key, 99_999_902)
+        ).collect()
+    }
+    upd, new = got[existing_key], got[99_999_902]
+    # ON MATCH applied, ON CREATE not, plain SET applied; name kept
+    assert upd.c_name == old_name
+    assert upd.c_comment == "tag-upd"
+    assert float(upd.c_acctbal) == 11.0
+    # ON CREATE applied on the insert, plus the plain SET
+    assert new.c_name == "FRESH NODE"
+    assert new.c_comment == "tag-new"
+    assert float(new.c_acctbal) == 22.0
+
+
+def test_node_merge_dotted_set(spark):
+    """SET n.p = row.c spelling (no +=) drives the same upsert."""
+    g = tpch_graph(spark, SF_DIR)
+    key = (
+        g.node("Customer").select("c_custkey")
+        .orderBy("c_custkey").first()[0]
+    )
+    rows = spark.createDataFrame(
+        [(key, "DOTTED")], "c_custkey bigint, nm string"
+    )
+    q = (
+        "UNWIND $rows AS row "
+        "MERGE (n:Customer {c_custkey: row.c_custkey}) "
+        "SET n.c_name = row.nm RETURN count(n) AS processed"
+    )
+    g2, _ = cypher_write(g, q, {"rows": rows})
+    assert (
+        g2.node("Customer")
+        .filter(F.col("c_custkey") == key)
+        .first().c_name
+        == "DOTTED"
+    )
