@@ -437,6 +437,24 @@ class _ExprCompiler:
             return col.cast(_DEC)
         return col
 
+    def _is_integral(self, e: A.Expr) -> bool:
+        """True when the expression is statically known integer-typed
+        (a directly bound integral property or an int literal) —
+        conservative: anything else is treated as non-integral."""
+        if isinstance(e, A.Prop) and isinstance(e.base, str):
+            try:
+                dtype = dict(self.scope.df.dtypes).get(
+                    f"{e.base}__{e.name}"
+                )
+            except Exception:
+                return False
+            return dtype in ("tinyint", "smallint", "int", "bigint")
+        if isinstance(e, A.Lit):
+            return isinstance(e.value, int) and not isinstance(
+                e.value, bool
+            )
+        return False
+
     def _fn(self, e: A.FnCall) -> Column:
         name = e.name
         if name == "length":
@@ -512,7 +530,13 @@ class _ExprCompiler:
         if name == "sum":
             arg = self.compile(e.args[0], decimal_ctx=self.exact)
             out = F.sum_distinct(arg) if e.distinct else F.sum(arg)
-            return out.cast("double") if self.exact else out
+            # exact mode routes double props through decimal then casts
+            # the sum back to double (order-independent money sums) —
+            # but an INTEGRAL argument sums exactly as-is, and Cypher
+            # sum() over integers returns an integer, so keep it long
+            if self.exact and not self._is_integral(e.args[0]):
+                out = out.cast("double")
+            return out
         if name == "avg":
             if self.exact:
                 arg_dec = self.compile(e.args[0], decimal_ctx=True)
@@ -745,6 +769,34 @@ def _bind_patterns(
             dict.fromkeys(l for l in node.extra_labels if l != node.label)
         )
 
+    def conj_attach(v: str, p: A.NodePat) -> None:
+        """Apply a conjunctive pattern's extra labels to an ALREADY
+        BOUND node variable: each extra label intersects (inner
+        key-join) and contributes its new property columns — the
+        bound-var twin of node_frame's conjunction, so e.g.
+        ``MATCH (c:Customer)-->(o) ... MATCH (c:Customer:ActiveBuyer)``
+        filters c to ActiveBuyers instead of silently ignoring the
+        extra label (validated upfront in the per-pattern loop)."""
+        nonlocal df
+        bv = vars[v]
+        extras = [l for l in conj_extras(p) if l != bv.label]
+        if not extras or bv.kind != "node" or bv.label == "*":
+            return
+        key = graph.schema.node(bv.label).key
+        for l in extras:
+            ef = graph.nodes[l]
+            new_cols = [c for c in ef.columns if c not in bv.columns]
+            sel = ef.select(
+                F.col(key).alias(f"__cj__{key}"),
+                *[F.col(c).alias(f"{v}__{c}") for c in new_cols],
+            )
+            df = df.join(
+                sel,
+                F.col(f"{v}__{key}") == F.col(f"__cj__{key}"),
+                "inner",
+            ).drop(f"__cj__{key}")
+            bv.columns.extend(new_cols)
+
     def any_node_frame(var: str) -> DataFrame:
         """Label-agnostic scan — MATCH (n) with no label (C2/C3,
         reference inject_relationship.py:932,945): the union of every
@@ -780,6 +832,8 @@ def _bind_patterns(
         if v in vars:
             if p.label and vars[v].label != p.label:
                 errors.append(f"variable {v!r} rebound to a different label")
+            else:
+                conj_attach(v, p)
             return v
         label = p.label or expected_label
         if label is None:
@@ -1012,6 +1066,10 @@ def _bind_patterns(
                 raise CypherAnalysisError(errors)
             nf = node_frame(prev_var, prev.label, conj_extras(prev))
             df = nf if df is None else df.crossJoin(nf)
+        elif prev.label is None or vars[prev_var].label == prev.label:
+            # re-MATCH of a bound variable: a conjunctive pattern's
+            # extra labels still apply (as intersection filters)
+            conj_attach(prev_var, prev)
         for edge_pat, node_pat in zip(pat.edges, pat.nodes[1:]):
             if edge_pat.rel_type is None and not edge_pat.var_length:
                 # untyped fixed-hop edge — (a)-->(b), (a)--(b), or

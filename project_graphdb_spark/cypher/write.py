@@ -346,6 +346,11 @@ def cypher_write(
             batch: DataFrame, props: list[tuple[str, str]]
         ) -> DataFrame:
             """rows-batch -> update frame keyed on the merge key."""
+            # the same property may appear in both the plain SET list
+            # and an ON CREATE/ON MATCH list — legal in Neo4j, last
+            # assignment wins; dedupe so the select emits one column
+            # per name instead of an ambiguous-reference pair
+            props = list(dict(props).items())
             if stmt.set_all_row:
                 out = batch.withColumnRenamed(stmt.key_src, stmt.key)
                 for prop, src in props:

@@ -379,9 +379,10 @@ def resize_and_measure(
     SELECT doc_id,
            {RESIZE_W} AS width,
            {RESIZE_H} AS height,
-           SUM((7 * ((r * sh) // {RESIZE_H})
+           -- CAST: DuckDB SUM over integers yields HUGEINT; Spark side is BIGINT
+           CAST(SUM((7 * ((r * sh) // {RESIZE_H})
                 + 13 * ((c * sw) // {RESIZE_W})
-                + doc_id) % 256) AS pixel_sum
+                + doc_id) % 256) AS BIGINT) AS pixel_sum
     FROM src CROSS JOIN rows_ CROSS JOIN cols_
     GROUP BY doc_id, sw, sh ORDER BY doc_id
     """,
@@ -921,10 +922,11 @@ WAV_HALF_PERIOD = 4  # square-wave half-period in frames
 
 def _wav_params(doc_id: int) -> tuple[int, int, int]:
     """(n_frames, amplitude, n_channels) planted from the doc id so an
-    oracle recomputes the expected features arithmetically. n_frames is
-    always a multiple of 2*WAV_HALF_PERIOD, so the square wave holds
-    equally many +A and -A samples and RMS == A exactly (A <= 13250
-    keeps A^2 sums inside float64's exact-integer range)."""
+    oracle recomputes the expected features arithmetically. RMS == A
+    exactly because EVERY sample of a +/-A square wave has magnitude A
+    (regardless of the +/- balance — n_frames need not be a multiple
+    of the period; A <= 13250 keeps A^2 sums inside float64's
+    exact-integer range)."""
     n_frames = 400 + (doc_id % 8) * 100
     amplitude = 1000 + (doc_id % 50) * 250
     n_channels = 1 + (doc_id % 2)

@@ -144,3 +144,41 @@ def ev_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type") == "click"),
         events.filter(F.col("event_type") == "purchase"),
     ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "ev_click_attribution_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts,
+           purchase_value
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+      AND p.purchase_ts >= c.click_ts
+      AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTES
+    ORDER BY click_id, purchase_id
+    """,
+    description="left-outer click->purchase attribution: unattributed "
+    "clicks surface with null purchase columns — the accounting query "
+    "real pipelines run on top of the inner face. Streaming twin: in "
+    "streaming/ops.py the outer row is flushed exactly when the "
+    "watermark EVICTS the click's join state (asserted across "
+    "micro-batches in tests/test_streaming.py)",
+)
+def ev_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from project_graphdb_spark.streaming.ops import (
+        click_purchase_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ).orderBy("click_id", "purchase_id")

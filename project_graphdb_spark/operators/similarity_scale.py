@@ -226,6 +226,10 @@ def _pq_encode_udf(books: list[list[list[float]]], normalize: bool = False):
 
     @pandas_udf("array<int>")
     def codes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            # np.asarray([]) is 1-D; the 2-D subspace slice below
+            # would IndexError on an empty Arrow batch
+            return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
         if normalize and len(X):
             n = np.linalg.norm(X, axis=1, keepdims=True)

@@ -66,9 +66,12 @@ def ev_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB windowed SUM yields HUGEINT; driver value-hash is
+             -- type-sensitive, Spark emits BIGINT (r7 verdict root cause)
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
       FROM seq
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

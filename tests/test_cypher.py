@@ -1338,6 +1338,95 @@ def test_multi_label_conjunction_compiles(spark, sf_dir):
     assert n2 == n
 
 
+def test_multi_label_conjunction_on_bound_var(spark, sf_dir):
+    """A conjunctive pattern re-matching an ALREADY BOUND variable
+    must intersect the extra label (and expose its properties), not
+    silently ignore it — both the first-node reuse path and
+    attach_endpoint."""
+    from project_graphdb_spark.graph.property_graph import (
+        EdgeFrame,
+        PropertyGraph,
+    )
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.cypher_workload import (
+        _multilabel_graph,
+    )
+    from project_graphdb_spark.schema.graph_schema import (
+        GraphSchema,
+        NodeDef,
+        RelationshipDef,
+    )
+
+    g = _multilabel_graph(spark, sf_dir)
+    n_buyers = g.nodes["ActiveBuyer"].count()
+
+    # a threshold that provably discriminates (only max-order buyers)
+    thr = g.nodes["ActiveBuyer"].agg(F.max("n_orders")).first()[0]
+    exp5 = g.nodes["ActiveBuyer"].filter(
+        F.col("n_orders") >= thr
+    ).count()
+    assert 0 < exp5 < n_buyers
+
+    # first-node reuse path: the second MATCH narrows c
+    n = compile_cypher(
+        g,
+        "MATCH (c:Customer) MATCH (c:Customer:ActiveBuyer) "
+        "RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n == n_buyers
+    # the extra label's properties are bound by the re-match, and the
+    # intersection filter actually discriminates
+    n5 = compile_cypher(
+        g,
+        "MATCH (c:Customer) MATCH (c:Customer:ActiveBuyer) "
+        f"WHERE c.n_orders >= {thr} RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    assert n5 == exp5
+
+    # attach_endpoint path: c is bound by MATCH 1, then re-used as an
+    # edge endpoint carrying the conjunction in MATCH 2
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    meta = RelationshipDef(
+        "Orders", "Customer", "PLACED_BY", "o_orderkey", "o_custkey",
+        [], "orders",
+    )
+    g2 = PropertyGraph(
+        schema=GraphSchema(
+            nodes=g.schema.nodes
+            + [NodeDef("Orders", key="o_orderkey", properties=[])],
+            relationships=[meta],
+        ),
+        nodes={
+            **g.nodes,
+            "Orders": orders.select("o_orderkey"),
+        },
+        edges={
+            "PLACED_BY": EdgeFrame(
+                meta=meta,
+                df=orders.select(
+                    F.col("o_orderkey").alias("src"),
+                    F.col("o_custkey").alias("dst"),
+                ),
+            )
+        },
+    )
+    got = compile_cypher(
+        g2,
+        "MATCH (c:Customer) "
+        "MATCH (o:Orders)-[:PLACED_BY]->(c:Customer:ActiveBuyer) "
+        f"WHERE c.n_orders >= {thr} RETURN count(*) AS n",
+    ).collect()[0]["n"]
+    exp = (
+        orders.join(
+            g.nodes["ActiveBuyer"].filter(F.col("n_orders") >= thr),
+            orders.o_custkey == F.col("c_custkey"),
+        ).count()
+    )
+    assert got == exp > 0
+
+
 def test_compile_does_not_mutate_ast(spark, sf_dir):
     """Compilation resolves schema facts (untyped edges, imported
     labels, CALL return injection) into a private deep copy — the

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from project_graphdb_spark import workload
-from tests.oracle_util import compare, duckdb_con
+from tests.oracle_util import compare, duckdb_con, lint_oracle_types
 
 workload._ensure_loaded()
 NAMES = sorted(workload.oracle_sql())
@@ -25,6 +25,23 @@ def test_query_matches_oracle(name, spark, oracle_sf_dir, con):
     df = qd.fn(spark, oracle_sf_dir)
     problems = compare(df, con, qd.oracle)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_oracle_output_types_have_spark_twins(oracle_sf_dir):
+    """Bind-time lint (no execution): no oracle may emit HUGEINT/INT128 —
+    the driver's value hash is type-sensitive and Spark has no such type,
+    so a value-identical answer still hash-mismatches (r7's only red row,
+    ``ev_sessionization``). CAST the offending expression AS BIGINT."""
+    con = duckdb_con(oracle_sf_dir)
+    try:
+        bad = {
+            name: hits
+            for name, sql in workload.oracle_sql().items()
+            if (hits := lint_oracle_types(con, sql))
+        }
+    finally:
+        con.close()
+    assert not bad, f"driver-hash-hostile oracle output types: {bad}"
 
 
 def test_all_queries_return_rows(spark, sf_dir):
