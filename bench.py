@@ -28,9 +28,17 @@ from project_graphdb_spark import get_spark
 from project_graphdb_spark import workload
 
 
-def _run_once(df) -> int:
-    """Materialize a DataFrame fully without collecting rows."""
-    return df.count()
+def _run_once(df) -> None:
+    """Materialize a DataFrame fully without collecting rows.
+
+    The noop sink, NOT ``df.count()``: count() wraps the query in a new
+    row-count aggregate, and Catalyst's column pruning then deletes
+    every aggregate expression the count doesn't need — measured r8 on
+    ``ev_daily_active_users``, where count() shuffled 280 records
+    (distinct days only) while the real query shuffles 981k (day,user)
+    pairs / 8 MB. The noop sink computes and serializes EVERY output
+    column and discards it executor-side."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -100,6 +108,18 @@ def main() -> None:
                 # between runs than r6->r7 moved between rounds.
                 "noise_note": "same-code back-to-back totals differ ~15%;"
                 " cross-round per-query deltas under ~30% are not signal",
+                # r8 MEASUREMENT FIX — numbers are NOT comparable to
+                # BENCH_r01..r07: materialization switched from
+                # df.count() to the noop sink. count() wraps the query
+                # in a row-count aggregate and Catalyst PRUNES every
+                # aggregate expression the count doesn't need, so all
+                # prior rounds under-measured aggregate-heavy queries
+                # (pricing_summary computed zero of its 8 aggregates;
+                # ev_daily_active_users shuffled 280 records instead of
+                # the real 981k). The noop sink computes every output
+                # column executor-side. Same-code totals: 5.9-6.8 s
+                # under count(), ~11 s under noop at sf0.1.
+                "materializer": "noop-sink (r8+; prior rounds count())",
             }
         )
     )

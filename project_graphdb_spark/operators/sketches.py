@@ -53,6 +53,8 @@ from project_graphdb_spark.workload import register
     description="exact daily distinct users — the hash-checked twin "
     "the HLL face is error-bounded against. Exact distinct is the "
     "expensive form: every (day, user_id) pair shuffles",
+    headline=True,  # benched beside the HLL face (r8): the twin pair's
+    # wall-time gap is the visible trace of the 12x shuffle win
 )
 def ev_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -77,6 +79,7 @@ HLL_RSD = 0.02  # target relative standard deviation (HLL++ precision)
     "is O(partitions) regardless of user cardinality. Rows-only by "
     "design; error vs ev_daily_active_users asserted in "
     "tests/test_sketches.py",
+    headline=True,
 )
 def ev_daily_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

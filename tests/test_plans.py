@@ -201,3 +201,37 @@ def test_tfidf_df_join_broadcasts_bounded_vocab(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan
     clear_shingle_cache()
+
+
+def _q21_plan_asserts(spark, at_dir):
+    """Q21's single-pass shape: ONE lineitem scan and at most the two
+    intended hash exchanges (the single fact exchange on l_orderkey
+    feeding the (orderkey, suppkey) aggregate AND the per-order window
+    — subset-clustering reuse — plus the final tiny s_name rollup; at
+    SFs where the orders side stops broadcasting, its join exchange is
+    the legitimate third). The r7 two-groupBy + self-join form planned
+    the scan+join+aggregate subtree TWICE (sf1-measured: 5 exchanges,
+    211 MB shuffled, 2 fact scans vs 68 MB / 1 scan here)."""
+    from project_graphdb_spark.spark_util import materialize
+
+    df = workload.REGISTRY["sole_late_supplier_orders"].fn(spark, at_dir)
+    materialize(df)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("lineitem.parquet") == 1, "lineitem scanned twice"
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch <= 3, f"{n_exch} hash exchanges (duplicate subtree?)"
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    _q21_plan_asserts(spark, sf_dir)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/repo/.scale/sf1"),
+    reason="self-generated sf1 scale data absent",
+)
+def test_q21_single_fact_pass_sf1(spark):
+    """The same shape must survive sf1, where the orders build side is
+    near the broadcast threshold (the sf where r7's duplicate-subtree
+    form measurably doubled the fact work)."""
+    _q21_plan_asserts(spark, "/root/repo/.scale/sf1")

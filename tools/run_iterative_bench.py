@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from project_graphdb_spark import get_spark, workload  # noqa: E402
 from project_graphdb_spark.graph import algorithms  # noqa: E402
+from project_graphdb_spark.spark_util import materialize as _materialize  # noqa: E402
 
 ITERATIVE = [
     "galg_degrees",  # non-iterative but same graph build: warm-up + floor
@@ -131,7 +132,7 @@ def main() -> None:
         algorithms.LAST_ITER_SECONDS.clear()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = _materialize(df)
         dt = round(time.perf_counter() - t0, 3)
         iters = {k: v for k, v in algorithms.LAST_ITER_SECONDS.items()}
         results[name] = {"sec": dt, "rows": n, "iter_secs": iters}

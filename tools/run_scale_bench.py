@@ -23,7 +23,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from project_graphdb_spark import get_spark, workload  # noqa: E402
-from project_graphdb_spark.spark_util import free_all_persistent  # noqa: E402
+from project_graphdb_spark.spark_util import (  # noqa: E402
+    free_all_persistent,
+    materialize as _materialize,
+)
 
 EXTRA_STACK = [
     "dedup_exact",
@@ -116,10 +119,10 @@ def main() -> None:
     for name in names:
         fn = workload.REGISTRY[name].fn
         df = fn(spark, sf_dir)
-        df.count()  # warm-up (also trains/caches IVF centroids)
+        _materialize(df)  # warm-up (also trains/caches IVF centroids)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = _materialize(df)
         dt = round(time.perf_counter() - t0, 3)
         results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
         print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")

@@ -27,7 +27,10 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from project_graphdb_spark import get_spark, workload  # noqa: E402
-from project_graphdb_spark.spark_util import free_all_persistent  # noqa: E402
+from project_graphdb_spark.spark_util import (  # noqa: E402
+    free_all_persistent,
+    materialize as _materialize,
+)
 
 TWINS = [
     ("ev_daily_active_users", "ev_daily_active_users_hll"),
@@ -68,14 +71,14 @@ def main() -> None:
         # diff would under-count; shuffle volume itself is temperature-
         # independent. Wall time from the warm run, as everywhere else.
         before = set(_stages(ui, app_id))
-        fn(spark, sf_dir).count()
+        _materialize(fn(spark, sf_dir))
         after_cold = _stages(ui, app_id)
         new = [
             s for sid, s in after_cold.items() if sid not in before
         ]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = _materialize(df)
         dt = round(time.perf_counter() - t0, 3)
         sw = sum(s["shuffleWriteBytes"] for s in new)
         sr = sum(s["shuffleReadBytes"] for s in new)
