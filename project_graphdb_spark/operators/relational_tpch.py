@@ -1,0 +1,415 @@
+"""Remaining classic TPC-H plan shapes (Q4, Q7, Q8, Q13, Q19, Q22),
+adapted to this corpus's schema (no commit/receipt dates, shipmodes,
+phones or containers — lateness is ship-vs-order date, Q22's customer
+segmentation key is the nation, Q19's triples use brand/size/quantity).
+
+Each query exercises a DISTINCT physical pattern the relational family
+did not yet pin:
+
+* Q4  — correlated EXISTS with an extra-condition semi join (the join
+  predicate carries the date comparison, not just the key).
+* Q7  — symmetric two-dimension disjunction (nation pair in either
+  orientation) over a 3-fact join chain, grouped by derived year.
+* Q8  — market-share ratio: conditional aggregate over a region-scoped
+  market, two decimal sums divided at the end.
+* Q13 — LEFT OUTER fact join + two-level aggregate (count per customer,
+  then histogram of counts) including the zero-order bucket outer joins
+  exist for.
+* Q19 — OR-of-AND conjunct triples pushed into one scan + broadcast
+  join (the disjunctive-pushdown showcase).
+* Q22 — global scalar aggregate (positive-balance average) broadcast as
+  a filter + anti join against the fact table.
+
+Scale notes (100 TB): every dimension join is broadcast-sized or
+planner-decided; fact tables shuffle at most once per query on their
+join key; ratios/averages are computed from decimal-exact sums divided
+driver-side-free as double expressions (hash-parity with DuckDB).
+Reference scope: the reference's relational surface is its SQLite
+catalog scans (final/sql_query.py); these shapes extend the engine's
+owned execution surface the way SURVEY §2-E planned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_graphdb_spark.io.tables import load_table
+from project_graphdb_spark.operators.exact import (
+    SQL_DEC,
+    SQL_REVENUE,
+    dec,
+    revenue_expr,
+)
+from project_graphdb_spark.workload import register
+
+LATE_DAYS = 60  # ship-vs-order lateness horizon (no commit dates here)
+
+
+@register(
+    "late_order_priority_counts",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE year(o_orderdate) = 2000
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q4 shape: correlated EXISTS lowered to a "
+    "left-semi join whose condition carries the ship-after-order date "
+    "comparison alongside the key — orders with at least one late "
+    "line in 2000, counted by priority. One orderkey shuffle; the "
+    "pruned orders side carries only 3 columns",
+)
+def late_order_priority_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 2000)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+NATION_A = "NATION_3"
+NATION_B = "NATION_7"
+
+
+@register(
+    "volume_shipping_nation_pair",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = '{NATION_A}' AND cn.n_name = '{NATION_B}')
+       OR (sn.n_name = '{NATION_B}' AND cn.n_name = '{NATION_A}')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    description="TPC-H Q7 shape: symmetric nation-pair disjunction "
+    "(either trade direction) across the lineitem-orders-customer and "
+    "lineitem-supplier-nation chains, revenue by (supp_nation, "
+    "cust_nation, ship year). All dims broadcast; the disjunction "
+    "filters AFTER the cheap nation joins so the fact shuffles once "
+    "on l_orderkey",
+)
+def volume_shipping_nation_pair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == NATION_A)
+        & (F.col("cust_nation") == NATION_B)
+    ) | (
+        (F.col("supp_nation") == NATION_B)
+        & (F.col("cust_nation") == NATION_A)
+    )
+    # customer/supplier grow with SF — no forced broadcast (the repo's
+    # no-forced-broadcast-of-SF-scaled-tables policy; planner/AQE
+    # decides). Only the fixed 25-row nation views are hinted.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(revenue_expr()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+MKT_REGION = "EUROPE"
+SHARE_NATION = "NATION_5"
+
+
+@register(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(
+             CAST(SUM(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                           THEN {SQL_REVENUE}
+                           ELSE CAST(0 AS {SQL_DEC}) END) AS DOUBLE)
+             / CAST(SUM({SQL_REVENUE}) AS DOUBLE)
+           AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = '{MKT_REGION}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q8 shape: market share of one supplier nation "
+    "inside a region's market per order year — a conditional decimal "
+    "sum over the region-scoped fact divided by the total, both exact "
+    "then divided as double (hash-parity). Region/nation/supplier "
+    "dims broadcast; one fact shuffle on l_orderkey",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = revenue_expr()
+    zero = F.lit(0).cast("decimal(18,2)")
+    share_rev = F.when(
+        F.col("supp_nation") == SHARE_NATION, rev
+    ).otherwise(zero)
+    # customer/supplier scale with SF — planner-decided join strategy;
+    # only the fixed nation/region dims carry broadcast hints
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(region),
+            F.col("cn_region") == region.r_regionkey,
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                F.sum(share_rev).cast("double")
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "customer_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    description="TPC-H Q13 shape: LEFT OUTER fact join with a "
+    "non-key join predicate (priority filter inside the ON clause, so "
+    "order-less customers still appear with count 0) + two-level "
+    "aggregate — orders per customer, then the histogram of those "
+    "counts. The second aggregate's key domain is tiny, so its "
+    "shuffle is bytes",
+)
+def customer_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q19_TRIPLES = [
+    ("Brand#12", 1, 10, 1.0, 15.0),
+    ("Brand#23", 5, 20, 10.0, 25.0),
+    ("Brand#34", 10, 35, 20.0, 40.0),
+]
+
+
+def _q19_sql_pred() -> str:
+    arms = [
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {s0} AND {s1}"
+        f" AND l.l_quantity BETWEEN {q0} AND {q1})"
+        for b, s0, s1, q0, q1 in Q19_TRIPLES
+    ]
+    return " OR ".join(arms)
+
+
+@register(
+    "discounted_revenue_triples",
+    oracle=f"""
+    SELECT CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_q19_sql_pred()}
+    """,
+    description="TPC-H Q19 shape: OR of (brand, size-range, "
+    "quantity-range) conjunct triples evaluated on one broadcast "
+    "part join — the disjunctive-predicate showcase: a single fact "
+    "scan, no union of three subqueries, quantity bounds eligible "
+    "for scan-level row-group skipping",
+)
+def discounted_revenue_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arms = None
+    for b, s0, s1, q0, q1 in Q19_TRIPLES:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        arms = arm if arms is None else arms | arm
+    # part scales with SF — planner-decided (AQE broadcasts it at test
+    # SFs from measured post-filter bytes; at 100 TB it correctly
+    # shuffles instead of OOMing a 20B-row build side)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arms)
+        .agg(
+            F.sum(revenue_expr()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers_by_nation",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS {SQL_DEC})) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS {SQL_DEC})) AS DOUBLE) AS total_bal
+    FROM customer c, cutoff
+    WHERE c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q22 shape: global scalar aggregate (average "
+    "positive balance) broadcast as a filter, then an anti join "
+    "against orders — above-average-balance customers who never "
+    "ordered, by nation. The scalar is one tiny broadcast; the anti "
+    "join shuffles only the filtered customer slice",
+)
+def idle_rich_customers_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cutoff = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders,
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

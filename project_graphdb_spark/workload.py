@@ -127,6 +127,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # new r8 registrations
     "ev_click_attribution_outer",
     "cypher_write_conditional_set",
+    "late_order_priority_counts",
+    "volume_shipping_nation_pair",
+    "nation_market_share",
+    "customer_order_count_distribution",
+    "discounted_revenue_triples",
+    "idle_rich_customers_by_nation",
 )
 
 
@@ -148,6 +154,7 @@ def _ensure_loaded() -> None:
         skew,
         similarity_scale,
         relational_ext,
+        relational_tpch,
         sketches,
         orc_workload,
         jsonl_workload,
