@@ -45,11 +45,34 @@ def test_oracle_output_types_have_spark_twins(oracle_sf_dir):
 
 
 def test_all_queries_return_rows(spark, sf_dir):
-    """Smoke: every registered query runs at sf0.001 and has a schema."""
+    """Smoke: every registered query runs at sf0.001, has a schema,
+    and emits NO raw decimal output columns — Spark DECIMAL surfaces
+    as ``decimal.Decimal`` in pandas while DuckDB DECIMAL converts to
+    float64, so a decimal output would hash-skew at the driver even
+    when values match (the HUGEINT bug's sibling; cast to double)."""
     for name, fn in workload.queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+        decs = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if "decimal" in f.dataType.simpleString()
+        ]
+        assert not decs, f"{name} emits raw decimal columns: {decs}"
         df.count()  # executes without error
+
+
+def test_window_priority_names_exist():
+    """Every _WINDOW_PRIORITY name must be a registered query — the
+    reorder silently skips unknown names, so a typo would quietly
+    drop a query out of the driver's 50-entry correctness window."""
+    unknown = [
+        n for n in workload._WINDOW_PRIORITY if n not in workload.REGISTRY
+    ]
+    assert not unknown, f"window priority names not in registry: {unknown}"
+    assert len(workload._WINDOW_PRIORITY) <= 50, (
+        "window priority exceeds the driver's 50-query sample"
+    )
 
 
 def test_workload_md_in_lockstep():
