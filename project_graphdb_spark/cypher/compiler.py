@@ -712,12 +712,59 @@ def _var_length_pairs(
     return acc.distinct()
 
 
+def _unused_node_vars(q: A.Query) -> frozenset[str] | None:
+    """Node-pattern variables that are structurally safe to ELIDE:
+    bound by exactly one pattern-node occurrence in the whole query and
+    never referenced by any expression (no Var/Prop use anywhere —
+    WHERE, WITH, RETURN, ORDER BY, subqueries, comprehensions). Returns
+    None (elide nothing) when a bare ``*`` projection makes every
+    variable implicitly referenced.
+
+    Generic dataclass walk, so new AST node types are conservative by
+    construction: an unknown expression's Var leaves are still found by
+    field recursion."""
+    import dataclasses as _dc
+
+    used: set[str] = set()
+    occurrences: dict[str, int] = {}
+    star = False
+
+    def walk(x) -> None:
+        nonlocal star
+        if isinstance(x, A.Var):
+            used.add(x.name)
+        elif isinstance(x, A.Prop) and isinstance(x.base, str):
+            used.add(x.base)
+        elif isinstance(x, A.NodePat):
+            if x.var:
+                occurrences[x.var] = occurrences.get(x.var, 0) + 1
+        elif isinstance(x, A.EdgePat) and x.var:
+            used.add(x.var)  # edge bindings never block node elision
+        elif isinstance(x, A.Item) and isinstance(x.expr, A.Star):
+            star = True  # RETURN/WITH * — everything is referenced
+        elif isinstance(x, A.PathPat) and x.path_var:
+            used.add(x.path_var)
+        if _dc.is_dataclass(x) and not isinstance(x, type):
+            for f in _dc.fields(x):
+                walk(getattr(x, f.name))
+        elif isinstance(x, (list, tuple)):
+            for item in x:
+                walk(item)
+    walk(q)
+    if star:
+        return None
+    return frozenset(
+        v for v, n in occurrences.items() if n == 1 and v not in used
+    )
+
+
 def _bind_patterns(
     graph: PropertyGraph,
     patterns: list[A.PathPat],
     anon_seed: int = 0,
     init_df: DataFrame | None = None,
     init_vars: dict[str, _BoundVar] | None = None,
+    unused_elidable: frozenset[str] | None = None,
 ) -> tuple[DataFrame, dict[str, _BoundVar]]:
     """Bind patterns into a joined frame. ``init_df``/``init_vars`` seed
     the binding with an earlier segment's state (MATCH after WITH):
@@ -1156,16 +1203,72 @@ def _bind_patterns(
             if edge_pat.rel_type not in graph.edges:
                 errors.append(f"unknown relationship type {edge_pat.rel_type!r}")
                 raise CypherAnalysisError(errors)
-            meta = graph.edges[edge_pat.rel_type].meta
+            ef_obj = graph.edges[edge_pat.rel_type]
+            meta = ef_obj.meta
 
-            src_var = attach_endpoint(src_pat, meta.source)
-            dst_var = attach_endpoint(dst_pat, meta.target)
-            if vars[src_var].label != meta.source or vars[dst_var].label != meta.target:
+            # FK join elimination: the NEW endpoint of the pattern's
+            # LAST hop needs no node join when (a) its variable is
+            # never referenced anywhere in the query (or anonymous),
+            # (b) the pattern node adds no filter of its own (no props,
+            # no extra labels, label — if any — is the schema-expected
+            # one), and (c) the edge tier guarantees that side resolves
+            # (own-PK or RELY-trusted FK, EdgeFrame.src/dst_resolved).
+            # Sound because node keys are unique: the join would match
+            # exactly one row per edge — pure existence, no multiplicity
+            # change — and existence is what the resolution flag proves.
+            node_side = "src" if edge_pat.reversed else "dst"
+            side_resolved = (
+                (ef_obj.src_resolved and ef_obj.dst_resolved)
+                if symmetric
+                else (
+                    ef_obj.src_resolved
+                    if node_side == "src"
+                    else ef_obj.dst_resolved
+                )
+            )
+            node_exp_label = (
+                meta.source if node_side == "src" else meta.target
+            )
+            elide_new = (
+                unused_elidable is not None
+                and edge_pat is pat.edges[-1]  # terminal hop only
+                and side_resolved
+                and node_pat.var not in vars
+                and (
+                    node_pat.var is None
+                    or node_pat.var in unused_elidable
+                )
+                and not node_pat.props
+                and not conj_extras(node_pat)
+                and (
+                    node_pat.label is None
+                    or node_pat.label == node_exp_label
+                )
+            )
+            if elide_new:
+                if node_side == "dst":
+                    src_var = attach_endpoint(src_pat, meta.source)
+                    dst_var = None
+                    bad = vars[src_var].label != meta.source
+                else:
+                    dst_var = attach_endpoint(dst_pat, meta.target)
+                    src_var = None
+                    bad = vars[dst_var].label != meta.target
+            else:
+                src_var = attach_endpoint(src_pat, meta.source)
+                dst_var = attach_endpoint(dst_pat, meta.target)
+                bad = (
+                    vars[src_var].label != meta.source
+                    or vars[dst_var].label != meta.target
+                )
+            if bad:
                 errors.append(
-                    f"direction/label mismatch: ({vars[src_var].label})-"
-                    f"[:{edge_pat.rel_type}]->({vars[dst_var].label}) but "
-                    f"schema has ({meta.source})-[:{edge_pat.rel_type}]->"
-                    f"({meta.target})"
+                    f"direction/label mismatch: "
+                    f"({vars[src_var].label if src_var else node_exp_label})-"
+                    f"[:{edge_pat.rel_type}]->"
+                    f"({vars[dst_var].label if dst_var else node_exp_label})"
+                    f" but schema has ({meta.source})-"
+                    f"[:{edge_pat.rel_type}]->({meta.target})"
                 )
                 raise CypherAnalysisError(errors)
 
@@ -1210,18 +1313,22 @@ def _bind_patterns(
                     ),
                 )
             )
-            src_key = f"{src_var}__{graph.schema.node(meta.source).key}"
-            dst_key = f"{dst_var}__{graph.schema.node(meta.target).key}"
             assert df is not None
-            # one inner join with the full conjunction — both endpoint
-            # frames are already attached, so Catalyst reorders the
-            # earlier crossJoin into equi joins (no cartesian survives;
-            # asserted in tests via the physical plan)
-            df = df.join(
-                renamed,
-                (F.col(f"{edge_var}__src") == F.col(src_key))
-                & (F.col(f"{edge_var}__dst") == F.col(dst_key)),
-            )
+            # one inner join with the full conjunction — the attached
+            # endpoint frames join on their keys (an elided endpoint
+            # contributes no condition: the edge itself proves it), so
+            # Catalyst reorders the earlier crossJoin into equi joins
+            # (no cartesian survives; asserted via the physical plan)
+            cond = None
+            if src_var is not None:
+                src_key = f"{src_var}__{graph.schema.node(meta.source).key}"
+                cond = F.col(f"{edge_var}__src") == F.col(src_key)
+            if dst_var is not None:
+                dst_key = f"{dst_var}__{graph.schema.node(meta.target).key}"
+                dc = F.col(f"{edge_var}__dst") == F.col(dst_key)
+                cond = dc if cond is None else cond & dc
+            assert cond is not None
+            df = df.join(renamed, cond)
             prev = node_pat
             prev_var = node_pat.var
 
@@ -2189,6 +2296,10 @@ def compile_cypher(
     df: DataFrame | None = None
     vars: dict[str, _BoundVar] = {}
     flat: set[str] = set()
+    # whole-query usage analysis for FK join elimination (terminal
+    # pattern endpoints bound once and never read skip their node join
+    # when the edge guarantees resolution)
+    elidable = _unused_node_vars(q)
 
     for si, seg in enumerate(q.segments):
         normal_pats = [p for p in seg.patterns if not p.shortest]
@@ -2200,6 +2311,7 @@ def compile_cypher(
                 anon_seed=si * 10000,
                 init_df=df,
                 init_vars=vars,
+                unused_elidable=elidable,
             )
         for sp in shortest_pats:
             df, vars = _attach_shortest_path(

@@ -111,12 +111,57 @@ def _pk_guarantees_unique(
     return bool(ti and ti.primary_keys and set(ti.primary_keys) <= selected)
 
 
+def _side_resolved(
+    relational: RelationalSchema | None,
+    rel: "RelationshipDef",
+    side_key: str,
+    node_def,
+    trust_fk: bool,
+) -> bool:
+    """True when every non-null ``side_key`` value of the edge table
+    provably (or, with ``trust_fk``, declaredly) resolves to a node.
+
+    * Own-PK side: the edge rows come FROM the node's own single source
+      table and the side key IS that table's PK — resolution holds by
+      construction, no trust involved.
+    * Declared-FK side (RELY semantics): the relational schema declares
+      ForeignKey(side_key -> node table.key) and the caller asserted
+      the source maintains it (``trust_fk=True``).
+    """
+    if relational is None:
+        return False
+    ti = relational.tables.get(rel.table_name)
+    if ti is None:
+        return False
+    if (
+        node_def.table_names == [rel.table_name]
+        and ti.primary_keys == [side_key]
+    ):
+        return True
+    if not trust_fk:
+        return False
+    return any(
+        fk.from_col == side_key
+        and node_def.table_names == [fk.table]
+        and fk.to_col == node_def.key
+        for fk in ti.foreign_keys
+    )
+
+
 def build_graph(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     schema: GraphSchema,
     relational: RelationalSchema | None = None,
+    trust_fk: bool = False,
 ) -> PropertyGraph:
+    """``trust_fk=True`` asserts (RELY-style) that the relational
+    source maintains its declared foreign keys, so the dangling-FK
+    semi-joins are provable no-ops: the resolved edge tier skips them
+    and the compiler may elide never-referenced endpoint node joins
+    (FK join elimination). Leave False for sources whose integrity is
+    not guaranteed — the semi-joins then reproduce the reference's
+    MATCH-resolution drop semantics exactly."""
     nodes: dict[str, DataFrame] = {
         n.name: build_node_frame(n, tables, relational) for n in schema.nodes
     }
@@ -124,6 +169,12 @@ def build_graph(
     edges: dict[str, EdgeFrame] = {}
     for rel in schema.relationships:
         t = tables[rel.table_name]
+        src_ok = _side_resolved(
+            relational, rel, rel.key_s, schema.node(rel.source), trust_fk
+        )
+        dst_ok = _side_resolved(
+            relational, rel, rel.key_t, schema.node(rel.target), trust_fk
+        )
         src_keys = nodes[rel.source].select(
             F.col(schema.node(rel.source).key).alias("__k")
         )
@@ -146,13 +197,22 @@ def build_graph(
             raw = raw.dropDuplicates(["src", "dst", *rel.properties])
         # resolved tier: drop dangling FKs via key-only left-semi joins
         # (reference inject_relationship.py:636-644 MATCH-resolution
-        # parity). Pattern matches that inner-join both endpoint node
+        # parity) — skipped per side when resolution is proven/trusted
+        # above. Pattern matches that inner-join both endpoint node
         # frames consume ``raw`` instead (EdgeFrame.join_df) — the inner
         # joins subsume the semis.
-        df = raw.join(
-            src_keys, raw["src"] == src_keys["__k"], "left_semi"
-        ).join(dst_keys, raw["dst"] == dst_keys["__k"], "left_semi")
-        edges[rel.label] = EdgeFrame(meta=rel, df=df, raw_df=raw)
+        df = raw
+        if not src_ok:
+            df = df.join(src_keys, df["src"] == src_keys["__k"], "left_semi")
+        if not dst_ok:
+            df = df.join(dst_keys, df["dst"] == dst_keys["__k"], "left_semi")
+        edges[rel.label] = EdgeFrame(
+            meta=rel,
+            df=df,
+            raw_df=raw,
+            src_resolved=src_ok,
+            dst_resolved=dst_ok,
+        )
 
     return PropertyGraph(schema=schema, nodes=nodes, edges=edges)
 
@@ -272,7 +332,12 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
                 }
             ),
         )
+        # trust_fk: the test-data generator maintains every declared FK
+        # (verified r8: zero dangling keys at sf0.01/sf1), and every
+        # graph query face is oracle-gated with INNER-join SQL — an
+        # integrity violation would flip the value hash and fail the
+        # gate, so the RELY assertion is itself under test.
         _CACHE[cache_key] = build_graph(
-            spark, tables, gschema, relational=TPCH_SCHEMA
+            spark, tables, gschema, relational=TPCH_SCHEMA, trust_fk=True
         )
     return _CACHE[cache_key]

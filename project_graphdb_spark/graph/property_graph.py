@@ -45,6 +45,15 @@ class EdgeFrame:
     # semi-joins would, and the semis become pure plan overhead (two
     # extra broadcast builds + probes per hop at fact scale).
     raw_df: DataFrame | None = None
+    # Endpoint-resolution guarantees on raw_df: True when every src/dst
+    # key provably (own-PK side) or declaredly (RELY-style trusted FK,
+    # build_graph(trust_fk=True)) resolves to a node — which lets the
+    # compiler ELIDE the endpoint node join entirely for pattern
+    # endpoints whose variable is never referenced (FK join
+    # elimination; node keys are unique, so the join also never
+    # changes row multiplicity).
+    src_resolved: bool = False
+    dst_resolved: bool = False
 
     @property
     def join_df(self) -> DataFrame:

@@ -234,12 +234,47 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
         "doc_id",
         F.posexplode(_span_grams("text", n)).alias("s", "gram"),
     )
+    # candidate-first dup detection (same pattern as minhash verify):
+    # the naive groupBy(gram) shuffles the FULL exploded frame on the
+    # ~n-token STRING key (~120 B/row — measured 152 s for the profile
+    # at sf10); aggregating on xxhash64(gram) shuffles 8-byte keys
+    # (~7x less exchange volume), then the exact count_distinct runs
+    # only over the candidate spans that hit a colliding hash — a
+    # superset of true dups that exact verification shrinks, so the
+    # returned gram set is EXACT (a 64-bit collision costs a few extra
+    # verify rows, never a wrong flag).
+    gh = F.xxhash64("gram").alias("gh")
+    cand_hashes = (
+        spans.select(gh, "doc_id")
+        .groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    ).persist()
+    # finding-14 shape: the aggregate's size ESTIMATE inherits the
+    # exploded input's, so Catalyst plans the probe as an SMJ that
+    # shuffles the full ~120 B/row span frame — measured at sf10 even
+    # with the hash key. Decide from the MEASURED duplicate count
+    # instead: true-duplicate sets are small in real corpora; fall back
+    # to the shuffle join only in a pathological all-duplicates regime.
+    n_cand = cand_hashes.count()
+    ch = (
+        F.broadcast(cand_hashes) if n_cand <= 2_000_000 else cand_hashes
+    )
+    cand_spans = spans.select("doc_id", "gram").join(
+        ch,
+        F.xxhash64("gram") == F.col("gh"),
+        "left_semi",
+    )
     dup = (
-        spans.groupBy("gram")
+        cand_spans.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("gram")
-    )
+    ).persist()
+    n_dup = dup.count()
+    if n_dup <= 500_000:  # ~60 MB of gram strings — broadcastable
+        dup = F.broadcast(dup)
     return spans, dup
 
 
@@ -1158,15 +1193,27 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    keep_stats = quality_gate_stats(docs.select("doc_id", "text")).filter(
-        "keep"
+    # the keep list is consumed three times (kept-semi here, n0 join
+    # below, and the scrub recomputes spans over `kept` twice) — persist
+    # the narrow (doc_id, n_tokens) stats once and BROADCAST the id
+    # list (8 B/doc; measured-count guard), so no downstream consumer
+    # re-tokenizes the corpus or shuffles the text column for the semi
+    keep_stats = (
+        quality_gate_stats(docs.select("doc_id", "text"))
+        .filter("keep")
+        .select("doc_id", "n_tokens")
+        .persist()
     )
-    kept = docs.join(keep_stats.select("doc_id"), "doc_id", "left_semi")
+    n_keep = keep_stats.count()
+    keep_ids = keep_stats.select("doc_id")
+    if n_keep <= 20_000_000:  # ~160 MB of ids
+        keep_ids = F.broadcast(keep_ids)
+    kept = docs.join(keep_ids, "doc_id", "left_semi")
     scrubbed = dup_span_scrub(kept.select("doc_id", "text"))
     n_clean = (
         keep_stats.select("doc_id", F.col("n_tokens").alias("n0"))
         .join(scrubbed.select("doc_id", "n_removed"), "doc_id")
-        .join(docs.select("doc_id", "lang"), "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")  # narrow cols only
         .select(
             "doc_id",
             "lang",

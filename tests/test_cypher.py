@@ -1942,3 +1942,90 @@ def test_percentile_disc_skewed_group_bounded_memory(spark, sf_dir):
             vals[max(0, math.ceil(p * len(vals)) - 1)] for p in (0.5, 0.9)
         )
         assert got[grp] == exp, grp
+
+
+def test_fk_join_elimination_unused_endpoint(spark, sf_dir):
+    """FK join elimination (r8): a TERMINAL pattern endpoint that is
+    never referenced compiles WITHOUT its node join when the edge side
+    is resolution-guaranteed (own-PK or RELY-trusted FK) — the join
+    would match exactly one node per edge (unique keys), so dropping
+    it changes neither existence nor multiplicity."""
+    g = tpch_graph(spark, sf_dir)
+
+    def plan(q):
+        df = compile_cypher(g, q)
+        return df, df._jdf.queryExecution().executedPlan().toString()
+
+    # unused named endpoint: part scan gone, count == edge count
+    df, p = plan(
+        "MATCH (o:Orders)-[:CONTAINS_ITEM]->(p:Part) RETURN count(*) AS n"
+    )
+    assert "part.parquet" not in p
+    assert df.first()["n"] == g.edge("CONTAINS_ITEM").count()
+
+    # anonymous endpoint: same elision
+    df, p = plan("MATCH (o:Orders)-[:CONTAINS_ITEM]->() RETURN count(*) AS n")
+    assert "part.parquet" not in p
+
+    # endpoint referenced in RETURN: join kept
+    df, p = plan(
+        "MATCH (o:Orders)-[:CONTAINS_ITEM]->(p:Part) "
+        "RETURN count(p.p_brand) AS n"
+    )
+    assert "part.parquet" in p
+
+    # inline property filter: join kept (the node constrains the match)
+    df, p = plan(
+        "MATCH (o:Orders)-[:CONTAINS_ITEM]->(p:Part {p_size: 1}) "
+        "RETURN count(*) AS n"
+    )
+    assert "part.parquet" in p
+
+    # var re-used by a second pattern: join kept
+    df, p = plan(
+        "MATCH (o:Orders)-[:CONTAINS_ITEM]->(p:Part) "
+        "MATCH (o2:Orders)-[:CONTAINS_ITEM]->(p) RETURN count(*) AS n"
+    )
+    assert "part.parquet" in p
+
+    # non-terminal endpoint (chains into a later hop): join kept
+    df, p = plan(
+        "MATCH (c:Customer)<-[:PLACED_BY]-(o:Orders)"
+        "-[:CONTAINS_ITEM]->(p:Part) WHERE c.c_custkey = 1 "
+        "RETURN count(*) AS n"
+    )
+    assert "orders.parquet" in p
+
+
+def test_fk_join_elimination_requires_trust(spark, sf_dir):
+    """Without trust_fk (or a relational schema at all) the endpoint
+    join survives — resolution is not guaranteed, so eliding it could
+    keep dangling edges a MATCH must drop."""
+    from pyspark.sql import functions as F
+
+    from project_graphdb_spark.graph.property_graph import (
+        EdgeFrame,
+        PropertyGraph,
+    )
+    from project_graphdb_spark.schema.graph_schema import (
+        GraphSchema,
+        NodeDef,
+        RelationshipDef,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    # edge 3 -> 9 dangles on BOTH sides
+    knows = spark.createDataFrame([(1, 2), (3, 9)], "src long, dst long")
+    meta = RelationshipDef("P", "P", "KNOWS", "src", "dst", [], "t")
+    g = PropertyGraph(
+        schema=GraphSchema(
+            nodes=[NodeDef("P", key="id", properties=[])],
+            relationships=[meta],
+        ),
+        nodes={"P": nodes},
+        edges={"KNOWS": EdgeFrame(meta=meta, df=knows)},
+    )
+    n = compile_cypher(
+        g, "MATCH (a:P)-[:KNOWS]->(b:P) RETURN count(*) AS n"
+    ).first()["n"]
+    assert n == 1  # the dangling edge must NOT count

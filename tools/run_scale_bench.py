@@ -68,6 +68,22 @@ EXCLUDED = [
     "dedup_keep_best",  # exact-pair tier: dedup_keep_best_lsh's oracle
     "dedup_semantic",  # exact-pair tier: dedup_semantic_blocked's twin
 ]
+# Materialized-output queries whose ROW COUNT grows superlinearly with
+# the planted duplicate density: excluded automatically (and loudly)
+# once the embedding corpus passes BIG_SF_VECTORS. r8 lesson: at sf10
+# embedding_near_dup_blocked's 1.09 B candidate pairs spilled the sort
+# until the DISK filled (SPILL_OUT_OF_MEMORY / no space left) — the
+# candidate-volume telemetry below measures the same thing via a 1/16
+# hash sample without materializing the join.
+BIG_SF_EXCLUDED = [
+    "embedding_near_dup_blocked",
+    # shares (and would build) the same IVF candidate-pair frame — the
+    # keep stage itself is flat (SCALE.md r7 semantic table, measured
+    # on a pre-built frame), but materializing the sf10 pair frame
+    # cold spills past this container's disk
+    "dedup_semantic_blocked",
+]
+BIG_SF_VECTORS = 150_000
 
 
 def plan_facts(df) -> dict:
@@ -115,6 +131,20 @@ def main() -> None:
             raise SystemExit(f"unknown queries in --skip: {unknown}")
         names = [n for n in names if n not in skipped]
         print(f"SKIPPED (explicit): {skipped}")
+    from project_graphdb_spark.operators.similarity import _emb as _emb_pre
+
+    n_vec = _emb_pre(spark, sf_dir).count()
+    if n_vec > BIG_SF_VECTORS:
+        auto = [n for n in BIG_SF_EXCLUDED if n in names]
+        if auto:
+            names = [n for n in names if n not in auto]
+            skipped = [*skipped, *auto]
+            print(
+                f"SKIPPED (auto, {n_vec} vectors > {BIG_SF_VECTORS}): "
+                f"{auto} — densest-output tier spills to disk "
+                "exhaustion at this SF; candidate telemetry below "
+                "measures its volume by sampling instead"
+            )
     results: dict[str, dict] = {}
     for name in names:
         fn = workload.REGISTRY[name].fn
