@@ -84,6 +84,14 @@ _LOADED = False
 # queries never sampled by any r1-r7 driver window (verdict r7 "What's
 # missing" #1) + the queries newly registered this round, completing
 # driver coverage of the whole registry.
+# R9 ROTATION PLAN: once CORRECTNESS_r08 lands, every registered query
+# has a driver row. Rebuild this list for r9 as: (1) any queries newly
+# registered in r9, (2) queries whose implementation changed since
+# their last green driver row (r8 changed: sole_late_supplier_orders,
+# cypher_revenue_per_year + all compiled-cypher faces via FK elision,
+# doc_dup_span_profile/_scrub, pipeline_clean_pack, doc_pack_bins),
+# (3) oldest-checked families (r1-r3 rows: agent_*, corpus doc_*,
+# graph_queries g_*) to refresh the union.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # r7 additions, never driver-checked (22)
     "knn_join_top3_ivf",
@@ -133,6 +141,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_order_count_distribution",
     "discounted_revenue_triples",
     "idle_rich_customers_by_nation",
+    # r8-changed implementations / fixed oracles needing a fresh row
+    "ev_sessionization",  # oracle HUGEINT cast fixed (r7's one red row)
+    "cypher_revenue_per_year",  # FK join elimination landed
+    "doc_dup_span_profile",  # candidate-first hashed dup detection
+    "doc_dup_span_scrub",
+    "pipeline_clean_pack",
 )
 
 
