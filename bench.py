@@ -26,19 +26,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from project_graphdb_spark import get_spark
 from project_graphdb_spark import workload
+from project_graphdb_spark.spark_util import materialize
 
-
-def _run_once(df) -> None:
-    """Materialize a DataFrame fully without collecting rows.
-
-    The noop sink, NOT ``df.count()``: count() wraps the query in a new
-    row-count aggregate, and Catalyst's column pruning then deletes
-    every aggregate expression the count doesn't need — measured r8 on
-    ``ev_daily_active_users``, where count() shuffled 280 records
-    (distinct days only) while the real query shuffles 981k (day,user)
-    pairs / 8 MB. The noop sink computes and serializes EVERY output
-    column and discards it executor-side."""
-    df.write.format("noop").mode("overwrite").save()
+# One shared honest materializer (noop sink + same-pass observe count,
+# never df.count() — see spark_util.materialize for the r8 pruning
+# finding). tests/test_plans.py guards that this alias stays shared so
+# a future edit can't silently revert bench to a pruning sink.
+_run_once = materialize
 
 
 def main() -> None:
@@ -51,6 +45,14 @@ def main() -> None:
     # names) subset the headline set for A/B drift attribution runs
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
     only = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")))
+    # a typo'd name would silently bench the wrong subset (ONLY with an
+    # unknown name benches nothing) — fail loudly like run_scale_bench
+    unknown = (skip | only) - set(heads)
+    if unknown:
+        raise SystemExit(
+            f"unknown headline query names in SKIP/ONLY: {sorted(unknown)}; "
+            f"known: {sorted(heads)}"
+        )
     heads = {
         n: fn
         for n, fn in heads.items()

@@ -79,11 +79,24 @@ def materialize(df) -> int:
     — measured r8 on ``ev_daily_active_users``, where count() shuffled
     280 records (distinct days only) while the real query shuffles
     ~981k (day, user) pairs. The noop sink forces full column
-    computation with zero driver collection; the row total rides along
-    on an accumulator-free mapPartitions count of the final RDD.
+    computation with zero driver collection.
+
+    The row total rides along in the SAME pass via ``df.observe``
+    (a ``CollectMetrics`` node above the final plan — rows flow through
+    it to the sink with every column intact, and the count is an
+    executor-side metric, not a second execution). r8 used a trailing
+    ``df.count()`` here, which re-executed the (pruned) plan inside the
+    callers' timed windows — near-doubling iterative-algorithm timings
+    and polluting the twin bench's cold-run stage attribution.
     """
-    df.write.format("noop").mode("overwrite").save()
-    # row count from a SECOND pass would re-execute the plan; for the
-    # tools' reporting a cheap post-hoc count() (pruned plan) is fine —
-    # the TIMED pass above did the honest work
-    return df.count()
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return int(obs.get["rows"])

@@ -84,69 +84,70 @@ _LOADED = False
 # queries never sampled by any r1-r7 driver window (verdict r7 "What's
 # missing" #1) + the queries newly registered this round, completing
 # driver coverage of the whole registry.
-# R9 ROTATION PLAN: once CORRECTNESS_r08 lands, every registered query
-# has a driver row. Rebuild this list for r9 as: (1) any queries newly
-# registered in r9, (2) queries whose implementation changed since
-# their last green driver row (r8 changed: sole_late_supplier_orders,
-# cypher_revenue_per_year + all compiled-cypher faces via FK elision,
-# doc_dup_span_profile/_scrub, pipeline_clean_pack, doc_pack_bins),
-# (3) oldest-checked families (r1-r3 rows: agent_*, corpus doc_*,
-# graph_queries g_*) to refresh the union.
+# r9 window (VERDICT r8 ask #1): after the r8 window landed, every
+# registered query had a driver row, but 4 queries' ONLY rows were
+# stale r1 entries (one pre-fix environment crash, three pre-oracle
+# rows-only) — they lead. Then the queries whose implementation changed
+# in r9 (IVF sample-trained centroids, Q7/Q8 join reorder, dup-span /
+# winnow measurement outcomes), then the oldest-checked r2/r3/r5
+# leftovers, then the oldest big bucket (r6-latest families: agent_*,
+# g_*, corpus doc_*) to refresh the union. 50 slots = the driver's
+# sample size.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r7 additions, never driver-checked (22)
+    # (a) the 4 queries whose latest driver row is a stale r1 entry
+    "ev_interval_join_campaigns",  # only row ever = r1 nanos-parquet crash
+    "galg_connected_components",  # r1 rows-only, predates its oracle
+    "galg_pagerank_top20",
+    "galg_label_propagation",
+    # (b) r9-changed implementations needing a fresh green row
+    "ann_ivf_top10",  # sample-trained IVF coarse quantizer
     "knn_join_top3_ivf",
-    "emb_quantize_int8",
-    "ann_pq_top10",
-    "dedup_semantic",
+    "embedding_near_dup_blocked",
     "dedup_semantic_blocked",
     "emb_ivf_assign",
-    "small_quantity_part_revenue",
-    "promo_revenue_share",
-    "cheapest_customer_per_nation",
-    "sole_late_supplier_orders",
-    "ev_daily_active_users",
-    "ev_daily_active_users_hll",
-    "lineitem_quantity_percentiles_approx",
-    "ev_dedup_replayed",
-    "doc_train_split_counts",
-    "orc_roundtrip_order_priority",
-    "ev_click_attribution",
-    "ev_purchase_revenue_by_segment",
-    "doc_bm25_topk",
-    "doc_tfidf_terms",
-    "multimodal_audio_features",
-    "cypher_multilabel_active_buyers",
-    # older, never inside any sampled window (15)
-    "jsonl_roundtrip_lang_stats",
-    "sqlite_ingest_customers_per_region",
-    "multimodal_image_dims",
-    "multimodal_image_resize",
-    "galg_shortest_paths",
-    "galg_kcore_3",
-    "cypher_bare_pattern_machinery_nations",
-    "cypher_bare_pattern_not_idle_customers",
-    "cypher_call_subquery_order_counts",
-    "cypher_call_subquery_uncorrelated",
-    "cypher_call_subquery_topk_per_customer",
-    "cypher_call_subquery_status_breakdown",
-    "cypher_count_block_busy_customers",
-    "cypher_count_block_orders_per_segment",
-    "cypher_list_comprehension_stats",
-    # new r8 registrations
-    "ev_click_attribution_outer",
-    "cypher_write_conditional_set",
-    "late_order_priority_counts",
-    "volume_shipping_nation_pair",
-    "nation_market_share",
-    "customer_order_count_distribution",
-    "discounted_revenue_triples",
-    "idle_rich_customers_by_nation",
-    # r8-changed implementations / fixed oracles needing a fresh row
-    "ev_sessionization",  # oracle HUGEINT cast fixed (r7's one red row)
-    "cypher_revenue_per_year",  # FK join elimination landed
-    "doc_dup_span_profile",  # candidate-first hashed dup detection
+    "volume_shipping_nation_pair",  # Q7 join reorder
+    "nation_market_share",  # Q8 join reorder
+    "pipeline_clean_pack",  # single-pass dup-span measurement
+    "doc_dup_span_profile",
     "doc_dup_span_scrub",
-    "pipeline_clean_pack",
+    "doc_winnow_fingerprints",  # gram-map profile outcome
+    # (c) remaining r1-r3/r5-latest rows (all green then, refresh them)
+    "galg_bfs_from_customer1",
+    "galg_degrees",
+    "galg_triangle_count",
+    "cypher_exists_block_big_spenders",
+    "cypher_exists_building_nations",
+    "cypher_not_exists_unordered_parts",
+    "cypher_shortestpath_nation_pairs",
+    "cypher_smoke",
+    "cypher_tostring_probe",
+    "cypher_union_place_names",
+    "cypher_write_node_upsert",
+    "cypher_write_rel_merge",
+    "cypher_customers_without_orders",
+    "multimodal_frame_sample",
+    "multimodal_payload_features",
+    # (d) oldest big bucket: r6-latest families
+    "agent_total_sales_2000",
+    "agent_top5_customers",
+    "agent_customers_without_orders",
+    "agent_correction_loop_top5",
+    "rca_largest_drop_drilldown",
+    "graph_sink_roundtrip",
+    "ev_asof_purchase_before_click",
+    "g_node_counts_by_label",
+    "g_machinery_big_orders",
+    "g_revenue_by_brand",
+    "g_customer_degree_stats",
+    "g_top_degree_customers",
+    "sql_over_graph_order_priority_revenue",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_lang_id",
+    "doc_fingerprints",
+    "doc_pack_bins",
+    "doc_pii_scrub",
+    "doc_lm_score",
 )
 
 

@@ -235,3 +235,45 @@ def test_q21_single_fact_pass_sf1(spark):
     near the broadcast threshold (the sf where r7's duplicate-subtree
     form measurably doubled the fact work)."""
     _q21_plan_asserts(spark, "/root/repo/.scale/sf1")
+
+
+def test_materialize_executes_every_output_column(spark):
+    """Guard for SCALE.md finding 16: the bench materializer must
+    execute EVERY output column. A count()-style materializer lets
+    Catalyst prune unreferenced expressions — this accumulator-bumping
+    UDF column would then never run and the accumulator would stay 0,
+    failing the test (verified: swapping materialize for df.count()
+    fails this). Also pins the same-pass observe count (ADVICE r8
+    medium: the old trailing df.count() re-executed the pruned plan
+    inside every tool's timed window)."""
+    import pyspark.sql.functions as F
+
+    from project_graphdb_spark.spark_util import materialize
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def _bump(x):
+        acc.add(1)
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(
+        F.col("id"), _bump(F.col("id")).alias("side")
+    )
+    assert materialize(df) == 100
+    assert acc.value >= 100, "materializer pruned an output column"
+
+
+def test_bench_uses_shared_materializer():
+    """bench.py must materialize through spark_util.materialize so the
+    column-execution guard above covers the driver's bench path too."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_module", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from project_graphdb_spark.spark_util import materialize
+
+    assert mod._run_once is materialize
