@@ -168,6 +168,22 @@ IVF_K = 8
 IVF_NPROBE = 3
 IVF_LLOYD_ITERS = 3
 
+# Coarse-quantizer training sample (r9, SCALE.md): the quantizer is a
+# fixed-size model — training it on the full corpus made each Lloyd
+# round an O(corpus) scan (98% of ann_ivf_top10's sf10 wall time was
+# the 200k-vector train). Standard IVF practice (e.g. the published
+# FAISS guidance of ~39-256 training points per centroid) trains on a
+# bounded sample; assignment stays full-corpus. 64 points/centroid
+# scales the sample WITH k (k ~ sqrt(n) in the blocked paths, so a
+# fixed cap would starve clusters as n grows); the 4096 floor keeps
+# tiny-k quantizers (IVF_K=8) from under-sampling. Sampling only kicks
+# in when it at least halves the scanned rows — below that (every
+# sf <= 0.1 test fixture) training is bit-identical to the full-corpus
+# form, so the recall ladder's small-SF assertions pin the same
+# centroids as before.
+IVF_TRAIN_POINTS_PER_CENTROID = 64
+IVF_TRAIN_SAMPLE_MIN = 4096
+
 _IVF_CACHE: dict[str, list[list[float]]] = {}
 
 
@@ -261,7 +277,14 @@ def lloyd_centroids(
     cadence Spark MLlib's KMeans uses). Each round is ONE Spark job:
     assignment is a literal-centroid argmax expression (no join/window,
     see :func:`_nearest_cid`) fused into a (cid, pos) mean aggregation
-    — a single narrow-map + one shuffle over the big side.
+    — a single narrow-map + one shuffle over the TRAINING SAMPLE, not
+    the corpus: past ``2 * max(64*k, 4096)`` vectors, rounds iterate a
+    persisted deterministic ``xxhash64(vec_id) % mod == 0`` sample (the
+    quantizer is a fixed-size model; see IVF_TRAIN_POINTS_PER_CENTROID
+    above). Assignment of the corpus to the trained centroids — the
+    part whose output is per-vector — always remains full-corpus in the
+    callers. The sample is deterministic given the corpus, so trained
+    centroids stay reproducible across partitionings and sessions.
     """
     cents = [
         list(r["v"])
@@ -275,31 +298,45 @@ def lloyd_centroids(
     if metric not in ("cosine", "l2"):
         raise ValueError(f"lloyd_centroids: unknown metric {metric!r}")
     k = len(cents)  # fewer than k seeds → shrink k, don't crash
-    for _ in range(iters):
-        if metric == "l2":
-            assign = _nearest_cid_l2(cents)  # k<=16 literal form only
-        else:
-            assign = (
-                _nearest_cid(cents)
-                if k <= LITERAL_K_MAX
-                else F.element_at(
-                    _probe_cids_arrow(cents, 1), 1
-                ).alias("cid")
+    train, sampled = emb, False
+    if iters > 0:
+        target = max(IVF_TRAIN_POINTS_PER_CENTROID * k, IVF_TRAIN_SAMPLE_MIN)
+        n = emb.count()  # column-pruned: parquet row-count metadata scan
+        if n > 2 * target:
+            mod = n // target  # >= 2 by the guard above
+            train = emb.filter(
+                F.pmod(F.xxhash64("vec_id"), F.lit(mod)) == 0
+            ).persist()
+            sampled = True
+    try:
+        for _ in range(iters):
+            if metric == "l2":
+                assign = _nearest_cid_l2(cents)  # k<=16 literal form only
+            else:
+                assign = (
+                    _nearest_cid(cents)
+                    if k <= LITERAL_K_MAX
+                    else F.element_at(
+                        _probe_cids_arrow(cents, 1), 1
+                    ).alias("cid")
+                )
+            means = (
+                train.select(assign, "v")
+                .select("cid", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("x"), 6).alias("m"))
+                .collect()
             )
-        means = (
-            emb.select(assign, "v")
-            .select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()
-        )
-        got: dict[int, dict[int, float]] = {}
-        for r in means:
-            got.setdefault(r["cid"], {})[r["pos"]] = r["m"]
-        cents = [
-            [got[i][p] for p in sorted(got[i])] if i in got else cents[i]
-            for i in range(k)
-        ]
+            got: dict[int, dict[int, float]] = {}
+            for r in means:
+                got.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            cents = [
+                [got[i][p] for p in sorted(got[i])] if i in got else cents[i]
+                for i in range(k)
+            ]
+    finally:
+        if sampled:
+            train.unpersist()
     return cents
 
 
@@ -309,6 +346,31 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     if sf_dir not in _IVF_CACHE:
         _IVF_CACHE[sf_dir] = lloyd_centroids(spark, _emb(spark, sf_dir))
     return _IVF_CACHE[sf_dir]
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, v) nearest-centroid assignment frame, persisted
+    per (session, sf_dir) — this IS the IVF index (same build-once
+    convention as the PQ code frame in ``similarity_scale._pq_codes``).
+
+    r8 re-assigned the entire corpus inside EVERY query plan; the
+    assignment is per-vector state that depends only on the trained
+    centroids, so recomputing it per query scaled each query by a full
+    corpus pass (sf10: ~10 s of the measured 11.4 s warm query). At
+    100 TB the equivalent is writing the assignment out partitioned /
+    bucketed by ``cid`` so a probe reads only its ``nprobe`` buckets
+    (cluster-pruned scan instead of full scan + filter); locally the
+    persisted frame plays that role and the probe filter prunes
+    in-memory batches.
+    """
+    from project_graphdb_spark.operators.dedup import _persisted_memo
+
+    cents = _ivf_centroids(spark, sf_dir)
+
+    def build() -> DataFrame:
+        return _emb(spark, sf_dir).select("vec_id", "v", _nearest_cid(cents))
+
+    return _persisted_memo(spark, sf_dir, "ivf_index", build)
 
 
 @register(
@@ -345,12 +407,13 @@ def ann_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             enumerate(cents), key=lambda c: (-_cos(c[1], qv), c[0])
         )[:IVF_NPROBE]
     ]
-    # nearest-centroid assignment is a narrow map (literal centroids);
-    # the probe filter prunes the scan to nprobe/k of the data before
-    # any cosine against the query vector is computed
+    # probe against the persisted assignment frame (the IVF index) —
+    # the probe filter prunes to ~nprobe/k of the vectors before any
+    # cosine against the query vector is computed, and the corpus-wide
+    # assignment map is NOT re-executed per query
     w = W.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        emb.select("vec_id", "v", _nearest_cid(cents))
+        _ivf_index(spark, sf_dir)
         .filter(F.col("cid").isin(probed) & (F.col("vec_id") != 0))
         .select(
             "vec_id",

@@ -21,6 +21,7 @@ from project_graphdb_spark.operators.similarity import (
     IVF_NPROBE,
     _emb,
     _ivf_centroids,
+    _ivf_index,
     _nearest_cid,
     _probe_cids,
     cosine,
@@ -46,19 +47,20 @@ def knn_join_top3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_top10`` uses — the single-query pruned scan generalized
     to a join.
 
-    Scale shape: nearest-centroid assignment of the big side is a
-    narrow map (literal centroids, no shuffle) — in a production
-    pipeline this is the IVF *index build*, materialized once and
-    amortized over every query batch. The query side is tiny (queries
-    × nprobe rows) and broadcast, so the only per-batch work is one
-    broadcast equi-join on centroid id over ~nprobe/k of the vectors
-    plus a per-query top-k window on the surviving candidates.
+    Scale shape: nearest-centroid assignment of the big side is the
+    IVF *index build* — materialized ONCE into the shared persisted
+    assignment frame (``similarity._ivf_index``, r9; previously
+    re-assigned inside every query plan) and amortized over every
+    query batch. The query side is tiny (queries × nprobe rows) and
+    broadcast, so the only per-batch work is one broadcast equi-join
+    on centroid id over ~nprobe/k of the vectors plus a per-query
+    top-k window on the surviving candidates.
     Recall vs the exact tier is pytest-asserted (the same contract as
     ``ann_ivf_top10`` vs ``ann_cosine_top10``).
     """
     emb = _emb(spark, sf_dir)
     cents = _ivf_centroids(spark, sf_dir)
-    data = emb.select("vec_id", "v", _nearest_cid(cents))
+    data = _ivf_index(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
