@@ -69,6 +69,26 @@ def repartition_for_cpu(df, *cols):
     return df.repartition(n, *cols)
 
 
+def adaptive_broadcast(df, max_rows: int = 2_000_000):
+    """Measured-count broadcast decision for SF-scaled-but-filtered
+    frames (the corpus.py finding-14 pattern, shared).
+
+    Catalyst's static size estimate for a filtered/joined slice
+    inherits the unfiltered input's, so the planner picks an SMJ that
+    shuffles the FACT side on the slice's key even when the slice is
+    tiny (measured on Q7 at sf10: full lineitem shuffled on l_suppkey
+    against an 8k-row supplier slice — 1.4 GB of the query's 1.8 GB
+    exchange volume). A FORCED broadcast hint would OOM once the slice
+    outgrows executor memory at some SF (the repo's
+    no-forced-broadcast-of-SF-scaled-tables policy), so decide from
+    the MEASURED row count: one narrow count job over the slice, hint
+    only under the guard, shuffle-join fallback above it.
+    """
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if df.count() <= max_rows else df
+
+
 def materialize(df) -> int:
     """Execute a DataFrame fully, computing EVERY output column, and
     return its row count (counted executor-side during the same pass).

@@ -277,3 +277,42 @@ def test_bench_uses_shared_materializer():
     from project_graphdb_spark.spark_util import materialize
 
     assert mod._run_once is materialize
+
+
+def _join_appears_above(plan: str, upper_key: str, lower_key: str) -> bool:
+    """True if the first join line mentioning upper_key prints before
+    (i.e. is an ancestor of, in Spark's parent-first tree print) the
+    first join line mentioning lower_key."""
+    lines = plan.splitlines()
+    def first(key):
+        for i, ln in enumerate(lines):
+            if "Join" in ln and key in ln:
+                return i
+        return None
+    u, lo = first(upper_key), first(lower_key)
+    assert u is not None and lo is not None, (upper_key, lower_key)
+    return u < lo
+
+
+def test_q7_dimension_filters_precede_fact_join(spark, sf_dir):
+    """Q7's r9 reorder (VERDICT r8 plan nit #4): the nation-filtered
+    supplier/customer slices must join into the facts BELOW the
+    l_orderkey join, so the big exchange carries only the ~2/25-nation
+    slice. Pinned as tree order: the l_orderkey join is the TOPMOST
+    join (prints first, parent-first), with the l_suppkey and
+    o_custkey joins inside its subtrees — the r8 shape had the
+    suppkey/nation joins above the orderkey join instead."""
+    df = workload.REGISTRY["volume_shipping_nation_pair"].fn(spark, sf_dir)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert _join_appears_above(plan, "l_orderkey", "l_suppkey")
+    assert _join_appears_above(plan, "l_orderkey", "o_custkey")
+
+
+def test_q8_region_scope_precedes_fact_join(spark, sf_dir):
+    """Q8's r9 reorder: orders join the region-scoped customer slice
+    below the l_orderkey join (the o_custkey join is in the orderkey
+    join's build subtree), so the fact exchange's orders side is
+    pre-shrunk to the region's ~1/5 of customers."""
+    df = workload.REGISTRY["nation_market_share"].fn(spark, sf_dir)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert _join_appears_above(plan, "l_orderkey", "o_custkey")

@@ -64,6 +64,11 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     names = [n for pair in TWINS for n in pair] + LADDER
+    if "--only" in sys.argv:  # shuffle-attribute any query, e.g. --only a,b
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in workload.REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
     for name in names:
         fn = workload.REGISTRY[name].fn
         # shuffle bytes from the COLD run: a warm second run can reuse
