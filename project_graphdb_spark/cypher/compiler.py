@@ -28,7 +28,7 @@ of Spark's accumulation order (see operators/exact.py).
 from __future__ import annotations
 
 import copy
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +49,13 @@ class _BoundVar:
     label: str  # node label or edge type
     columns: list[str]  # original property/column names
     key: str | None = None  # node key column (nodes only)
+    # extra labels already intersected onto this variable by
+    # conj_attach — the same conjunctive re-match can reach
+    # conj_attach twice (pattern-start branch AND attach_endpoint when
+    # the variable is both a pattern's first node and an edge
+    # endpoint); without the memo the second call found no new columns
+    # but still emitted a redundant key-only inner join per label
+    applied_labels: set = field(default_factory=set)
 
 
 # guard for percentileDisc's collect_list fallback (contexts the
@@ -806,7 +813,13 @@ def _bind_patterns(
         renamed = frame.select(
             *[F.col(c).alias(f"{var}__{c}") for c in cols]
         )
-        vars[var] = _BoundVar("node", label, cols, key=node_def.key)
+        vars[var] = _BoundVar(
+            "node",
+            label,
+            cols,
+            key=node_def.key,
+            applied_labels=set(extras),
+        )
         return renamed
 
     def conj_extras(node: A.NodePat) -> tuple[str, ...]:
@@ -826,11 +839,16 @@ def _bind_patterns(
         extra label (validated upfront in the per-pattern loop)."""
         nonlocal df
         bv = vars[v]
-        extras = [l for l in conj_extras(p) if l != bv.label]
+        extras = [
+            l
+            for l in conj_extras(p)
+            if l != bv.label and l not in bv.applied_labels
+        ]
         if not extras or bv.kind != "node" or bv.label == "*":
             return
         key = graph.schema.node(bv.label).key
         for l in extras:
+            bv.applied_labels.add(l)
             ef = graph.nodes[l]
             new_cols = [c for c in ef.columns if c not in bv.columns]
             sel = ef.select(

@@ -207,6 +207,27 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_SPAN_N = 8  # span window for corpus-wide duplicate detection
 
+# Frames persisted by a builder but consumed by the RETURNED lazy plan
+# (dup, keep_stats) cannot be unpersisted inside the builder — yet a
+# long-lived session running many queries back-to-back (the driver's
+# 50-query correctness gate never calls free_all_persistent, unlike
+# the bench tools) would accumulate one cached frame set per call.
+# One-slot rolling window: each top-level dup-span/pipeline call first
+# releases the PREVIOUS call's lingering frames, so at most one stale
+# set survives at any time. Unpersisting a frame a caller still holds
+# is always safe — the plan recomputes (ADVICE r8 low #2).
+_LINGERING: list = []
+
+
+def _release_lingering() -> None:
+    while _LINGERING:
+        _LINGERING.pop().unpersist()
+
+
+def _linger(df):
+    _LINGERING.append(df)
+    return df
+
 
 def _span_grams(col, n: int):
     """Positional word n-grams of a text column: index i of the result
@@ -266,13 +287,17 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
         F.xxhash64("gram") == F.col("gh"),
         "left_semi",
     )
-    dup = (
+    dup = _linger(
         cand_spans.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("gram")
-    ).persist()
+        .persist()
+    )
     n_dup = dup.count()
+    # dup's cache now holds everything downstream reads — the candidate
+    # hash set fed only the semi-join above, release it immediately
+    cand_hashes.unpersist()
     if n_dup <= 500_000:  # ~60 MB of gram strings — broadcastable
         dup = F.broadcast(dup)
     return spans, dup
@@ -427,6 +452,7 @@ _DUP_SPAN_CTES = "\n    WITH " + _dup_span_ctes_from("documents") + "\n"
     "One shuffle counts distinct docs per span, one join flags them",
 )
 def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _release_lingering()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dup_span_profile(docs)
 
@@ -469,6 +495,7 @@ def doc_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "removal is a narrow array filter — no token-level shuffle",
 )
 def doc_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _release_lingering()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dup_span_scrub(docs)
 
@@ -1190,6 +1217,7 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_span_scrub, pack_bins) — no duplicated logic."""
     from project_graphdb_spark.operators.text_fns import quality_gate_stats
 
+    _release_lingering()
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
@@ -1197,8 +1225,10 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below, and the scrub recomputes spans over `kept` twice) — persist
     # the narrow (doc_id, n_tokens) stats once and BROADCAST the id
     # list (8 B/doc; measured-count guard), so no downstream consumer
-    # re-tokenizes the corpus or shuffles the text column for the semi
-    keep_stats = (
+    # re-tokenizes the corpus or shuffles the text column for the semi.
+    # _linger: released by the NEXT top-level call, not here — the
+    # returned plan still reads it (see _release_lingering)
+    keep_stats = _linger(
         quality_gate_stats(docs.select("doc_id", "text"))
         .filter("keep")
         .select("doc_id", "n_tokens")

@@ -382,3 +382,27 @@ def test_dup_span_scrub_all_duplicate_doc(spark):
     for d in (1, 2):
         assert out[d].clean_text == ""
         assert out[d].n_removed == 200
+
+
+def test_dup_span_persists_do_not_accumulate(spark, sf_dir):
+    """ADVICE r8 low #2: cand_hashes/dup/keep_stats were persist()ed
+    and never released, so a long-lived session running many queries
+    (the driver's 50-query gate) accumulated cached frames. Now the
+    candidate hash set is unpersisted as soon as the dup frame's cache
+    is materialized, and each top-level call releases the previous
+    call's lingering frames — so repeated calls hold a CONSTANT number
+    of persisted RDDs, not a growing one."""
+    from project_graphdb_spark import workload
+    from project_graphdb_spark.spark_util import persistent_rdd_ids
+
+    workload._ensure_loaded()
+    fn = workload.REGISTRY["doc_dup_span_profile"].fn
+
+    fn(spark, sf_dir).collect()
+    after_first = len(persistent_rdd_ids(spark.sparkContext))
+    for _ in range(3):
+        fn(spark, sf_dir).collect()
+    after_fourth = len(persistent_rdd_ids(spark.sparkContext))
+    assert after_fourth <= after_first, (
+        f"persisted RDDs grew {after_first} -> {after_fourth}"
+    )

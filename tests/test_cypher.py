@@ -2029,3 +2029,46 @@ def test_fk_join_elimination_requires_trust(spark, sf_dir):
         g, "MATCH (a:P)-[:KNOWS]->(b:P) RETURN count(*) AS n"
     ).first()["n"]
     assert n == 1  # the dangling edge must NOT count
+
+
+def test_conj_attach_no_redundant_rejoin(spark, sf_dir):
+    """ADVICE r8 low: conj_attach could run twice for the same extra
+    label on one bound variable (pattern-start branch + attach_endpoint,
+    or simply repeated conjunctive re-MATCHes) — the second call found
+    no new columns but still emitted a key-only inner join per label.
+    The _BoundVar.applied_labels memo makes re-application a no-op:
+    re-stating the conjunction must not add a single extra Join node."""
+    from project_graphdb_spark.operators.cypher_workload import (
+        _multilabel_graph,
+    )
+
+    g = _multilabel_graph(spark, sf_dir)
+    n_buyers = g.nodes["ActiveBuyer"].count()
+
+    def njoins(q):
+        df = compile_cypher(g, q)
+        assert df.collect()[0]["n"] == n_buyers
+        return df._jdf.queryExecution().analyzed().toString().count("Join")
+
+    once = njoins(
+        "MATCH (c:Customer) MATCH (c:Customer:ActiveBuyer) "
+        "RETURN count(*) AS n"
+    )
+    thrice = njoins(
+        "MATCH (c:Customer) MATCH (c:Customer:ActiveBuyer) "
+        "MATCH (c:Customer:ActiveBuyer) MATCH (c:ActiveBuyer:Customer) "
+        "RETURN count(*) AS n"
+    )
+    assert thrice == once, f"redundant conj re-joins: {once} vs {thrice}"
+
+    # initial conjunctive binding also records its labels: a re-MATCH
+    # of the same conjunction on a var bound WITH the extra label adds
+    # no join either
+    first = njoins(
+        "MATCH (c:Customer:ActiveBuyer) RETURN count(*) AS n"
+    )
+    rematch = njoins(
+        "MATCH (c:Customer:ActiveBuyer) MATCH (c:Customer:ActiveBuyer) "
+        "RETURN count(*) AS n"
+    )
+    assert rematch == first

@@ -131,12 +131,15 @@ def main() -> None:
             raise SystemExit(f"unknown queries in --skip: {unknown}")
         names = [n for n in names if n not in skipped]
         print(f"SKIPPED (explicit): {skipped}")
-    from project_graphdb_spark.operators.similarity import _emb as _emb_pre
+    # only pay the corpus count when a BIG_SF_EXCLUDED query is
+    # actually selected (ADVICE r8: an unconditional count here was an
+    # extra corpus pass before every timed loop, --only runs included)
+    if any(n in names for n in BIG_SF_EXCLUDED):
+        from project_graphdb_spark.operators.similarity import _emb as _emb_pre
 
-    n_vec = _emb_pre(spark, sf_dir).count()
-    if n_vec > BIG_SF_VECTORS:
-        auto = [n for n in BIG_SF_EXCLUDED if n in names]
-        if auto:
+        n_vec = _emb_pre(spark, sf_dir).count()
+        if n_vec > BIG_SF_VECTORS:
+            auto = [n for n in BIG_SF_EXCLUDED if n in names]
             names = [n for n in names if n not in auto]
             skipped = [*skipped, *auto]
             print(
