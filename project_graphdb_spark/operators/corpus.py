@@ -239,31 +239,39 @@ def _span_grams(col, n: int):
 
 
 def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
-    """(spans, dup) shared by the duplicate-span operators: spans is
-    (doc_id, s, gram) for every span start, dup the grams that occur in
-    ≥2 distinct documents (cross-document duplication only — a span
-    repeated inside one doc is that doc's own business).
+    """(cand_spans, dup) shared by the duplicate-span operators:
+    cand_spans is (doc_id, s, gram) restricted to spans whose gram
+    HASH occurs in ≥2 distinct documents (a superset of true dups —
+    rare 64-bit collisions only add rows), persisted; dup the exactly
+    verified grams occurring in ≥2 distinct docs (cross-document
+    duplication only — a span repeated inside one doc is that doc's
+    own business).
 
-    ``spans`` is deliberately NOT cached/checkpointed even though both
-    the dup aggregation and the join probe consume it: the exploded
-    frame is ~doc_len× larger than the corpus (every token start
-    carries an n-token string), so materializing it costs far more
-    than recomputing a narrow parquet scan + explode — the opposite
-    trade from ``cluster_assignments``, whose shared pair frame is
-    tiny and expensive to derive."""
+    Two corpus tokenize/explode passes TOTAL (r9, VERDICT r8 ask #4;
+    was three):
+
+    1. hashed candidate detection — the naive groupBy(gram) shuffles
+       the FULL exploded frame on the ~n-token STRING key (~120 B/row,
+       measured 152 s for the profile at sf10); aggregating on
+       xxhash64(gram) shuffles 8-byte keys. Nothing persisted: the
+       full span frame is ~doc_len× the corpus, caching it costs more
+       than the narrow scan+explode it saves (measured r8).
+    2. candidate extraction — re-explode with strings, semi-join the
+       (measured-count broadcast) candidate hashes, and PERSIST the
+       surviving (doc_id, s, gram) rows: true-duplicate sets are small
+       in real corpora, and every downstream consumer (exact verify,
+       profile's dup counts, scrub's dup positions) now reads this
+       small cached frame instead of re-exploding the corpus — the r8
+       shape paid a third full tokenize/explode pass here.
+
+    The returned gram set stays EXACT: flags are verified on gram
+    strings; a hash collision costs a few extra candidate rows, never
+    a wrong flag.
+    """
     spans = docs.select(
         "doc_id",
         F.posexplode(_span_grams("text", n)).alias("s", "gram"),
     )
-    # candidate-first dup detection (same pattern as minhash verify):
-    # the naive groupBy(gram) shuffles the FULL exploded frame on the
-    # ~n-token STRING key (~120 B/row — measured 152 s for the profile
-    # at sf10); aggregating on xxhash64(gram) shuffles 8-byte keys
-    # (~7x less exchange volume), then the exact count_distinct runs
-    # only over the candidate spans that hit a colliding hash — a
-    # superset of true dups that exact verification shrinks, so the
-    # returned gram set is EXACT (a 64-bit collision costs a few extra
-    # verify rows, never a wrong flag).
     gh = F.xxhash64("gram").alias("gh")
     cand_hashes = (
         spans.select(gh, "doc_id")
@@ -282,10 +290,12 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     ch = (
         F.broadcast(cand_hashes) if n_cand <= 2_000_000 else cand_hashes
     )
-    cand_spans = spans.select("doc_id", "gram").join(
-        ch,
-        F.xxhash64("gram") == F.col("gh"),
-        "left_semi",
+    cand_spans = _linger(
+        spans.join(
+            ch,
+            F.xxhash64("gram") == F.col("gh"),
+            "left_semi",
+        ).persist()
     )
     dup = _linger(
         cand_spans.groupBy("gram")
@@ -294,32 +304,37 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
         .select("gram")
         .persist()
     )
-    n_dup = dup.count()
-    # dup's cache now holds everything downstream reads — the candidate
-    # hash set fed only the semi-join above, release it immediately
+    n_dup = dup.count()  # also materializes cand_spans' cache
+    # the candidate hash set fed only the semi-join above — release it
     cand_hashes.unpersist()
     if n_dup <= 500_000:  # ~60 MB of gram strings — broadcastable
         dup = F.broadcast(dup)
-    return spans, dup
+    return cand_spans, dup
 
 
 def dup_span_profile(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
-    """Per-doc duplicate-span counts over a (doc_id, text) frame."""
-    spans, dup = _dup_span_frames(docs, n)
-    prof = (
-        spans.join(dup.withColumn("__dup", F.lit(1)), "gram", "left")
+    """Per-doc duplicate-span counts over a (doc_id, text) frame.
+
+    ``n_spans`` is arithmetic, not a third explode: the positional
+    gram count of a doc is exactly ``max(0, n_tokens - n + 1)``
+    (sliding_structs contract), so the total-span side needs only a
+    narrow per-doc token count; the dup side reads the small persisted
+    candidate frame."""
+    cand_spans, dup = _dup_span_frames(docs, n)
+    n_spans = F.when(
+        F.size(tokens("text")) >= n, F.size(tokens("text")) - F.lit(n - 1)
+    ).otherwise(F.lit(0))
+    nd = (
+        cand_spans.join(dup, "gram", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_spans"),
-        )
+        .agg(F.count("*").alias("n_dup_spans"))
     )
     return (
-        docs.select("doc_id")
-        .join(prof, "doc_id", "left")
+        docs.select("doc_id", n_spans.cast("bigint").alias("n_spans"))
+        .join(nd, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            "n_spans",
             F.coalesce("n_dup_spans", F.lit(0))
             .cast("bigint")
             .alias("n_dup_spans"),
@@ -346,9 +361,12 @@ def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     form was O(doc_len x dup_starts) per doc, quadratic in doc length
     at full duplication.
     """
-    spans, dup = _dup_span_frames(docs, n)
+    cand_spans, dup = _dup_span_frames(docs, n)
+    # dup ⊆ candidate grams by construction, so the dup positions are
+    # recoverable from the small persisted candidate frame — no third
+    # corpus explode (r9, VERDICT r8 ask #4)
     dup_starts = (
-        spans.join(dup, "gram", "left_semi")
+        cand_spans.join(dup, "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("dup_starts"))
     )
