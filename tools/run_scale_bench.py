@@ -57,6 +57,16 @@ EXTRA_STACK = [
     "ev_purchase_revenue_by_segment",
     "dedup_semantic_blocked",
     "emb_ivf_assign",
+    # the r8 TPC-H additions, promoted to the standard stack (r9,
+    # VERDICT ask #5) so they get the same per-round regression
+    # tracking as the rest — Q4/Q7/Q8/Q13/Q19/Q21/Q22 by shape
+    "late_order_priority_counts",
+    "volume_shipping_nation_pair",
+    "nation_market_share",
+    "customer_order_count_distribution",
+    "discounted_revenue_triples",
+    "sole_late_supplier_orders",
+    "idle_rich_customers_by_nation",
     # doc_bm25_topk is NOT here: its registered face binds driver-corpus
     # terms that don't exist in the scale corpus's wordNNN vocabulary
     # (0 rows). Scale-measure it via the parameterized bm25_topk core
