@@ -1200,15 +1200,13 @@ _WINNOW_SEL_CTES = f"""wtoks AS MATERIALIZED (
     )"""
 
 
-def _winnow_sel_arrays(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_grams, sels: array<string>) — the winnowed
-    fingerprint SET per doc as one narrow row: hash every K-token
-    gram, slide a W-gram window, keep each window's minimum hash,
-    dedup. Density ≈ 2/(W+1) of the gram count, so any downstream join
-    touches a small, content-stable sample of the doc (MOSS winnowing,
-    Schleimer et al. 2003, simplified to value-level dedup of the
-    selected minima). One row per input doc — a gramless doc carries
-    an empty array, so per-doc consumers need no reinstating join.
+def _winnow_sels(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, fp) — the winnowed fingerprint set per doc:
+    hash every K-token gram, slide a W-gram window, keep each window's
+    minimum hash, dedup. Density ≈ 2/(W+1) of the gram count, so any
+    downstream join touches a small, content-stable sample of the doc
+    (MOSS winnowing, Schleimer et al. 2003, simplified to value-level
+    dedup of the selected minima).
 
     Repartitions by doc_id first for the same reason ``doc_shingles``
     does: the per-gram md5 work is CPU-bound, and a compactly-written
@@ -1217,7 +1215,18 @@ def _winnow_sel_arrays(docs: DataFrame) -> DataFrame:
     coalesces a count-unspecified repartition of byte-small input back
     to one partition — optimizing for data volume exactly when the
     cost is CPU per row (measured at sf0.1: 3.95 s coalesced vs
-    0.78 s at explicit parallelism)."""
+    0.78 s at explicit parallelism).
+
+    PROJECTION-SHAPE WARNING (measured r9): this must stay EXACTLY two
+    levels — one Project computing the gram array ``gh``, one
+    Generate/Project consuming it. An r9 attempt to split a reusable
+    (doc_id, n_grams, sels-array) projection out of it added a third
+    level, and CollapseProject then inlined the md5-per-gram array
+    into every reference across the merged projections: the optimized
+    plan carried 4 copies of md5() and 36 of split(), and this frame's
+    count went 3.6 s → 38.5 s at sf0.1 (~11×). Spark only suppresses
+    alias inlining one level at a time; don't re-stack projections
+    over ``gh``."""
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
     docs = repartition_for_cpu(docs, "doc_id")
@@ -1241,18 +1250,7 @@ def _winnow_sel_arrays(docs: DataFrame) -> DataFrame:
     return gh.select(
         "doc_id",
         n_grams.cast("bigint").alias("n_grams"),
-        sels.alias("sels"),
-    )
-
-
-def _winnow_sels(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_grams, fp) — exploded form of
-    :func:`_winnow_sel_arrays` for the pair-join consumers
-    (dedup_winnow and the incremental tier); per-doc consumers should
-    stay on the array form and skip the explode → re-group round
-    trip."""
-    return _winnow_sel_arrays(docs).select(
-        "doc_id", "n_grams", F.explode("sels").alias("fp")
+        F.explode(sels).alias("fp"),
     )
 
 
@@ -1281,23 +1279,38 @@ def _winnow_sels(docs: DataFrame) -> DataFrame:
     "because the gram hash is md5 (identical in both engines)",
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r9 shape: per-doc aggregates computed DIRECTLY on the selection
-    array — the r8 form exploded the fingerprints, groupBy'd them back
-    per doc (collect_list + sort) and LEFT-joined gramless docs back
-    in: an exchange + re-aggregation round trip that rebuilt what the
-    array already held. Twin-bench profile at sf10 showed the exchange
-    was NOT the dominant cost (261 MB over 54.6 s — CPU owns the md5
-    gram map), so the win is modest but free: one narrow map, zero
-    exchanges after the CPU-spreading repartition, no reinstating
-    join (empty-array docs are already rows)."""
+    """Explode + groupBy + reinstating join, DELIBERATELY (r9
+    measured): an array-direct per-doc form (size + md5 of the sorted
+    selection array, no second exchange) was built and measured — the
+    twin bench showed the exchange it removes is not the cost owner
+    (261 MB over ~55 s; the md5 gram map CPU is), the wall-time win
+    was noise-level (54.6 → 53.8 s at sf10), and stacking another
+    projection over the gram array trips CollapseProject alias
+    inlining in the SHARED _winnow_sels helper (see its
+    projection-shape warning: ~11× regression). Keep-explode is the
+    measured decision, not an oversight."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = (
+        _winnow_sels(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_fps"),
+            F.md5(
+                F.concat_ws(
+                    "", F.sort_array(F.collect_list("fp"))
+                )
+            ).alias("sketch"),
+        )
+    )
     return (
-        _winnow_sel_arrays(docs)
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_grams",
-            F.size("sels").cast("bigint").alias("n_fps"),
-            F.md5(F.concat_ws("", F.array_sort("sels"))).alias("sketch"),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("sketch", F.md5(F.lit(""))).alias("sketch"),
         )
         .orderBy("doc_id")
     )

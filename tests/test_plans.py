@@ -316,3 +316,19 @@ def test_q8_region_scope_precedes_fact_join(spark, sf_dir):
     df = workload.REGISTRY["nation_market_share"].fn(spark, sf_dir)
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert _join_appears_above(plan, "l_orderkey", "o_custkey")
+
+
+def test_winnow_gram_map_not_duplicated_by_collapse(spark, sf_dir):
+    """The winnow gram array must be computed ONCE per row: stacking an
+    extra projection over it lets CollapseProject inline the
+    md5-per-gram expression into every reference (measured r9: 4x md5 /
+    36x split in the optimized plan, ~11x wall regression at sf0.1).
+    Pin: exactly one md5( in the optimized plan of the exploded
+    selection frame."""
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.dedup import _winnow_sels
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sels = _winnow_sels(docs).select("doc_id", "fp")
+    plan = sels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, f"gram map duplicated: {plan.count('md5(')}x"
