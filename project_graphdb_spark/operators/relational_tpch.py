@@ -323,29 +323,29 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_cust GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    description="TPC-H Q13 shape: LEFT OUTER fact join with a "
-    "non-key join predicate (priority filter inside the ON clause, so "
-    "order-less customers still appear with count 0) + two-level "
-    "aggregate — orders per customer, then the histogram of those "
-    "counts. The second aggregate's key domain is tiny, so its "
-    "shuffle is bytes",
+    description="TPC-H Q13 shape: per-customer order counts including "
+    "the zero-order bucket + histogram of the counts. r9 plan (VERDICT "
+    "r8 nit #5): the priority-filtered orders PRE-AGGREGATE to "
+    "(custkey, n) group counts before the LEFT join, so the custkey "
+    "exchange carries one row per ordering customer instead of one "
+    "per order; order-less customers surface via coalesce(n, 0). The "
+    "second aggregate's key domain is tiny, so its shuffle is bytes",
 )
 def customer_order_count_distribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+    per_cust_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    joined = cust.join(
-        orders,
-        (cust.c_custkey == orders.o_custkey)
-        & (orders.o_orderpriority != "1-URGENT"),
+    per_cust = cust.join(
+        per_cust_orders,
+        cust.c_custkey == F.col("o_custkey"),
         "left",
-    )
-    per_cust = joined.groupBy("c_custkey").agg(
-        F.count("o_orderkey").alias("c_count")
-    )
+    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

@@ -332,3 +332,22 @@ def test_winnow_gram_map_not_duplicated_by_collapse(spark, sf_dir):
     sels = _winnow_sels(docs).select("doc_id", "fp")
     plan = sels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5(") == 1, f"gram map duplicated: {plan.count('md5(')}x"
+
+
+def test_q13_preaggregates_before_outer_join(spark, sf_dir):
+    """Q13's r9 shape (VERDICT r8 nit #5): the priority-filtered
+    orders aggregate to per-custkey counts BELOW the LEFT join, so the
+    custkey exchange carries group counts (one row per ordering
+    customer), not raw orders."""
+    df = workload.REGISTRY["customer_order_count_distribution"].fn(
+        spark, sf_dir
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    jidx = next(
+        i for i, l in enumerate(lines) if "Join LeftOuter" in l
+    )
+    aidx = next(
+        i for i, l in enumerate(lines) if "Aggregate [o_custkey" in l
+    )
+    assert jidx < aidx, "orders pre-aggregation not below the outer join"
