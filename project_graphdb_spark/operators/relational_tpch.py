@@ -476,7 +476,8 @@ def idle_rich_customers_by_nation(
     SELECT CAST(SUM(CAST(l_extendedprice AS {SQL_DEC})
                     * CAST(l_discount AS {SQL_DEC})) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE year(l_shipdate) = 2000
+    WHERE l_shipdate >= DATE '2000-01-01'
+      AND l_shipdate < DATE '2001-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -491,9 +492,14 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_discount", "l_quantity", "l_shipdate"
     )
+    # sargable range, not year(l_shipdate) == 2000: a function over the
+    # column cannot reach parquet PushedFilters; the equivalent
+    # half-open date range does (ADVICE r9), pinned by
+    # test_q6_ship_year_filter_is_pushed_down
     return (
         li.filter(
-            (F.year("l_shipdate") == 2000)
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("date"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -679,4 +685,75 @@ def large_volume_customer_orders(
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
+    )
+
+
+Q15_START = "2000-01-01"  # classic Q15 window: one quarter of shipments
+Q15_END = "2000-04-01"
+
+
+@register(
+    "top_supplier_quarter_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({SQL_REVENUE}) AS total_exact
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{Q15_START}'
+        AND l_shipdate <  DATE '{Q15_END}'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_exact AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_exact = (SELECT MAX(total_exact) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    description="TPC-H Q15 shape: top supplier by one quarter's "
+    "shipped revenue — the revenue view (per-suppkey decimal sum over "
+    "a pushed-down 3-month ship-date range) feeds BOTH its own global "
+    "max and the join-back probe; Spark's ReuseExchange computes the "
+    "view's shuffle once (pinned by test_q15_reuses_revenue_exchange). "
+    "The 1-row max broadcasts; ties surface as multiple rows ordered "
+    "by suppkey. Completes the partsupp-free TPC-H family at 15/15",
+)
+def top_supplier_quarter_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    # the explicit isnotnull(l_suppkey) matters: the supplier equi-join
+    # pushes it into the PROBE side's scan only, which would make the
+    # two rev subtrees non-identical and defeat ReuseExchange — with it
+    # on the shared view, the quarter slice is scanned+shuffled ONCE
+    # and the max side reads the same exchange
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q15_START).cast("date"))
+            & (F.col("l_shipdate") < F.lit(Q15_END).cast("date"))
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue_expr()).alias("total_exact"))
+    )
+    # the group-max join-back: the max side is a single-row global
+    # aggregate (bounded by construction — the broadcast policy's
+    # SF-scaled concern doesn't apply), and the equality compares
+    # EXACT decimals so ties are bit-reliable on both engines
+    max_rev = rev.agg(F.max("total_exact").alias("max_exact"))
+    return (
+        rev.join(
+            F.broadcast(max_rev),
+            F.col("total_exact") == F.col("max_exact"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_exact").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
     )

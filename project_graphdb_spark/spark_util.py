@@ -69,7 +69,44 @@ def repartition_for_cpu(df, *cols):
     return df.repartition(n, *cols)
 
 
-def adaptive_broadcast(df, max_rows: int = 2_000_000):
+# measured-count memo for adaptive_broadcast, keyed by (session id,
+# analyzed-plan semantic hash). Bounded: cleared wholesale past 512
+# entries (slices are a handful per query; this never fires in
+# practice, it only caps a pathological registry-wide sweep).
+_BCAST_COUNT_MEMO: dict[tuple[int, int], int] = {}
+
+
+def _est_row_bytes(schema) -> int:
+    """Conservative per-row byte estimate from a StructType: fixed
+    widths for primitives, pessimistic constants for variable-width
+    types. Used to turn adaptive_broadcast's row guard into a BYTES
+    guard — a row-count-only guard would force-broadcast a just-under-
+    guard slice of a WIDE table (hundreds of MB/executor, the OOM
+    class the no-forced-broadcast policy exists for)."""
+    fixed = {
+        "boolean": 1, "byte": 1, "short": 2, "integer": 4, "long": 8,
+        "float": 4, "double": 8, "date": 4, "timestamp": 8,
+        "timestamp_ntz": 8,
+    }
+    total = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in fixed:
+            total += fixed[t]
+        elif t.startswith("decimal"):
+            total += 16
+        elif t == "string":
+            total += 32  # this corpus's names/comments average under this
+        elif t in ("array", "map", "binary", "struct"):
+            total += 256  # embeddings/payloads: pessimistic, var-width
+        else:
+            total += 32
+    return max(total, 8)
+
+
+def adaptive_broadcast(
+    df, max_rows: int = 2_000_000, max_bytes: int = 128 << 20
+):
     """Measured-count broadcast decision for SF-scaled-but-filtered
     frames (the corpus.py finding-14 pattern, shared).
 
@@ -83,10 +120,39 @@ def adaptive_broadcast(df, max_rows: int = 2_000_000):
     no-forced-broadcast-of-SF-scaled-tables policy), so decide from
     the MEASURED row count: one narrow count job over the slice, hint
     only under the guard, shuffle-join fallback above it.
+
+    Two guards, both required (ADVICE r9): ``max_rows`` bounds the
+    hash-relation entry count, ``max_bytes`` bounds its estimated size
+    (measured rows x schema-derived row width, `_est_row_bytes`) so a
+    just-under-guard slice of a WIDE table is never forced onto every
+    executor.
+
+    The measured count is MEMOIZED per (session, analyzed-plan
+    semantic hash): query builders that call this (Q7 runs two per
+    build) launch ONE narrow count job per distinct slice per session,
+    not one per ``fn()`` call — plan-shape tests and ``plan_facts``
+    consumers that rebuild the same query repay nothing after the
+    first build (ADVICE r9). The first build's count job is accepted
+    and documented: it is the price of a measurement the planner
+    cannot make statically.
     """
     from pyspark.sql import functions as F
 
-    return F.broadcast(df) if df.count() <= max_rows else df
+    # session key = JVM identity hash (a py4j proxy's Python id() is
+    # NOT stable across attribute accesses)
+    key = (
+        df.sparkSession._jsparkSession.hashCode(),
+        df._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    n = _BCAST_COUNT_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        if len(_BCAST_COUNT_MEMO) > 512:
+            _BCAST_COUNT_MEMO.clear()
+        _BCAST_COUNT_MEMO[key] = n
+    if n <= max_rows and n * _est_row_bytes(df.schema) <= max_bytes:
+        return F.broadcast(df)
+    return df
 
 
 def materialize(df) -> int:

@@ -351,3 +351,76 @@ def test_q13_preaggregates_before_outer_join(spark, sf_dir):
         i for i, l in enumerate(lines) if "Aggregate [o_custkey" in l
     )
     assert jidx < aidx, "orders pre-aggregation not below the outer join"
+
+
+def test_q6_ship_year_filter_is_pushed_down(spark, sf_dir):
+    """Q6's ship-year filter must be a sargable date range (ADVICE r9:
+    year(l_shipdate) == 2000 is a function over the column, which
+    parquet cannot push down). Pin: l_shipdate appears inside the
+    scan's PushedFilters list."""
+    df = workload.REGISTRY["forecast_revenue_change"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_adaptive_broadcast_bytes_guard(spark, sf_dir):
+    """adaptive_broadcast must refuse a row-count-passing slice whose
+    ESTIMATED bytes (rows x schema width) exceed the byte guard — the
+    wide-table OOM class a rows-only guard misses (ADVICE r9)."""
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.spark_util import adaptive_broadcast
+
+    docs = load_table(spark, sf_dir, "documents")  # has a string text col
+    out = adaptive_broadcast(docs, max_rows=10_000_000, max_bytes=64)
+    plan = out._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in plan and "hints=" not in plan.lower(), plan
+    # and the same frame broadcasts under a generous byte budget
+    out2 = adaptive_broadcast(docs, max_rows=10_000_000)
+    plan2 = out2._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" in plan2 or "UnresolvedHint" in plan2, plan2
+
+
+def test_adaptive_broadcast_memoizes_measured_count(spark, sf_dir):
+    """The measured count must run ONE Spark job per distinct slice
+    per session: rebuilding the same plan (plan-shape tests, repeated
+    fn() calls) reuses the memoized count (ADVICE r9)."""
+    from project_graphdb_spark import spark_util
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.spark_util import adaptive_broadcast
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey")
+    adaptive_broadcast(region)
+    key = (
+        region.sparkSession._jsparkSession.hashCode(),
+        region._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    assert key in spark_util._BCAST_COUNT_MEMO
+    # poison the memoized count; a rebuild of the SAME query must use
+    # it (refusing the broadcast) instead of re-counting
+    saved = spark_util._BCAST_COUNT_MEMO[key]
+    try:
+        spark_util._BCAST_COUNT_MEMO[key] = 10**12
+        region2 = load_table(spark, sf_dir, "region").select("r_regionkey")
+        out = adaptive_broadcast(region2)
+        plan = out._jdf.queryExecution().logical().toString()
+        assert "Hint" not in plan, "memo ignored: fresh count broadcast"
+        assert spark_util._BCAST_COUNT_MEMO[key] == 10**12
+    finally:
+        spark_util._BCAST_COUNT_MEMO[key] = saved
+
+
+def test_q15_reuses_revenue_exchange(spark, sf_dir):
+    """Q15's revenue view feeds both its global max and the join-back
+    probe; the view's shuffle must be computed ONCE (ReusedExchange)
+    and the quarter slice scanned once — without the shared
+    isnotnull(l_suppkey) the probe-side join pushdown makes the two
+    subtrees non-identical and the scan+shuffle doubles."""
+    df = workload.REGISTRY["top_supplier_quarter_revenue"].fn(
+        spark, sf_dir
+    )
+    df.collect()  # finalize AQE
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+    assert plan.count("lineitem.parquet") == 1
