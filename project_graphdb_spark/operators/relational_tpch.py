@@ -1,5 +1,7 @@
 """Remaining classic TPC-H plan shapes (Q4, Q7, Q8, Q13, Q19, Q22 from
-r8; Q6, Q10, Q12, Q18 added r9), adapted to this corpus's schema (no
+r8; Q6, Q10, Q12, Q18 added r9; Q15 added r10 — every TPC-H shape
+expressible without partsupp is now covered), adapted to this corpus's
+schema (no
 commit/receipt dates, shipmodes, phones, containers or partsupp —
 lateness is ship-vs-order date, Q12's shipmode is stood in by the
 return flag, Q22's customer segmentation key is the nation, Q19's
@@ -30,6 +32,8 @@ did not yet pin:
   both sides.
 * Q18 — HAVING-filtered fact aggregate as the probe side of the
   dimension joins.
+* Q15 — group-max join-back over a shared view: the revenue view feeds
+  both its own global max and the join probe through ONE ReusedExchange.
 
 Scale notes (100 TB): every dimension join is broadcast-sized or
 planner-decided; fact tables shuffle at most once per query on their
