@@ -28,6 +28,7 @@ of Spark's accumulation order (see operators/exact.py).
 from __future__ import annotations
 
 import copy
+import dataclasses
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -244,12 +245,19 @@ class _ExprCompiler:
         scope: _Scope,
         exact_decimal_sums: bool,
         pattern_counts: dict[int, str] | None = None,
+        agg_partials: dict[int, tuple[str, str]] | None = None,
     ):
         self.scope = scope
         self.exact = exact_decimal_sums
         # id(PatternCount node) -> pre-joined count column name; filled
         # by _attach_pattern_counts before expressions compile
         self.pattern_counts = pattern_counts or {}
+        # id(aggregate FnCall) -> (partial column, merge kind); filled
+        # by _try_agg_pushdown when the MATCH was lowered to a
+        # pre-aggregated edge frame (aggregation pushdown below the
+        # node join) — the aggregate then compiles to the MERGE of the
+        # per-key partials instead of re-aggregating raw rows
+        self.agg_partials = agg_partials or {}
         # id(percentileDisc FnCall) -> pre-agg window helper column;
         # filled by _project before aggregate expressions compile
         self.pdisc_cols: dict[int, str] = {}
@@ -464,6 +472,27 @@ class _ExprCompiler:
 
     def _fn(self, e: A.FnCall) -> Column:
         name = e.name
+        if id(e) in self.agg_partials:
+            # aggregation pushdown: this call was pre-aggregated per
+            # join key below the node join — emit the merge. sum/count
+            # merge as sum (count of a group = sum of per-key counts),
+            # min/max as themselves; exact non-integral sums cast to
+            # double only HERE, after the exact decimal merge (casting
+            # the partials would reintroduce order-dependent float
+            # accumulation).
+            cname, kind = self.agg_partials[id(e)]
+            col = F.col(cname)
+            if kind == "sum_double":
+                return F.sum(col).cast("double")
+            if kind == "sum":
+                return F.sum(col)
+            if kind == "count":
+                # counts merge as sums but must keep count()'s
+                # non-nullable long schema (the inner join guarantees
+                # >=1 partial per group, so the 0 branch never fires —
+                # it exists to pin nullability)
+                return F.coalesce(F.sum(col), F.lit(0).cast("bigint"))
+            return F.min(col) if kind == "min" else F.max(col)
         if name == "length":
             # length(p) — hop count of a shortestPath binding. String
             # length is size() in this dialect (CYPHER.md scalars).
@@ -2100,6 +2129,269 @@ def _attach_optional(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Aggregation pushdown below the endpoint node join
+# ---------------------------------------------------------------------------
+
+# kill switch for A/B equivalence tests (tests/test_cypher.py)
+AGG_PUSHDOWN_ENABLED = True
+
+# Measured fan-in gate (r10, SCALE.md finding 23): pre-aggregating the
+# edge frame below the node join only pays when enough edge rows fold
+# into each key group. sf10 A/B, same harness: partkey grain (~30
+# edges/key) 8.0 -> 6.3 s wall and 1266 -> 608 MB shuffle (WIN);
+# custkey grain (~10) 1.7 -> 2.2 s (LOSS); orderkey grain (~4)
+# 6.0 -> 8.5 s with NO shuffle savings (LOSS) — a high-cardinality key
+# gives the partial aggregate nothing to combine pre-shuffle while
+# paying a giant hash table. Threshold between the measured win and
+# the nearest measured loss.
+AGG_PUSHDOWN_MIN_FANIN = 16.0
+
+# (session JVM hash, edge-frame semanticHash, key) -> measured fan-in;
+# one narrow count+approx_count_distinct job per edge frame per
+# session, the adaptive_broadcast memo pattern
+_FANIN_MEMO: dict[tuple[int, int, str], float] = {}
+
+
+def _edge_fanin(eframe: DataFrame, key: str) -> float:
+    """Measured edge rows per distinct key (memoized per session)."""
+    memo_key = (
+        eframe.sparkSession._jsparkSession.hashCode(),
+        eframe._jdf.queryExecution().analyzed().semanticHash(),
+        key,
+    )
+    ratio = _FANIN_MEMO.get(memo_key)
+    if ratio is None:
+        row = eframe.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(key).alias("k"),
+        ).head()
+        ratio = float(row["n"]) / max(float(row["k"]), 1.0)
+        if len(_FANIN_MEMO) > 512:
+            _FANIN_MEMO.clear()
+        _FANIN_MEMO[memo_key] = ratio
+    return ratio
+
+
+_PUSHABLE_AGGS = frozenset({"sum", "count", "min", "max"})
+
+
+def _expr_vars(e: object) -> set[str]:
+    """Every variable a (sub)expression references: ``Prop`` bases and
+    bare ``Var`` names, nested arbitrarily (generic dataclass walk).
+    Lambda variables of list comprehensions are included — that is the
+    CONSERVATIVE direction for the pushdown's eligibility test (a
+    spurious name can only make a query ineligible, never mis-push)."""
+    out: set[str] = set()
+
+    def walk(node: object) -> None:
+        if isinstance(node, A.Prop) and isinstance(node.base, str):
+            out.add(node.base)
+            return
+        if isinstance(node, A.Var):
+            out.add(node.name)
+            return
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(e)
+    return out
+
+
+def _agg_calls(e: object) -> list[A.FnCall]:
+    """Top-level aggregate FnCalls of an expression (no descent into an
+    aggregate's own arguments — nested aggregates are invalid Cypher
+    and fail later in the generic path)."""
+    out: list[A.FnCall] = []
+
+    def walk(node: object) -> None:
+        if isinstance(node, A.FnCall) and node.name in _AGG_FNS:
+            out.append(node)
+            return
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+        elif isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(e)
+    return out
+
+
+def _try_agg_pushdown(
+    graph: PropertyGraph,
+    seg: A.Segment,
+    proj: A.Projection,
+    elidable: frozenset[str] | None,
+    exact: bool,
+) -> tuple[DataFrame, dict[str, _BoundVar], dict[int, tuple[str, str]]] | None:
+    """Lower ``MATCH (a)-[e:T]->(b) … aggregate`` to a pre-aggregation
+    of the EDGE FRAME below the endpoint node join, when the grouping
+    keys are functionally determined by the join key (VERDICT r9 plan
+    nit #4, the Q10/Q13 pattern generalized to compiled Cypher).
+
+    The generic path joins the full edge frame (~fact-scale) to the
+    node frame and aggregates on top — the join exchange carries every
+    edge row. When every aggregate reads only edge properties and every
+    key reads only ONE endpoint, the aggregation commutes with the
+    join: pre-aggregate per edge key (sum/count/min/max are
+    decomposable; decimal sums stay exact because decimal addition is
+    associative), join the ≤#nodes group rows to the node frame, then
+    merge per final key. Eligibility (None = fall back to the generic
+    path, which also owns all error reporting):
+
+    * single fixed-hop directed pattern, no WHERE / OPTIONAL / UNWIND /
+      CALL / shortestPath, no inline props or extra labels;
+    * projection aggregates, not DISTINCT, no pattern-count predicates;
+    * every aggregate call is non-DISTINCT sum/count/min/max over
+      edge-only expressions (count(*) allowed);
+    * key items reference exactly one endpoint variable;
+    * the OTHER endpoint is elidable exactly like the generic path's FK
+      join elimination: unreferenced query-wide and resolution-
+      guaranteed by the edge tier (``EdgeFrame.src/dst_resolved``) —
+      the resolved ``.df`` tier then proves the skipped join's
+      existence semantics.
+    """
+    if not AGG_PUSHDOWN_ENABLED:
+        return None
+    if (
+        seg.optional_patterns
+        or seg.unwinds
+        or seg.calls
+        or seg.where is not None
+        or len(seg.patterns) != 1
+    ):
+        return None
+    pat = seg.patterns[0]
+    if pat.shortest or len(pat.nodes) != 2 or len(pat.edges) != 1:
+        return None
+    edge = pat.edges[0]
+    if (
+        edge.var_length
+        or edge.undirected
+        or edge.props
+        or edge.rel_type not in graph.edges
+    ):
+        return None
+    if any(n.props or n.extra_labels for n in pat.nodes):
+        return None
+    ef = graph.edges[edge.rel_type]
+    meta = ef.meta
+    s_pat, t_pat = (
+        (pat.nodes[1], pat.nodes[0])
+        if edge.reversed
+        else (pat.nodes[0], pat.nodes[1])
+    )
+    if s_pat.label not in (None, meta.source):
+        return None
+    if t_pat.label not in (None, meta.target):
+        return None
+    if proj.distinct or _collect_pattern_counts(
+        [i.expr for i in proj.items]
+    ):
+        return None
+    keys = [i for i in proj.items if not _is_aggregate(i.expr)]
+    aggs = [i for i in proj.items if _is_aggregate(i.expr)]
+    if not aggs:
+        return None
+    evar = edge.var or "__pushed_edge"
+    key_vars: set[str] = set()
+    for i in keys:
+        key_vars |= _expr_vars(i.expr)
+    if len(key_vars) != 1:
+        return None
+    gvar = next(iter(key_vars))
+    if gvar == s_pat.var:
+        gkey, glabel = "src", meta.source
+        other_pat, other_resolved = t_pat, ef.dst_resolved
+    elif gvar == t_pat.var:
+        gkey, glabel = "dst", meta.target
+        other_pat, other_resolved = s_pat, ef.src_resolved
+    else:
+        return None
+    if not other_resolved:
+        return None
+    if other_pat.var is not None and (
+        elidable is None or other_pat.var not in elidable
+    ):
+        return None
+    calls: list[A.FnCall] = []
+    for i in aggs:
+        if _expr_vars(i.expr) - {evar}:
+            return None
+        for c in _agg_calls(i.expr):
+            if c.name not in _PUSHABLE_AGGS or c.distinct:
+                return None
+            if any(isinstance(a, A.Star) for a in c.args) and (
+                c.name != "count" or len(c.args) != 1
+            ):
+                return None
+            calls.append(c)
+    # -- eligible: build the pre-aggregated frame -------------------------
+    # the resolved edge tier (.df) stands in for the skipped endpoint
+    # join — it already drops edges whose elided endpoint dangles
+    eframe = ef.df
+    # measured fan-in gate: below the threshold the pre-aggregate is a
+    # measured wall-clock LOSS (see AGG_PUSHDOWN_MIN_FANIN) — decline
+    # and let the generic join-first path run
+    if _edge_fanin(eframe, gkey) < AGG_PUSHDOWN_MIN_FANIN:
+        return None
+    renamed = eframe.select(
+        *[F.col(c).alias(f"{evar}__{c}") for c in eframe.columns]
+    )
+    escope = _Scope(
+        {evar: _BoundVar("edge", edge.rel_type, meta.properties)},
+        None,
+        renamed,
+    )
+    ecomp = _ExprCompiler(escope, exact)
+    partial_cols: list[Column] = []
+    partials: dict[int, tuple[str, str]] = {}
+    for j, c in enumerate(calls):
+        cname = f"__aggp_{j}"
+        if c.name == "count":
+            if len(c.args) == 1 and isinstance(c.args[0], A.Star):
+                pcol = F.count(F.lit(1))
+            else:
+                pcol = F.count(ecomp.compile(c.args[0]))
+            kind = "count"
+        elif c.name == "sum":
+            pcol = F.sum(ecomp.compile(c.args[0], decimal_ctx=exact))
+            kind = (
+                "sum_double"
+                if exact and not ecomp._is_integral(c.args[0])
+                else "sum"
+            )
+        else:
+            pcol = (F.min if c.name == "min" else F.max)(
+                ecomp.compile(c.args[0])
+            )
+            kind = c.name
+        partial_cols.append(pcol.alias(cname))
+        partials[id(c)] = (cname, kind)
+    if escope.errors:
+        return None  # generic path re-raises with its own diagnostics
+    grouped = renamed.groupBy(F.col(f"{evar}__{gkey}")).agg(*partial_cols)
+    node_def = graph.schema.node(glabel)
+    nframe = graph.nodes[glabel]
+    ncols = list(nframe.columns)
+    nrenamed = nframe.select(
+        *[F.col(c).alias(f"{gvar}__{c}") for c in ncols]
+    )
+    out = grouped.join(
+        nrenamed,
+        F.col(f"{evar}__{gkey}") == F.col(f"{gvar}__{node_def.key}"),
+        "inner",
+    ).drop(f"{evar}__{gkey}")
+    bound = {gvar: _BoundVar("node", glabel, ncols, key=node_def.key)}
+    return out, bound, partials
+
+
 def _project(
     df: DataFrame,
     proj: A.Projection,
@@ -2107,6 +2399,7 @@ def _project(
     exact: bool,
     allow_passthrough: bool = False,
     pattern_counts: dict[int, str] | None = None,
+    agg_partials: dict[int, tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, set[str], dict[str, _BoundVar]]:
     """Compile a WITH/RETURN projection.
 
@@ -2116,7 +2409,7 @@ def _project(
     can still use ``var.prop``. RETURN projections flatten everything.
     Returns (frame, flat output names, surviving variable bindings).
     """
-    comp = _ExprCompiler(scope, exact, pattern_counts)
+    comp = _ExprCompiler(scope, exact, pattern_counts, agg_partials)
     passthrough: list[str] = []
     flat_items: list[tuple[A.Item, str]] = []
     items = list(proj.items)
@@ -2319,10 +2612,28 @@ def compile_cypher(
     # when the edge guarantees resolution)
     elidable = _unused_node_vars(q)
 
+    agg_partials: dict[int, tuple[str, str]] = {}
     for si, seg in enumerate(q.segments):
         normal_pats = [p for p in seg.patterns if not p.shortest]
         shortest_pats = [p for p in seg.patterns if p.shortest]
-        if normal_pats:
+        pushed = None
+        if df is None and not vars and not shortest_pats:
+            # aggregation pushdown below the node join: the aggregating
+            # projection is this segment's WITH, or the query's RETURN
+            # when this single segment has none
+            push_proj = seg.projection
+            if push_proj is None and len(q.segments) == 1:
+                push_proj = q.ret
+            if push_proj is not None and any(
+                _is_aggregate(i.expr) for i in push_proj.items
+            ):
+                pushed = _try_agg_pushdown(
+                    graph, seg, push_proj, elidable, exact_decimal_sums
+                )
+        if pushed is not None:
+            df, vars, new_partials = pushed
+            agg_partials.update(new_partials)
+        elif normal_pats:
             df, vars = _bind_patterns(
                 graph,
                 normal_pats,
@@ -2419,6 +2730,7 @@ def compile_cypher(
                 df, seg.projection, scope, exact_decimal_sums,
                 allow_passthrough=True,
                 pattern_counts=pattern_counts,
+                agg_partials=agg_partials,
             )
             scope = _Scope(vars or None, flat or None, df)
             if seg.proj_order:
@@ -2470,6 +2782,7 @@ def compile_cypher(
     df, out_names, _ = _project(
         df, q.ret, scope, exact_decimal_sums,
         pattern_counts=pattern_counts,
+        agg_partials=agg_partials,
     )
 
     if q.order_by:

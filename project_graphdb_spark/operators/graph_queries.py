@@ -142,10 +142,24 @@ def g_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tpch_graph(spark, sf_dir)
     one = F.lit(1).cast("decimal(18,2)")
     rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    # r10 (VERDICT r9 nit #4, the Q10/Q13 pattern): p_brand is
+    # functionally determined by the edge dst (partkey), so revenue
+    # pre-aggregates per dst BELOW the Part join — the join input
+    # shrinks from ~6M·SF lineitem edges to ≤ #parts groups, and the
+    # SMJ sort of the full edge frame disappears. Decimal sums are
+    # associative, so the two-level sum is bit-identical to the
+    # one-level one. The Orders endpoint join was already elided
+    # (trust_fk endpoint resolution; its variable is unreferenced).
+    per_part = (
+        g.edge("CONTAINS_ITEM")
+        .groupBy("dst")
+        .agg(F.sum(rev).alias("rev_exact"))
+    )
+    part = g.node("Part").select("p_partkey", "p_brand")
     return (
-        g.match("Orders", "CONTAINS_ITEM", "Part")
+        per_part.join(part, F.col("dst") == F.col("p_partkey"))
         .groupBy("p_brand")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum("rev_exact").cast("double").alias("revenue"))
         .orderBy("p_brand")
     )
 

@@ -68,6 +68,14 @@ def flagship_revenue_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # NOT pre-aggregated per l_orderkey below the join (the Q10/Q13
+    # pattern): MEASURED at sf10 (r10, SCALE.md finding 23) the
+    # per-orderkey pre-aggregate LOSES 40% wall with no shuffle
+    # savings — at ~4 lineitems/order the partial aggregate combines
+    # almost nothing pre-shuffle while paying a ~15M·SF-key hash
+    # table. The same measurement made dst-grain (~30 rows/key)
+    # pre-aggregation a win (g_revenue_by_brand) — fan-in decides,
+    # see cypher/compiler.py AGG_PUSHDOWN_MIN_FANIN.
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))

@@ -2072,3 +2072,160 @@ def test_conj_attach_no_redundant_rejoin(spark, sf_dir):
         "RETURN count(*) AS n"
     )
     assert rematch == first
+
+
+# -- aggregation pushdown below the node join (r10) --------------------------
+
+_PUSH_QUERIES = [
+    # part-grain group keys (~30 edges/key, above the measured fan-in
+    # gate): these shapes are the sf10-measured WIN (SCALE.md finding 23)
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN p.p_brand AS brand, count(*) AS n, "
+        "min(ci.l_quantity) AS qmin, max(ci.l_quantity) AS qmax "
+        "ORDER BY brand"
+    ),
+    # decimal-exact sum over an edge expression
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WITH p.p_brand AS brand, "
+        "sum(ci.l_extendedprice * (1 - ci.l_discount)) AS rev "
+        "RETURN brand, rev ORDER BY brand"
+    ),
+    # reversed pattern direction, same part grain
+    (
+        "MATCH (p:Part)<-[ci:CONTAINS_ITEM]-(o:Orders) "
+        "RETURN p.p_type AS ptype, sum(ci.l_quantity) AS q ORDER BY ptype"
+    ),
+    # arithmetic around the aggregate (merge composes under BinOp)
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WITH p.p_brand AS brand, sum(ci.l_quantity) * 2 AS dq "
+        "RETURN brand, dq ORDER BY brand"
+    ),
+]
+
+# eligible shapes whose measured fan-in is BELOW the gate (orderkey
+# grain ~4, custkey grain ~10 edges/key — the sf10-measured losses):
+# the rule must decline and the generic path must own them
+_GATED_QUERIES = [
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WITH date(o.o_orderdate).year AS y, "
+        "sum(ci.l_extendedprice * (1 - ci.l_discount)) AS rev "
+        "RETURN y, rev ORDER BY y"
+    ),
+    (
+        "MATCH (c:Customer)<-[pb:PLACED_BY]-(o:Orders) "
+        "RETURN c.c_mktsegment AS seg, count(*) AS n ORDER BY seg"
+    ),
+]
+
+_NO_PUSH_QUERIES = [
+    # WHERE present
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE o.o_totalprice > 100000 "
+        "RETURN o.o_orderstatus AS st, sum(ci.l_quantity) AS q ORDER BY st"
+    ),
+    # avg is not decomposable without a sum/count split
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN o.o_orderstatus AS st, avg(ci.l_quantity) AS q ORDER BY st"
+    ),
+    # DISTINCT aggregate
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN o.o_orderstatus AS st, "
+        "count(DISTINCT ci.l_quantity) AS q ORDER BY st"
+    ),
+    # aggregate references the OTHER endpoint -> not edge-only
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN o.o_orderstatus AS st, min(p.p_retailprice) AS m "
+        "ORDER BY st"
+    ),
+    # keys reference BOTH endpoints
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "RETURN o.o_orderstatus AS st, p.p_brand AS b, "
+        "sum(ci.l_quantity) AS q ORDER BY st, b"
+    ),
+]
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: tuple(map(str, t))
+    )
+
+
+@pytest.mark.parametrize("q", _PUSH_QUERIES + _GATED_QUERIES + _NO_PUSH_QUERIES)
+def test_agg_pushdown_equivalence(q, spark, sf_dir):
+    """With the pushdown disabled, every query must produce the
+    IDENTICAL result (values and schema) as with it enabled."""
+    from project_graphdb_spark.cypher import compiler as C
+
+    g = tpch_graph(spark, sf_dir)
+    on = compile_cypher(g, q)
+    C.AGG_PUSHDOWN_ENABLED = False
+    try:
+        off = compile_cypher(g, q)
+    finally:
+        C.AGG_PUSHDOWN_ENABLED = True
+    assert on.schema == off.schema
+    assert _rows(on) == _rows(off)
+
+
+@pytest.mark.parametrize("q", _PUSH_QUERIES)
+def test_agg_pushdown_fires(q, spark, sf_dir):
+    """Eligible shapes pre-aggregate BELOW the node join: the optimized
+    plan's topmost Aggregate sits above a Join that itself contains an
+    Aggregate (the per-edge-key partial)."""
+    g = tpch_graph(spark, sf_dir)
+    df = compile_cypher(g, q)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    jidx = [i for i, l in enumerate(lines) if "Join" in l]
+    aidx = [i for i, l in enumerate(lines) if "Aggregate" in l]
+    assert jidx and len(aidx) >= 2, plan
+    assert min(aidx) < min(jidx) < max(aidx), plan
+
+
+@pytest.mark.parametrize("q", _NO_PUSH_QUERIES)
+def test_agg_pushdown_declines_ineligible(q, spark, sf_dir):
+    """Ineligible shapes must return None from the rule (the generic
+    path owns them)."""
+    from project_graphdb_spark.cypher.compiler import (
+        _try_agg_pushdown,
+        _unused_node_vars,
+    )
+
+    g = tpch_graph(spark, sf_dir)
+    ast_q = parse(q)
+    seg = ast_q.segments[0]
+    proj = seg.projection if seg.projection is not None else ast_q.ret
+    assert (
+        _try_agg_pushdown(g, seg, proj, _unused_node_vars(ast_q), True)
+        is None
+    )
+
+
+@pytest.mark.parametrize("q", _GATED_QUERIES)
+def test_agg_pushdown_fanin_gate_declines(q, spark, sf_dir):
+    """Shapes below the measured fan-in threshold (the sf10-measured
+    wall-clock losses: orderkey ~4, custkey ~10 edges/key) must
+    decline — the generic join-first plan is faster there."""
+    from project_graphdb_spark.cypher.compiler import (
+        _try_agg_pushdown,
+        _unused_node_vars,
+    )
+
+    g = tpch_graph(spark, sf_dir)
+    ast_q = parse(q)
+    seg = ast_q.segments[0]
+    proj = seg.projection if seg.projection is not None else ast_q.ret
+    assert (
+        _try_agg_pushdown(g, seg, proj, _unused_node_vars(ast_q), True)
+        is None
+    )

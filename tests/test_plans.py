@@ -424,3 +424,15 @@ def test_q15_reuses_revenue_exchange(spark, sf_dir):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_g_revenue_by_brand_preaggregates_below_part_join(spark, sf_dir):
+    """r10 (SCALE.md finding 23): revenue pre-aggregates per edge dst
+    (partkey) BELOW the Part join — sf10-measured −21% wall / −52%
+    shuffle vs join-first at ~30 edges/key."""
+    df = workload.REGISTRY["g_revenue_by_brand"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    jidx = next(i for i, l in enumerate(lines) if "Join" in l)
+    aidx = [i for i, l in enumerate(lines) if "Aggregate" in l]
+    assert min(aidx) < jidx < max(aidx), plan
