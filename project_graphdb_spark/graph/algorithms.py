@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from project_graphdb_spark.graph.property_graph import PropertyGraph
 from project_graphdb_spark.spark_util import (
     CKPT_LOCK,
+    linger_ids,
     persistent_rdd_ids,
     unpersist_ids,
 )
@@ -257,6 +258,7 @@ def pregel(
             break
     _unpersist(sc, edge_ids)
     _record_iter(telemetry_name, iter_secs)
+    linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state
 
 
@@ -380,7 +382,8 @@ def k_core(
     out = deg.select(
         "id", F.col("deg").cast("bigint").alias("core_degree")
     )
-    out, out_ids = _ckpt(out)  # noqa: F841 — result frame owns blocks
+    out, out_ids = _ckpt(out)
+    linger_ids(sc, out_ids)  # result frame owns these blocks
     _unpersist(sc, deg_ids)
     _unpersist(sc, canon_ids)
     _record_iter("k_core", iter_secs)
@@ -450,6 +453,7 @@ def label_propagation(
         iter_secs.append(time.perf_counter() - t0)
     _unpersist(sc, edge_ids)
     _record_iter("label_propagation", iter_secs)
+    linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state
 
 
@@ -571,6 +575,7 @@ def pagerank(
         iter_secs.append(time.perf_counter() - t0)
     _unpersist(sc, edge_ids)
     _record_iter("pagerank", iter_secs)
+    linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state.select("id", "rank")
 
 
@@ -630,7 +635,7 @@ def multi_source_hops(
     endpoint.
     """
     sc = sources.sparkSession.sparkContext
-    visited, _v0_ids = _ckpt(
+    visited, kept_ids = _ckpt(
         sources.select(
             "root", F.col("root").alias("id"), F.lit(0).alias("dist")
         )
@@ -656,9 +661,11 @@ def multi_source_hops(
         if neighbors.isEmpty():
             _unpersist(sc, n_ids)
             break
+        kept_ids |= n_ids
         visited = visited.unionByName(neighbors)
         frontier = neighbors
     _record_iter("multi_source_hops", iter_secs)
+    linger_ids(sc, kept_ids)  # level blocks back the returned union
     return visited
 
 
@@ -676,7 +683,7 @@ def bfs_distances(
     raw_edges = unified_edges(graph, undirected=undirected)
     sc = raw_edges.sparkSession.sparkContext
     edges, edge_ids = _ckpt(raw_edges)
-    visited, _v0_ids = _ckpt(
+    visited, kept_ids = _ckpt(
         unified_vertices(graph)
         .filter(F.col("id") == start_id)
         .select("id", F.lit(0).alias("dist"))
@@ -697,8 +704,10 @@ def bfs_distances(
         if neighbors.isEmpty():
             _unpersist(sc, n_ids)
             break
+        kept_ids |= n_ids
         visited = visited.unionByName(neighbors)
         frontier = neighbors
     _unpersist(sc, edge_ids)
     _record_iter("bfs_distances", iter_secs)
+    linger_ids(sc, kept_ids)  # level blocks back the returned union
     return visited

@@ -224,27 +224,15 @@ DUP_SPAN_N = 8  # span window for corpus-wide duplicate detection
 # stays CORRECT (Spark recomputes evicted cache) but its dup-span
 # stages fully recompute, distorting any timing. Every harness in this
 # repo (driver gate, bench.py, scale/twin benches) builds+materializes
-# one query at a time, satisfying this by construction. The lock below
-# only makes the release window itself atomic for concurrent builders;
-# it deliberately does NOT serialize whole builds — cache-keying frames
-# per call would defeat the leak bound the rolling window exists for.
-import threading as _threading
-
-_LINGERING: list = []
-_LINGER_LOCK = _threading.Lock()
-
-
-def _release_lingering() -> None:
-    with _LINGER_LOCK:
-        frames, _LINGERING[:] = _LINGERING[:], []
-    for df in frames:
-        df.unpersist()
-
-
-def _linger(df):
-    with _LINGER_LOCK:
-        _LINGERING.append(df)
-    return df
+# one query at a time, satisfying this by construction.
+#
+# r10: the window itself moved to spark_util (the persist-leak gate
+# found the same pattern in five more families); these aliases keep
+# the r8/r9 call sites and tests stable.
+from project_graphdb_spark.spark_util import (  # noqa: E402
+    linger as _linger,
+    release_lingering as _release_lingering,
+)
 
 
 def _span_grams(col, n: int):
@@ -765,10 +753,10 @@ def _bigram_frames(docs: DataFrame):
     # model-sized while every un-checkpointed consumer would re-run
     # the corpus-sized explode (measured at sf1: 39 s -> ~14 s for
     # the model, one explode instead of two-plus)
-    cnt2 = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+    from project_graphdb_spark.spark_util import lingering_checkpoint
+
+    cnt2 = lingering_checkpoint(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     )
     cnt1 = cnt2.groupBy("w1").agg(F.sum("n").alias("n1"))
     model = cnt2.join(cnt1, "w1")
@@ -952,6 +940,9 @@ def bpe_train(
     if not keep_vocab:
         _unpersist(sc, vocab_ids)
         return merges_df, None
+    from project_graphdb_spark.spark_util import linger_ids
+
+    linger_ids(sc, vocab_ids)  # final vocab blocks back the result
     return merges_df, vocab
 
 

@@ -295,6 +295,8 @@ def graph_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         save_graph(g, path)
         out = load_graph(spark, path).node_counts()
-        return out.localCheckpoint(eager=True)
+        from project_graphdb_spark.spark_util import lingering_checkpoint
+
+        return lingering_checkpoint(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)

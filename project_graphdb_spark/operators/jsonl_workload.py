@@ -59,6 +59,8 @@ def jsonl_roundtrip_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("lang")
         )
-        return out.localCheckpoint(eager=True)
+        from project_graphdb_spark.spark_util import lingering_checkpoint
+
+        return lingering_checkpoint(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -23,6 +23,7 @@ is the registry the driver contract (``__spark_entry__.py``) re-exports.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -52,7 +53,24 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QueryDef(name, fn, oracle, description, headline)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the PREVIOUS query's lingering persists/checkpoint
+            # blocks (frames a builder persisted for its RETURNED plan
+            # — spark_util's one-slot rolling window, r10 ask #7): the
+            # registry is the chokepoint every harness goes through, so
+            # no query's blocks outlive the next query's start. The
+            # gate (tests/test_persist_gate.py) asserts nothing else
+            # survives.
+            from project_graphdb_spark.spark_util import release_lingering
+
+            release_lingering()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(
+            name, wrapped, oracle, description, headline
+        )
         return fn
 
     return deco
