@@ -959,7 +959,9 @@ def cluster_assignments(pairs: DataFrame) -> DataFrame:
     """
     from project_graphdb_spark.graph.algorithms import connected_components
 
-    pairs = pairs.localCheckpoint(eager=True)
+    from project_graphdb_spark.spark_util import lingering_checkpoint
+
+    pairs = lingering_checkpoint(pairs)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -1340,11 +1342,92 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram count) but expensive to derive (md5 per gram), and the
     # self-join would otherwise recompute it for both sides — the
     # cluster_assignments trade, the opposite of the spans frame
-    sels = (
-        _winnow_sels(docs)
-        .select("doc_id", "fp")
-        .localCheckpoint(eager=True)
+    from project_graphdb_spark.spark_util import lingering_checkpoint
+
+    sels = lingering_checkpoint(_winnow_sels(docs).select("doc_id", "fp"))
+    a = sels.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sels.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
     )
+
+
+def _winnow_sels_fast(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) token-hash-fold winnowed fingerprints — the scale
+    tier of :func:`_winnow_sels` (r10, VERDICT r9 ask #5, SCALE.md
+    finding 24). The sf10 A/B showed the md5->xxhash64 hash swap alone
+    buys only 11% (43.6 -> 38.9 s): the cost owner is not the hash but
+    the GRAM-STRING CONSTRUCTION (K-token concat per position). This
+    tier never builds gram strings: each token is xxhash64-ed ONCE,
+    and a gram's fingerprint is a shift-xor fold of its K consecutive
+    token hashes (pure long arithmetic — bit ops, so no ANSI overflow
+    surface) — 43.6 -> 30.1 s at sf10 (-31%), and the join key shrinks
+    from an 8-char string to 8 bytes. Selection positions differ from
+    the md5 face (different hash, different window minima), so
+    near-dup agreement is asserted STATISTICALLY against the
+    oracle-checked md5 face (test_dedup_winnow_fast_agreement), the
+    LSH md5-permutation pattern. Three projection levels but each
+    array alias (th, gh) is single-consumer per level — the optimized
+    plan carries exactly one xxhash64/split, pinned by
+    test_winnow_fast_kernels_not_duplicated (the finding-22 guard)."""
+    from project_graphdb_spark.spark_util import repartition_for_cpu
+
+    docs = repartition_for_cpu(docs, "doc_id")
+    toks_h = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+    gh_arr = docs.select("doc_id", toks_h.alias("th"))
+    n_tok = F.size("th")
+    n_grams = F.greatest(n_tok - (WINNOW_K - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.aggregate(
+            F.slice(F.col("th"), i, WINNOW_K),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.shiftleft(acc, 7)
+            .bitwiseXOR(F.shiftright(acc, 57))
+            .bitwiseXOR(x),
+        ),
+    )
+    gh = gh_arr.select(
+        "doc_id",
+        F.when(n_tok >= WINNOW_K, grams)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("gh"),
+    )
+    ng = F.size("gh")
+    sels = F.when(
+        ng > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(ng - WINNOW_W, F.lit(0))),
+                lambda i: F.array_min(F.slice(F.col("gh"), i + 1, WINNOW_W)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return gh.select("doc_id", F.explode(sels).alias("fp"))
+
+
+@register(
+    "dedup_winnow_fast",
+    description=f"scale tier of dedup_winnow: identical MOSS overlap "
+    f"join (>= {WINNOW_MIN_SHARED} shared winnowed fingerprints) with "
+    "gram fingerprints computed as a shift-xor fold of per-token "
+    "xxhash64 — no gram-string construction (the sf10-measured cost "
+    "owner: the md5->xxhash64 swap alone bought 11%, skipping the "
+    "K-token concat per position buys 31%, 43.6 -> 30.1 s). No oracle "
+    "by construction (engine-local hash) — pair-set agreement vs the "
+    "oracle-checked md5 face is pytest-asserted, the LSH "
+    "md5-permutation pattern",
+)
+def dedup_winnow_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from project_graphdb_spark.spark_util import lingering_checkpoint
+
+    sels = lingering_checkpoint(_winnow_sels_fast(docs))
     a = sels.select(F.col("doc_id").alias("doc_a"), "fp")
     b = sels.select(F.col("doc_id").alias("doc_b"), "fp")
     return (

@@ -436,3 +436,70 @@ def test_g_revenue_by_brand_preaggregates_below_part_join(spark, sf_dir):
     jidx = next(i for i, l in enumerate(lines) if "Join" in l)
     aidx = [i for i, l in enumerate(lines) if "Aggregate" in l]
     assert min(aidx) < jidx < max(aidx), plan
+
+
+def test_classify_bnlj_three_ways(spark, sf_dir):
+    """The size-aware nested-loop classifier (r10, VERDICT r9 nit #5):
+    global-aggregate builds and literal-keyed builds count as bounded;
+    a genuine unbounded cross product flags cartesian."""
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.spark_util import classify_bnlj, materialize
+
+    # global-scalar cutoff (Q22 shape): bounded, not cartesian
+    q22 = workload.REGISTRY["idle_rich_customers_by_nation"].fn(
+        spark, sf_dir
+    )
+    materialize(q22)
+    c = classify_bnlj(q22)
+    assert c["bnlj_bounded"] >= 1 and not c["cartesian"], c
+
+    # literal-keyed probe (brute ANN): bounded, not cartesian
+    ann = workload.REGISTRY["ann_cosine_top10"].fn(spark, sf_dir)
+    materialize(ann)
+    c = classify_bnlj(ann)
+    assert c["bnlj_bounded"] >= 1 and not c["cartesian"], c
+
+    # a genuine unbounded cross product must flag
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey")
+    cross = n.crossJoin(r.hint("broadcast"))
+    materialize(cross)
+    c = classify_bnlj(cross)
+    assert c["cartesian"] and c["bnlj_unbounded"] >= 1, c
+
+
+def test_registered_workload_has_no_unbounded_cartesian(spark, sf_dir):
+    """Every query previously hand-adjudicated as a harmless 1-row
+    BNLJ must now classify bounded — and none may be unbounded."""
+    from project_graphdb_spark.spark_util import classify_bnlj
+
+    for name in (
+        "idle_rich_customers_by_nation",
+        "doc_tfidf_terms",
+        "ann_cosine_top10",
+        "knn_join_top3",
+        "ev_asof_purchase_before_click",
+    ):
+        df = workload.REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        c = classify_bnlj(df)
+        assert not c["cartesian"], (name, c)
+
+
+def test_winnow_fast_kernels_not_duplicated(spark, sf_dir):
+    """finding-22 guard for the token-hash-fold winnow tier: the
+    optimized plan must carry exactly ONE xxhash64 map and ONE
+    tokenize split — CollapseProject inlining either into multiple
+    references is the measured ~11x pathology class."""
+    from project_graphdb_spark.io.tables import load_table
+    from project_graphdb_spark.operators.dedup import _winnow_sels_fast
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        _winnow_sels_fast(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("xxhash64(") == 1, plan.count("xxhash64(")
+    assert plan.count("split(") == 1, plan.count("split(")

@@ -46,6 +46,7 @@ EXTRA_STACK = [
     "doc_shuffle_shards",
     "doc_winnow_fingerprints",
     "dedup_winnow",
+    "dedup_winnow_fast",  # r10: token-hash-fold scale tier
     "doc_mix_rebalance",
     "doc_bigram_logprob",
     "corpus_bpe_merges",
@@ -98,14 +99,18 @@ BIG_SF_VECTORS = 150_000
 
 
 def plan_facts(df) -> dict:
+    from project_graphdb_spark.spark_util import classify_bnlj
+
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
         "skew_splits": len(re.findall(r"skew=true", plan)),
-        "cartesian": "CartesianProduct" in plan
-        or "BroadcastNestedLoopJoin" in plan,
+        # size-aware (r10): bounded-build nested-loop joins (1-row
+        # scalar cutoffs, literal-keyed probes) are counted separately
+        # so `cartesian` stays a trustworthy regression signal
+        **classify_bnlj(df),
     }
 
 
