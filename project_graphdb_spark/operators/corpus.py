@@ -412,20 +412,68 @@ def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
             )
         ),
     )
-    joined = joined.withColumn("__dup_iv", intervals)
-    # token j is covered iff it falls in some merged interval; scrub =
-    # keep the uncovered tokens in order
-    kept = F.filter(
-        toks,
-        lambda tok, j: ~F.exists(
-            F.col("__dup_iv"),
-            lambda iv: (iv["lo"] <= j) & (j <= iv["hi"]),
+    joined = joined.withColumn("__toks", toks).withColumn(
+        "__dup_iv", intervals
+    )
+    toks_col = F.col("__toks")
+    iv = F.col("__dup_iv")
+    ntok = F.size(toks_col)
+    # r10 (SCALE.md finding 25): the removal phase is RANGE-based, not
+    # per-token. The merged intervals are disjoint and clamped (a span
+    # start s satisfies s <= n_tok - n, so hi = s+n-1 < n_tok), which
+    # makes both outputs derivable without a per-token membership test:
+    #
+    # * n_removed = sum(hi - lo + 1) over the intervals — pure
+    #   arithmetic. This is what lets the composed pipeline (which
+    #   consumes ONLY n_removed; clean_text prunes away) skip the
+    #   token-filter pass entirely: sf1 pipeline 53.6 -> 20.7 s (-61%)
+    #   in the same-harness A/B.
+    # * clean_text = the GAPS between intervals, spliced by array
+    #   slices (one slice per interval + the tail) instead of the old
+    #   per-token exists() filter — O(intervals) slice headers instead
+    #   of O(tokens x intervals) predicate evaluations.
+    #
+    # slice() is 1-based: the gap before interval i is
+    # [pos, i.lo] 1-based-exclusive -> slice(toks, pos, i.lo+1-pos);
+    # disjointness guarantees every length >= 0.
+    n_removed = F.aggregate(
+        iv, F.lit(0), lambda acc, i: acc + i["hi"] - i["lo"] + 1
+    )
+    acc0 = F.struct(
+        F.lit(1).cast("int").alias("pos"),
+        F.array().cast("array<array<string>>").alias("parts"),
+    )
+    spliced = F.aggregate(
+        iv,
+        acc0,
+        lambda acc, i: F.struct(
+            (i["hi"] + 2).cast("int").alias("pos"),
+            F.concat(
+                acc["parts"],
+                F.array(
+                    F.slice(toks_col, acc["pos"], i["lo"] + 1 - acc["pos"])
+                ),
+            ).alias("parts"),
+        ),
+        lambda acc: F.concat_ws(
+            " ",
+            F.flatten(
+                F.concat(
+                    acc["parts"],
+                    F.array(
+                        F.slice(toks_col, acc["pos"], ntok + 1 - acc["pos"])
+                    ),
+                )
+            ),
         ),
     )
+    clean = F.when(
+        F.size(iv) == 0, F.concat_ws(" ", toks_col)
+    ).otherwise(spliced)
     return joined.select(
         "doc_id",
-        F.concat_ws(" ", kept).alias("clean_text"),
-        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+        clean.alias("clean_text"),
+        n_removed.cast("bigint").alias("n_removed"),
     ).orderBy("doc_id")
 
 

@@ -112,61 +112,65 @@ _LOADED = False
 # g_*, corpus doc_*) to refresh the union. 50 slots = the driver's
 # sample size.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) the 4 queries whose latest driver row is a stale r1 entry
-    "ev_interval_join_campaigns",  # only row ever = r1 nanos-parquet crash
-    "galg_connected_components",  # r1 rows-only, predates its oracle
+    # r10 window (VERDICT r9 ask #2): (a) Q13 leads — the only query
+    # whose latest driver row (r8) predates its implementation (the r9
+    # pre-agg rewrite landed after the driver ran) — then every query
+    # whose implementation changed or was added in r10.
+    "customer_order_count_distribution",  # r9 pre-agg rewrite, stale row
+    "top_supplier_quarter_revenue",  # NEW r10: TPC-H Q15
+    "dedup_winnow_fast",  # NEW r10: token-hash-fold scale tier
+    "forecast_revenue_change",  # Q6 sargable ship-date range
+    "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
+    "cypher_revenue_per_year",  # compiled through the pushdown gate
+    "flagship_revenue_per_year",  # audited, kept join-first (finding 23)
+    "doc_dup_span_scrub",  # range-splice removal (finding 25)
+    "pipeline_clean_pack",  # arithmetic n_removed (finding 25)
+    "doc_dup_span_profile",  # shares _dup_span_frames
+    "dedup_winnow",  # lingering checkpoint
+    "doc_winnow_fingerprints",
+    "volume_shipping_nation_pair",  # memoized measured broadcast
+    "nation_market_share",
+    # (b) queries whose persist/checkpoint handling moved to the shared
+    # lingering window (results identical, implementation touched r10)
+    "galg_connected_components",
     "galg_pagerank_top20",
     "galg_label_propagation",
-    # (b) r9-changed implementations needing a fresh green row
-    "ann_ivf_top10",  # sample-trained IVF coarse quantizer
-    "knn_join_top3_ivf",
-    "embedding_near_dup_blocked",
-    "dedup_semantic_blocked",
-    "emb_ivf_assign",
-    "volume_shipping_nation_pair",  # Q7 join reorder
-    "nation_market_share",  # Q8 join reorder
-    "pipeline_clean_pack",  # single-pass dup-span measurement
-    "doc_dup_span_profile",
-    "doc_dup_span_scrub",
-    "doc_winnow_fingerprints",  # gram-map profile outcome
-    # newly registered in r9 (TPC-H Q6/Q10/Q12/Q18 shapes)
-    "forecast_revenue_change",
-    "returned_item_revenue_top20",
-    "late_lines_priority_by_returnflag",
-    "large_volume_customer_orders",
-    # (c) remaining r1-r3/r5-latest rows (all green then, refresh them)
     "galg_bfs_from_customer1",
-    "galg_degrees",
-    "galg_triangle_count",
-    "cypher_exists_block_big_spenders",
-    "cypher_exists_building_nations",
-    "cypher_not_exists_unordered_parts",
+    "galg_shortest_paths",
+    "galg_kcore_3",
     "cypher_shortestpath_nation_pairs",
-    "cypher_smoke",
-    "cypher_tostring_probe",
-    "cypher_union_place_names",
-    "cypher_write_node_upsert",
-    "cypher_write_rel_merge",
-    "cypher_customers_without_orders",
-    "multimodal_frame_sample",
-    "multimodal_payload_features",
-    # (d) oldest big bucket: r6-latest families
-    "agent_total_sales_2000",
-    "agent_top5_customers",
-    "agent_customers_without_orders",
-    "agent_correction_loop_top5",
-    "rca_largest_drop_drilldown",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_keep_best",
+    "dedup_keep_best_lsh",
+    "jsonl_roundtrip_lang_stats",
     "graph_sink_roundtrip",
-    "ev_asof_purchase_before_click",
-    "g_node_counts_by_label",
-    "g_machinery_big_orders",
-    "g_revenue_by_brand",
-    "g_customer_degree_stats",
-    "g_top_degree_customers",
-    "sql_over_graph_order_priority_revenue",
-    "doc_token_stats",
-    "doc_fingerprints",
-    "doc_pack_bins",
+    "corpus_bigram_lm",
+    "doc_bigram_logprob",
+    "doc_bpe_encode",
+    "corpus_bpe_merges",
+    # streaming faces that gained readStream twins in r10
+    "ev_sliding_counts",
+    "ev_distinct_user_events",
+    # (c) oldest-checked rows (r7-latest families) to keep the union
+    # fresh — 50 slots = the driver's sample size
+    "customer_order_gaps",
+    "order_value_rank_and_next",
+    "distinct_customers_per_segment",
+    "lineitem_null_profile",
+    "orders_status_counts_2000",
+    "shipping_priority_top10",
+    "lineitem_orderkey_contention",
+    "ev_user_counts_salted",
+    "events_ts_components",
+    "lineitem_quantity_percentiles",
+    "ev_daily_active_users",
+    "pricing_summary",
+    "building_segment_brand_revenue",
+    "top3_customers_per_nation",
+    "revenue_rollup_nation_year",
+    "local_supplier_volume",
+    "orders_grouping_sets_status_year",
 )
 
 
