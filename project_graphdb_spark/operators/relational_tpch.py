@@ -328,28 +328,35 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY custdist DESC, c_count DESC
     """,
     description="TPC-H Q13 shape: per-customer order counts including "
-    "the zero-order bucket + histogram of the counts. r9 plan (VERDICT "
-    "r8 nit #5): the priority-filtered orders PRE-AGGREGATE to "
-    "(custkey, n) group counts before the LEFT join, so the custkey "
-    "exchange carries one row per ordering customer instead of one "
-    "per order; order-less customers surface via coalesce(n, 0). The "
-    "second aggregate's key domain is tiny, so its shuffle is bytes",
+    "the zero-order bucket (LEFT join with the priority filter in the "
+    "join condition) + histogram of the counts. Join-first, NOT "
+    "pre-aggregated below the join: the r9 pre-agg rewrite was "
+    "A/B-measured in r10 at sf10 and LOST 1.8x (custkey grain is ~10 "
+    "orders/key — below the finding-23 fan-in threshold, the partial "
+    "aggregate combines too little to pay for its hash table)",
 )
 def customer_order_count_distribution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # r10 (SCALE.md finding 23 addendum): the r9 shape pre-aggregated
+    # priority-filtered orders per custkey below the LEFT join; the
+    # same-harness sf10 A/B measured join-first at 1.4-1.7 s vs the
+    # pre-agg's 2.6-3.1 s, consistent with the custkey-grain loss the
+    # cypher pushdown gate was calibrated on. Reverted.
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    per_cust_orders = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") != "1-URGENT")
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
     )
-    per_cust = cust.join(
-        per_cust_orders,
-        cust.c_custkey == F.col("o_custkey"),
-        "left",
-    ).select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

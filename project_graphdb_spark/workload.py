@@ -116,7 +116,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # whose latest driver row (r8) predates its implementation (the r9
     # pre-agg rewrite landed after the driver ran) — then every query
     # whose implementation changed or was added in r10.
-    "customer_order_count_distribution",  # r9 pre-agg rewrite, stale row
+    "customer_order_count_distribution",  # r10: REVERTED to join-first (measured)
     "top_supplier_quarter_revenue",  # NEW r10: TPC-H Q15
     "dedup_winnow_fast",  # NEW r10: token-hash-fold scale tier
     "forecast_revenue_change",  # Q6 sargable ship-date range

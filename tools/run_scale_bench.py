@@ -187,15 +187,24 @@ def main() -> None:
     # Past ~100k vectors an exact second candidate generation would
     # double a multi-minute job, so switch to the 1/16 hash-sampled
     # estimate (unbiased; cost ~1/16 of the full join).
-    from project_graphdb_spark.operators.similarity import (
-        _emb,
-        blocked_candidate_stats,
-    )
+    # A telemetry failure must not lose the sweep above (r10: a
+    # heap-marginal candidate count OOMed AFTER 48 measured queries and
+    # took the whole payload with it) — record the error and move on.
+    try:
+        from project_graphdb_spark.operators.similarity import (
+            _emb,
+            blocked_candidate_stats,
+        )
 
-    n_emb = _emb(spark, sf_dir).count()
-    cand_mod = 16 if n_emb > 100_000 else None
-    cand_stats = blocked_candidate_stats(spark, sf_dir, sample_mod=cand_mod)
-    print("blocked_candidate_stats:", json.dumps(cand_stats))
+        n_emb = _emb(spark, sf_dir).count()
+        cand_mod = 16 if n_emb > 100_000 else None
+        cand_stats = blocked_candidate_stats(
+            spark, sf_dir, sample_mod=cand_mod
+        )
+        print("blocked_candidate_stats:", json.dumps(cand_stats))
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        cand_stats = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print("blocked_candidate_stats FAILED:", cand_stats["error"])
 
     payload = {
         "sf_dir": sf_dir,
