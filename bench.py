@@ -40,7 +40,12 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
-    heads = workload.headline_queries()
+    # name-sorted, NOT registry order (r10): the registry's insertion
+    # order changes every round with the driver-window priority list,
+    # and execution order perturbs per-query timings through GC/cache
+    # neighborhood effects — a stable order keeps BENCH_r{N} totals
+    # comparable across rounds
+    heads = dict(sorted(workload.headline_queries().items()))
     # diagnostics: SPARK_GRAFT_BENCH_SKIP / _ONLY (comma-separated
     # names) subset the headline set for A/B drift attribution runs
     skip = set(filter(None, os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")))
