@@ -274,10 +274,26 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     strings; a hash collision costs a few extra candidate rows, never
     a wrong flag.
     """
+    # r10 (SCALE.md finding 26): the exploded span STRING frame is
+    # persisted for the build's duration — r8 measured caching as a
+    # loss against the THEN-shape (3 explode passes, string keys
+    # everywhere); re-measured against the r9 2-pass shape, the cache
+    # turns pass 2 into a cache scan and wins 30% at sf10 (184-203 s ->
+    # 130-143 s profile). DISK_ONLY, deliberately: the frame is
+    # corpus-sized, and at 16 g heap a memory-tier cache competes with
+    # the candidate aggregate's execution memory (the MEMORY_AND_DISK
+    # first cut OOMed the composed pipeline at sf10) — the cache exists
+    # to avoid a second tokenize+gram-construction pass, not to hold
+    # the corpus in RAM, and a sequential local-disk scan is exactly
+    # the 100 TB story too. Lifetime is bounded IN-SCOPE: released
+    # right after the candidate frame materializes (below), never
+    # lingering. Dropping `.persist()` restores the recompute trade.
+    from pyspark import StorageLevel
+
     spans = docs.select(
         "doc_id",
         F.posexplode(_span_grams("text", n)).alias("s", "gram"),
-    )
+    ).persist(StorageLevel.DISK_ONLY)
     gh = F.xxhash64("gram").alias("gh")
     cand_hashes = (
         spans.select(gh, "doc_id")
@@ -311,8 +327,10 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
         .persist()
     )
     n_dup = dup.count()  # also materializes cand_spans' cache
-    # the candidate hash set fed only the semi-join above — release it
+    # the candidate hash set fed only the semi-join above — release it;
+    # the big span cache dies with it (cand_spans is materialized)
     cand_hashes.unpersist()
+    spans.unpersist()
     if n_dup <= 500_000:  # ~60 MB of gram strings — broadcastable
         dup = F.broadcast(dup)
     return cand_spans, dup
@@ -359,13 +377,13 @@ def dup_span_scrub(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     """Remove every token covered by a cross-document duplicated span
     and re-assemble the text (ExactSubstr dedup, fixed windows).
 
-    The per-token membership test runs over MERGED covered intervals,
-    not raw span starts: the sorted starts fold into disjoint
-    ``[lo, hi]`` ranges first (linear in starts), so a pathological
-    boilerplate-spam doc where every window is duplicated tests each
-    token against ONE interval instead of ~doc_len starts — the raw
-    form was O(doc_len x dup_starts) per doc, quadratic in doc length
-    at full duplication.
+    The sorted duplicate-span starts fold into disjoint MERGED
+    ``[lo, hi]`` intervals first (linear in starts). The removal phase
+    is then RANGE-based (r10, SCALE.md finding 25): ``n_removed`` is
+    pure interval arithmetic and ``clean_text`` splices the gaps
+    between intervals — no per-token membership test anywhere, so even
+    a pathological boilerplate-spam doc costs O(intervals), never
+    O(doc_len × dup_starts).
     """
     cand_spans, dup = _dup_span_frames(docs, n)
     # dup ⊆ candidate grams by construction, so the dup positions are
