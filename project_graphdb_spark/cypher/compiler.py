@@ -2263,10 +2263,11 @@ def _try_agg_pushdown(
         seg.optional_patterns
         or seg.unwinds
         or seg.calls
-        or seg.where is not None
         or len(seg.patterns) != 1
     ):
         return None
+    if seg.where is not None and _contains_pattern_pred(seg.where):
+        return None  # exists()/EXISTS{}/COUNT{} forms stay generic
     pat = seg.patterns[0]
     if pat.shortest or len(pat.nodes) != 2 or len(pat.edges) != 1:
         return None
@@ -2320,6 +2321,30 @@ def _try_agg_pushdown(
         elidable is None or other_pat.var not in elidable
     ):
         return None
+    # WHERE handling (r10.1): conjuncts referencing ONLY the edge
+    # variable filter the edge frame BEFORE the pre-aggregation
+    # (row-identical to the generic plan); conjuncts referencing ONLY
+    # the group endpoint (or no variable) filter after the node join —
+    # a purely node-determined predicate gives every edge row of a key
+    # the same verdict, so dropping the group post-aggregation is
+    # row-identical to dropping its rows pre-aggregation. Anything
+    # referencing both sides (or the elided endpoint) declines.
+    where_edge: list[A.Expr] = []
+    where_node: list[A.Expr] = []
+    if seg.where is not None:
+        conjuncts = (
+            list(seg.where.parts)
+            if isinstance(seg.where, A.And)
+            else [seg.where]
+        )
+        for c in conjuncts:
+            cv = _expr_vars(c)
+            if cv <= {evar}:
+                where_edge.append(c)
+            elif cv <= {gvar}:
+                where_node.append(c)
+            else:
+                return None
     calls: list[A.FnCall] = []
     for i in aggs:
         if _expr_vars(i.expr) - {evar}:
@@ -2350,6 +2375,12 @@ def _try_agg_pushdown(
         renamed,
     )
     ecomp = _ExprCompiler(escope, exact)
+    for c in where_edge:
+        cond = ecomp.compile(c)
+        if escope.errors:
+            return None
+        renamed = renamed.filter(cond)
+        escope.df = renamed
     partial_cols: list[Column] = []
     partials: dict[int, tuple[str, str]] = {}
     for j, c in enumerate(calls):
@@ -2389,6 +2420,15 @@ def _try_agg_pushdown(
         "inner",
     ).drop(f"{evar}__{gkey}")
     bound = {gvar: _BoundVar("node", glabel, ncols, key=node_def.key)}
+    if where_node:
+        nscope = _Scope(bound, None, out)
+        ncomp = _ExprCompiler(nscope, exact)
+        for c in where_node:
+            cond = ncomp.compile(c)
+            if nscope.errors:
+                return None
+            out = out.filter(cond)
+            nscope.df = out
     return out, bound, partials
 
 
@@ -2690,7 +2730,10 @@ def compile_cypher(
             spark = next(iter(graph.nodes.values())).sparkSession
             df = spark.range(1).select(F.lit(1).alias("__seed"))
         scope = _Scope(vars or None, flat or None, df)
-        if seg.where is not None:
+        # a successful aggregation pushdown already applied this
+        # segment's WHERE (side-classified inside the rule) — the edge
+        # variable no longer exists post-pre-aggregation
+        if seg.where is not None and pushed is None:
             preds, residual, perrors = _extract_pattern_preds(seg.where)
             if perrors:
                 raise CypherAnalysisError(perrors)

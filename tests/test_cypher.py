@@ -2103,6 +2103,18 @@ _PUSH_QUERIES = [
         "WITH p.p_brand AS brand, sum(ci.l_quantity) * 2 AS dq "
         "RETURN brand, dq ORDER BY brand"
     ),
+    # r10.1: edge-only WHERE filters the edge frame BEFORE the pre-agg
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE ci.l_quantity > 10 "
+        "RETURN p.p_brand AS brand, sum(ci.l_quantity) AS q ORDER BY brand"
+    ),
+    # r10.1: group-endpoint-only WHERE filters after the node join
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE p.p_size > 10 AND ci.l_discount < 0.05 "
+        "RETURN p.p_brand AS brand, count(*) AS n ORDER BY brand"
+    ),
 ]
 
 # eligible shapes whose measured fan-in is BELOW the gate (orderkey
@@ -2122,11 +2134,17 @@ _GATED_QUERIES = [
 ]
 
 _NO_PUSH_QUERIES = [
-    # WHERE present
+    # WHERE referencing the ELIDED endpoint (o is not the group side)
     (
         "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
         "WHERE o.o_totalprice > 100000 "
-        "RETURN o.o_orderstatus AS st, sum(ci.l_quantity) AS q ORDER BY st"
+        "RETURN p.p_brand AS b, sum(ci.l_quantity) AS q ORDER BY b"
+    ),
+    # WHERE conjunct referencing BOTH sides
+    (
+        "MATCH (o:Orders)-[ci:CONTAINS_ITEM]->(p:Part) "
+        "WHERE p.p_size > ci.l_quantity "
+        "RETURN p.p_brand AS b, count(*) AS n ORDER BY b"
     ),
     # avg is not decomposable without a sum/count split
     (
