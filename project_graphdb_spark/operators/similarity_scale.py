@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -362,20 +362,41 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rows-only by design; recall vs ann_cosine_top10 pytest-asserted",
 )
 def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from project_graphdb_spark.operators.similarity import cosine, dot
-
     emb = _emb(spark, sf_dir)
-    qrows = emb.filter(F.col("vec_id") == 0).collect()
-    if not qrows:
+    q = _unit_query_vec(emb)
+    if q is None:
         return emb.sparkSession.createDataFrame(
             [], "vec_id long, cos_sim double, rnk int"
         )
+    codes = _pq_codes(spark, sf_dir)
+    shortlist = (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", _adc_col(spark, sf_dir, q).alias("adc"))
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    return _rerank_top10(emb, shortlist, q)
+
+
+def _unit_query_vec(emb: DataFrame) -> list[float] | None:
+    """The L2-normalized query vector (vec 0) or None if absent —
+    unit query so the ADC inner-product tables approximate cosine."""
+    qrows = emb.filter(F.col("vec_id") == 0).collect()
+    if not qrows:
+        return None
     q = list(qrows[0]["v"])
     qn = sum(x * x for x in q) ** 0.5 or 1.0
-    q = [x / qn for x in q]  # unit query: ADC tables approximate cosine
+    return [x / qn for x in q]
+
+
+def _adc_col(spark: SparkSession, sf_dir: str, q: list[float]) -> Column:
+    """Asymmetric-distance column over a PQ ``cs`` code array: the
+    driver computes table[m][j] = dot(q_m, codeword_mj) (O(M*ks)
+    scalars per query), the scan is a fixed-order sum of literal table
+    lookups — no vector arithmetic touches the corpus rows."""
     books = _pq_codebooks(spark, sf_dir)
     sub = len(q) // PQ_M
-    # driver-side ADC tables: table[m][j] = dot(q_m, codeword_mj)
     tables = [
         [
             sum(a * b for a, b in zip(q[m * sub : (m + 1) * sub], cw))
@@ -383,26 +404,26 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for m, book in enumerate(books)
     ]
-    codes = _pq_codes(spark, sf_dir)
-    # approx score = fixed-order sum of literal table lookups
     approx = F.lit(0.0)
     for m, table in enumerate(tables):
         approx = approx + F.element_at(
             F.array(*[F.lit(v) for v in table]),
             F.element_at("cs", m + 1) + 1,
         )
-    shortlist = (
-        codes.filter(F.col("vec_id") != 0)
-        .select("vec_id", approx.alias("adc"))
-        .orderBy(F.desc("adc"), "vec_id")
-        .limit(PQ_SHORTLIST)
-        .select("vec_id")
-    )
+    return approx
+
+
+def _rerank_top10(
+    emb: DataFrame, shortlist: DataFrame, q: list[float]
+) -> DataFrame:
+    """Exact-cosine rerank of a (vec_id) shortlist frame: broadcast
+    the tiny shortlist into the full-vector table, rank the survivors
+    — the only pass that touches fp32 vectors at query time."""
     from pyspark.sql import Window as W2
 
     from project_graphdb_spark.operators.similarity import _lit_vec
 
-    reranked = (
+    return (
         emb.join(F.broadcast(shortlist), "vec_id")
         .select(
             "vec_id",
@@ -417,7 +438,6 @@ def ann_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
-    return reranked
 
 
 # --------------------------------------------------------------------------
@@ -552,3 +572,81 @@ def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     seeds = lloyd_centroids(spark, emb, k=8, iters=0)
     return emb.select("vec_id", _nearest_cid(seeds)).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ composed ANN — the canonical billion-scale index shape
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, cs) — coarse IVF assignment plus PQ codes in ONE
+    frame, persisted per (session, sf_dir): the IVFADC index of Jégou
+    et al. 2011 §IV. Built in one Arrow-kernel pass over the already-
+    persisted IVF index frame (no join of the two single-index frames).
+
+    At 100 TB this frame is written bucketed by ``cid``: a query reads
+    only its ``nprobe`` buckets AND each bucket row is ~M bytes of
+    codes instead of the fp32 vector — the cluster-pruning factor
+    (nprobe/k) MULTIPLIES with PQ's ~32x compression, which is why
+    IVF+PQ (not either alone) is the deployed shape at billion scale."""
+    from project_graphdb_spark.operators.dedup import _persisted_memo
+
+    books = _pq_codebooks(spark, sf_dir)
+
+    def build() -> DataFrame:
+        return _ivf_index(spark, sf_dir).select(
+            "vec_id",
+            "cid",
+            _pq_encode_udf(books, normalize=True)(F.col("v")).alias("cs"),
+        )
+
+    return _persisted_memo(spark, sf_dir, "ivfpq_codes", build)
+
+
+@register(
+    "ann_ivfpq_top10",
+    oracle=None,  # approximate by construction; recall vs the exact
+    # ann_cosine_top10 twin asserted in tests/test_llm_data_ops.py
+    description="IVF+PQ composed ANN (IVFADC, Jégou 2011 §IV): probe "
+    f"the nprobe={IVF_NPROBE} coarse clusters nearest the query, ADC-"
+    "scan ONLY those clusters' PQ codes (literal lookup-table sum over "
+    f"{PQ_M}-byte codes), top-{PQ_SHORTLIST} shortlist, exact cosine "
+    "rerank — cluster pruning (nprobe/k of the rows) multiplies with "
+    "PQ compression (~32x fewer bytes per row), the canonical "
+    "billion-scale index shape. Rows-only by design; recall vs "
+    "ann_cosine_top10 pytest-asserted",
+)
+def ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = _unit_query_vec(emb)
+    if q is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cos_sim double, rnk int"
+        )
+    # coarse probe choice is driver-side (k centroids of driver state),
+    # same contract as ann_ivf_top10; cosine is norm-invariant so the
+    # unit query ranks centroids identically to the raw one
+    cents = _ivf_centroids(spark, sf_dir)
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5 or 1.0
+        db = sum(x * x for x in b) ** 0.5 or 1.0
+        return num / (da * db)
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            enumerate(cents), key=lambda c: (-_cos(c[1], q), c[0])
+        )[:IVF_NPROBE]
+    ]
+    shortlist = (
+        _ivfpq_codes(spark, sf_dir)
+        .filter(F.col("cid").isin(probed) & (F.col("vec_id") != 0))
+        .select("vec_id", _adc_col(spark, sf_dir, q).alias("adc"))
+        .orderBy(F.desc("adc"), "vec_id")
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")
+    )
+    return _rerank_top10(emb, shortlist, q)

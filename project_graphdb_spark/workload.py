@@ -119,6 +119,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "customer_order_count_distribution",  # r10: REVERTED to join-first (measured)
     "top_supplier_quarter_revenue",  # NEW r10: TPC-H Q15
     "dedup_winnow_fast",  # NEW r10: token-hash-fold scale tier
+    "ann_ivfpq_top10",  # NEW r10: IVFADC composed tier (rows-only)
     "forecast_revenue_change",  # Q6 sargable ship-date range
     "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
     "cypher_revenue_per_year",  # compiled through the pushdown gate

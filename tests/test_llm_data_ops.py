@@ -614,6 +614,76 @@ def test_pq_recall_vs_brute_force(spark, oracle_sf_dir):
     assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
 
 
+def test_ivfpq_recall_vs_brute_force(spark, oracle_sf_dir):
+    """The composed IVF+PQ tier loses candidates two ways — cluster
+    pruning (true neighbors outside the probed nprobe/k clusters) and
+    ADC distortion (true neighbors pushed off the shortlist) — so its
+    bound is the product regime of the two single-index bounds: IVF
+    alone measures >=0.7 here, PQ alone >=0.85 at shortlist 100. On
+    the sf0.01 corpus the pruned ADC scan actually has FEWER
+    distractors than full-corpus PQ, so >=0.7 is conservative."""
+    from project_graphdb_spark.operators.similarity import ann_cosine_top10
+    from project_graphdb_spark.operators.similarity_scale import (
+        ann_ivfpq_top10,
+    )
+
+    exact = {r.vec_id for r in ann_cosine_top10(spark, oracle_sf_dir).collect()}
+    approx = {r.vec_id for r in ann_ivfpq_top10(spark, oracle_sf_dir).collect()}
+    assert exact
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF+PQ recall {recall:.2f} < 0.7"
+
+
+def test_ivfpq_shortlist_is_subset_of_probed_clusters(spark, oracle_sf_dir):
+    """Every IVF+PQ result must come from a probed coarse cluster (the
+    index scan may touch ONLY nprobe buckets — the property that makes
+    the composed tier's I/O story multiplicative), and survivors score
+    with exact cosine (values match the brute tier where ids agree)."""
+    from project_graphdb_spark.operators.similarity_scale import (
+        _ivfpq_codes,
+        ann_ivfpq_top10,
+    )
+
+    rows = ann_ivfpq_top10(spark, oracle_sf_dir).collect()
+    assert rows
+    cid_of = {
+        r["vec_id"]: r["cid"]
+        for r in _ivfpq_codes(spark, oracle_sf_dir)
+        .filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+        .collect()
+    }
+    # replicate the op's driver-side probe choice exactly
+    from project_graphdb_spark.operators.similarity import (
+        IVF_NPROBE,
+        _emb,
+        _ivf_centroids,
+    )
+    from project_graphdb_spark.operators.similarity_scale import (
+        _unit_query_vec,
+    )
+
+    q = _unit_query_vec(_emb(spark, oracle_sf_dir))
+    cents = _ivf_centroids(spark, oracle_sf_dir)
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5 or 1.0
+        db = sum(x * x for x in b) ** 0.5 or 1.0
+        return num / (da * db)
+
+    probed_cids = {
+        cid
+        for cid, _ in sorted(
+            enumerate(cents), key=lambda c: (-_cos(c[1], q), c[0])
+        )[:IVF_NPROBE]
+    }
+    assert {cid_of[r.vec_id] for r in rows} <= probed_cids
+    brute = {r.vec_id: r.cos_sim for r in ann_cosine_top10(spark, oracle_sf_dir).collect()}
+    for r in rows:
+        if r.vec_id in brute:
+            assert r.cos_sim == brute[r.vec_id]
+
+
 def test_semantic_dedup_blocked_agreement(spark, oracle_sf_dir):
     """The blocked semantic-dedup tier must agree with the exact twin
     on >=95% of the dropped set at sf0.01, and must never drop a vector
