@@ -171,7 +171,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top3_customers_per_nation",
     "revenue_rollup_nation_year",
     "local_supplier_volume",
-    "orders_grouping_sets_status_year",
+    # orders_grouping_sets_status_year dropped from the tail to make
+    # room for ann_ivfpq_top10 — 50 slots = the driver's sample size
 )
 
 

@@ -54,6 +54,7 @@ EXTRA_STACK = [
     "doc_tfidf_terms",
     "emb_quantize_int8",
     "ann_pq_top10",
+    "ann_ivfpq_top10",  # r10: composed IVFADC tier
     "ev_click_attribution",
     "ev_purchase_revenue_by_segment",
     "dedup_semantic_blocked",
