@@ -120,6 +120,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "top_supplier_quarter_revenue",  # NEW r10: TPC-H Q15
     "dedup_winnow_fast",  # NEW r10: token-hash-fold scale tier
     "ann_ivfpq_top10",  # NEW r10: IVFADC composed tier (rows-only)
+    "ev_funnel_conversion",  # NEW r10: ordered funnel
+    "ev_retention_cohorts",  # NEW r10: weekly cohort retention
+    "ev_top_event_paths",  # NEW r10: path analysis top-k
     "forecast_revenue_change",  # Q6 sargable ship-date range
     "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
     "cypher_revenue_per_year",  # compiled through the pushdown gate
@@ -168,11 +171,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ev_daily_active_users",
     "pricing_summary",
     "building_segment_brand_revenue",
-    "top3_customers_per_nation",
-    "revenue_rollup_nation_year",
-    "local_supplier_volume",
-    # orders_grouping_sets_status_year dropped from the tail to make
-    # room for ann_ivfpq_top10 — 50 slots = the driver's sample size
+    # top3_customers_per_nation / revenue_rollup_nation_year /
+    # local_supplier_volume dropped from the tail (after
+    # orders_grouping_sets_status_year) to make room for the three new
+    # event-analytics queries — 50 slots = the driver's sample size
 )
 
 
@@ -209,6 +211,7 @@ def _ensure_loaded() -> None:
         graph_queries,
         corpus,
         text,
+        event_analytics,
     )
 
     # Pull the window-priority queries to the front of the registry's
