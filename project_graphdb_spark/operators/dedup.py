@@ -1360,43 +1360,36 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _winnow_sels_fast(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) token-hash-fold winnowed fingerprints — the scale
     tier of :func:`_winnow_sels` (r10, VERDICT r9 ask #5, SCALE.md
-    finding 24). The sf10 A/B showed the md5->xxhash64 hash swap alone
-    buys only 11% (43.6 -> 38.9 s): the cost owner is not the hash but
-    the GRAM-STRING CONSTRUCTION (K-token concat per position). This
-    tier never builds gram strings: each token is xxhash64-ed ONCE,
-    and a gram's fingerprint is a shift-xor fold of its K consecutive
-    token hashes (pure long arithmetic — bit ops, so no ANSI overflow
-    surface) — 43.6 -> 30.1 s at sf10 (-31%), and the join key shrinks
-    from an 8-char string to 8 bytes. Selection positions differ from
-    the md5 face (different hash, different window minima), so
-    near-dup agreement is asserted STATISTICALLY against the
-    oracle-checked md5 face (test_dedup_winnow_fast_agreement), the
-    LSH md5-permutation pattern. Three projection levels but each
-    array alias (th, gh) is single-consumer per level — the optimized
-    plan carries exactly one xxhash64/split, pinned by
-    test_winnow_fast_kernels_not_duplicated (the finding-22 guard)."""
+    finding 24 + its r10 correction). Never builds gram strings: each
+    token is xxhash64-ed ONCE, and a gram's fingerprint is a shift-xor
+    fold of its K consecutive token hashes (pure long arithmetic — bit
+    ops, so no ANSI overflow surface) computed by the UNROLLED
+    zip-of-slices kernel (``sliding_fold_hashes``) — the original
+    ``transform(sequence, aggregate(slice(...)))`` fold was re-measured
+    isolated at sf10 as a REGRESSION vs the md5 face (50.6 vs 40.7 s;
+    the per-element lambda-aggregate pays interpreted slice
+    allocations, finding 9's cost class), while the unrolled zip fold
+    lands at 39.6 s. The tier's real 100 TB value is the JOIN KEY:
+    8 bytes instead of an md5 hex string halves the overlap join's
+    shuffle width. Selection positions differ from the md5 face
+    (different hash, different window minima), so near-dup agreement
+    is asserted STATISTICALLY against the oracle-checked md5 face
+    (test_dedup_winnow_fast_agreement), the LSH md5-permutation
+    pattern. The optimized plan carries exactly one xxhash64/split,
+    pinned by test_winnow_fast_kernels_not_duplicated (the finding-22
+    guard)."""
     from project_graphdb_spark.spark_util import repartition_for_cpu
 
     docs = repartition_for_cpu(docs, "doc_id")
     toks_h = F.transform(tokens("text"), lambda t: F.xxhash64(t))
     gh_arr = docs.select("doc_id", toks_h.alias("th"))
-    n_tok = F.size("th")
-    n_grams = F.greatest(n_tok - (WINNOW_K - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.aggregate(
-            F.slice(F.col("th"), i, WINNOW_K),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: F.shiftleft(acc, 7)
-            .bitwiseXOR(F.shiftright(acc, 57))
-            .bitwiseXOR(x),
-        ),
+    from project_graphdb_spark.operators.text_fns import (
+        sliding_fold_hashes,
     )
+
     gh = gh_arr.select(
         "doc_id",
-        F.when(n_tok >= WINNOW_K, grams)
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("gh"),
+        sliding_fold_hashes(F.col("th"), WINNOW_K).alias("gh"),
     )
     ng = F.size("gh")
     sels = F.when(

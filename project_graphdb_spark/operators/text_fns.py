@@ -58,6 +58,44 @@ def sliding_grams(toks: Column, k: int) -> Column:
     )
 
 
+def sliding_fold_hashes(th: Column, k: int) -> Column:
+    """Positional 64-bit fold hash per k-token window over a TOKEN-HASH
+    array (``transform(toks, xxhash64)``): index i = 0-based start.
+
+    The gram-string-free twin of :func:`sliding_grams` — SCALE.md
+    finding 24 measured the K-token string concat (not the hash) as the
+    dominant winnow cost, so scale tiers fingerprint windows as a
+    shift-xor fold of the k consecutive token hashes instead: pure long
+    arithmetic (bit ops — no ANSI overflow surface), 8-byte keys. Same
+    arrays_zip-of-shifted-slices shape as :func:`sliding_structs`
+    (finding 9: per-element ``element_at`` lambdas fall out of codegen),
+    with the fold UNROLLED over the struct fields — no inner
+    ``aggregate`` loop. Equal windows always fold equal (the fold is a
+    pure function of the window's tokens); collisions merely add
+    candidate rows to any string-verified consumer."""
+    n = F.size(th)
+    zipped = F.arrays_zip(
+        *[F.slice(th, j + 1, n - k + 1).alias(f"h{j}") for j in range(k)]
+    )
+
+    def fold(s):
+        acc = s["h0"]
+        for j in range(1, k):
+            acc = (
+                F.shiftleft(acc, 7)
+                .bitwiseXOR(F.shiftright(acc, 57))
+                .bitwiseXOR(s[f"h{j}"])
+            )
+        return acc
+
+    empty_h = ",".join(f"h{j}:bigint" for j in range(k))
+    return F.when(
+        n >= k, F.transform(zipped, fold)
+    ).otherwise(
+        F.array().cast("array<bigint>")
+    ).cast("array<bigint>")
+
+
 # composite quality score over (n_tokens, n_distinct, n_chars) — the
 # SQL form and quality_score() below must stay arithmetic-identical;
 # dedup_keep_best ranks duplicate-cluster members by this same formula
