@@ -224,6 +224,93 @@ def galg_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SOURCE = "Customer:1"  # same source convention as galg_bfs_from_customer1
+
+
+def _ppr_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled random-walk-with-restart over the SYMMETRIZED graph —
+    the same update rule as :func:`graph.algorithms.personalized_pagerank`:
+    ``r'(v) = [(1-d) + d*dangling]*[v = source] + d*sum(r(u)/outdeg(u))``.
+    Walking the undirected view keeps the proximity semantics
+    (the directed edges all point child->parent, so a directed walk
+    from a customer would die out at its region)."""
+    ctes = [
+        f"""sym AS MATERIALIZED (
+      SELECT src, dst FROM uedges UNION SELECT dst, src FROM uedges
+    ),
+    outdeg AS MATERIALIZED (
+      SELECT src AS id, COUNT(*) AS od FROM sym GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT id, CASE WHEN id = '{PPR_SOURCE}' THEN 1.0 ELSE 0.0 END AS rank
+      FROM verts
+    )"""
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(r.rank / od.od) AS s
+      FROM sym e
+      JOIN r{k} r ON r.id = e.src
+      JOIN outdeg od ON od.id = e.src
+      GROUP BY e.dst
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT COALESCE(SUM(r.rank), 0.0) AS m
+      FROM r{k} r LEFT JOIN outdeg od ON od.id = r.id
+      WHERE od.id IS NULL
+    ),
+    r{k + 1} AS MATERIALIZED (
+      SELECT r.id,
+             CASE WHEN r.id = '{PPR_SOURCE}'
+                  THEN CAST({1.0 - damping!r} AS DOUBLE)
+                       + CAST({damping!r} AS DOUBLE) * d{k}.m
+                  ELSE 0.0 END
+             + CAST({damping!r} AS DOUBLE) * COALESCE(c{k}.s, 0.0) AS rank
+      FROM r{k} r CROSS JOIN d{k}
+      LEFT JOIN c{k} ON c{k}.id = r.id
+    )"""
+        )
+    return f"""
+    WITH uedges AS MATERIALIZED ({_UEDGES_SQL}),
+    verts AS MATERIALIZED ({_UVERTS_SQL}),
+    {','.join(ctes)}
+    SELECT id, ROUND(rank, 8) AS rank FROM r{iters}
+    WHERE rank > 0 ORDER BY rank DESC, id LIMIT 20
+    """
+
+
+@register(
+    "galg_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    description=f"personalized PageRank (random walk with restart to "
+    f"{PPR_SOURCE}, 10 iters, d=0.85) over the symmetrized graph; "
+    "top-20 proximate nodes; oracle = unrolled restart-walk CTE "
+    "chain, 8-dp rounded",
+)
+def galg_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from project_graphdb_spark.graph.algorithms import (
+        personalized_pagerank,
+        unified_edges,
+        unified_vertices,
+    )
+
+    g = tpch_graph(spark, sf_dir)
+    ppr = personalized_pagerank(
+        unified_vertices(g),
+        unified_edges(g, undirected=True),
+        PPR_SOURCE,
+    )
+    return (
+        ppr.filter(F.col("rank") > 0)
+        .select("id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "id")
+        .limit(20)
+    )
+
+
 @register(
     "galg_triangle_count",
     oracle=f"""

@@ -123,6 +123,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ev_funnel_conversion",  # NEW r10: ordered funnel
     "ev_retention_cohorts",  # NEW r10: weekly cohort retention
     "ev_top_event_paths",  # NEW r10: path analysis top-k
+    "galg_personalized_pagerank",  # NEW r10: random walk w/ restart
     "forecast_revenue_change",  # Q6 sargable ship-date range
     "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
     "cypher_revenue_per_year",  # compiled through the pushdown gate
@@ -170,11 +171,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lineitem_quantity_percentiles",
     "ev_daily_active_users",
     "pricing_summary",
-    "building_segment_brand_revenue",
     # top3_customers_per_nation / revenue_rollup_nation_year /
-    # local_supplier_volume dropped from the tail (after
-    # orders_grouping_sets_status_year) to make room for the three new
-    # event-analytics queries — 50 slots = the driver's sample size
+    # local_supplier_volume / building_segment_brand_revenue dropped
+    # from the tail (after orders_grouping_sets_status_year) to make
+    # room for the three event-analytics queries + personalized
+    # PageRank — 50 slots = the driver's sample size
 )
 
 

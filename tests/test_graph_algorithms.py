@@ -80,6 +80,33 @@ def test_pagerank_mass_conserved_on_tpch(spark, sf_dir):
     assert total == pytest.approx(1.0, abs=1e-6)
 
 
+def test_personalized_pagerank_properties(spark, sf_dir):
+    """Mass conservation (walk + restart redistribute, never lose),
+    proximity ordering (the source out-ranks the node two hops away —
+    the hub b legitimately out-ranks the source at d=0.85, since a and
+    c both feed it their whole mass), and nodes disconnected from the
+    source stay at exactly 0 (no teleport to them)."""
+    from project_graphdb_spark.graph.algorithms import (
+        personalized_pagerank,
+    )
+
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("x",), ("y",)], "id string"
+    )
+    # component 1: a <-> b <-> c (sym);  component 2: x <-> y
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+         ("x", "y"), ("y", "x")],
+        "src string, dst string",
+    )
+    ppr = personalized_pagerank(verts, edges, "a", iterations=12)
+    rows = {r.id: r.rank for r in ppr.collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    assert rows["x"] == 0.0 and rows["y"] == 0.0
+    assert rows["a"] > rows["c"] > 0.0
+    assert rows["b"] > rows["c"]
+
+
 def test_triangle_count_known_graph(spark):
     from project_graphdb_spark.graph.algorithms import triangle_count
 
