@@ -70,6 +70,10 @@ EXTRA_STACK = [
     "sole_late_supplier_orders",
     "idle_rich_customers_by_nation",
     "top_supplier_quarter_revenue",  # Q15 (r10): view reuse join-back
+    # event analytics (r10): funnel / retention / paths
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_top_event_paths",
     # doc_bm25_topk is NOT here: its registered face binds driver-corpus
     # terms that don't exist in the scale corpus's wordNNN vocabulary
     # (0 rows). Scale-measure it via the parameterized bm25_topk core
