@@ -271,3 +271,113 @@ def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "supplier")
     )
+
+
+# minimum co-orders for a part pair to qualify (blocking: the pair
+# frame is generated per-order — bounded by order fan-in, never an
+# all-parts cross — and this floor prunes the accidental singletons)
+COOCCUR_MIN_ORDERS = 2
+COOCCUR_TOP_K = 20
+# baskets above this size are excluded from pair generation AND from
+# the Jaccard degree counts (both engines, identically): a degenerate
+# mega-basket says nothing about item similarity and its pair count is
+# quadratic — the sf10 generated data has a 60,505-line hot order whose
+# single basket would emit ~3.7 B pairs (measured: the uncapped form ran
+# >20 min at sf10 before being killed). Item-to-item CF systems cap or
+# downsample oversized baskets for exactly this reason.
+COOCCUR_MAX_BASKET = 100
+
+
+@register(
+    "part_cooccurrence_similarity",
+    oracle=f"""
+    WITH po0 AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    ok AS MATERIALIZED (
+      SELECT o FROM po0 GROUP BY o HAVING COUNT(*) <= {COOCCUR_MAX_BASKET}
+    ),
+    po AS MATERIALIZED (SELECT po0.* FROM po0 JOIN ok ON po0.o = ok.o),
+    deg AS MATERIALIZED (SELECT p, COUNT(*) AS n FROM po GROUP BY p),
+    co AS (
+      SELECT a.p AS part1, b.p AS part2, COUNT(*) AS n_common
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+      HAVING COUNT(*) >= {COOCCUR_MIN_ORDERS}
+    )
+    SELECT co.part1, co.part2, CAST(co.n_common AS BIGINT) AS n_common,
+           CAST(ROUND(co.n_common * 1.0 / (d1.n + d2.n - co.n_common), 6)
+                AS DOUBLE) AS jaccard
+    FROM co
+    JOIN deg d1 ON d1.p = co.part1
+    JOIN deg d2 ON d2.p = co.part2
+    ORDER BY jaccard DESC, part1, part2 LIMIT {COOCCUR_TOP_K}
+    """,
+    description=f"part-similarity by order co-occurrence (market-basket "
+    f"/ Jaccard node-similarity primitive): top-{COOCCUR_TOP_K} part "
+    "pairs by |orders(a) AND orders(b)| / |orders(a) OR orders(b)|, "
+    f"pairs qualifying at >= {COOCCUR_MIN_ORDERS} shared orders, "
+    f"baskets capped at {COOCCUR_MAX_BASKET} items (a degenerate "
+    "mega-basket is quadratic and semantically empty — the skew cap IS "
+    "the scale story). Pair frame generated per order, never an "
+    "all-parts cross; shuffles key on orderkey then the pair",
+)
+def part_cooccurrence_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jaccard similarity of part pairs over their order sets —
+    the co-occurrence recommendation primitive (same math as Neo4j
+    GDS nodeSimilarity restricted to co-occurring pairs).
+
+    Blocking identical to the dedup tiers' rule: candidate pairs come
+    only from a shared order (the co-order join keys on ``o``), and the
+    basket cap bounds the per-order quadratic form by a CONSTANT —
+    without it the sf10 generator's 60,505-line hot order alone emits
+    ~3.7 B pairs (measured; see SCALE.md r10 note).
+    """
+    po0 = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    # basket-size cap (COOCCUR_MAX_BASKET): drop degenerate mega-baskets
+    # BEFORE pair generation — the quadratic form must be bounded by a
+    # constant, not by whatever the skew tail happens to contain. The
+    # qualifying-order frame keys the same shuffle as the join below.
+    ok = (
+        po0.groupBy("o")
+        .agg(F.count("*").alias("__bs"))
+        .filter(F.col("__bs") <= COOCCUR_MAX_BASKET)
+        .select("o")
+    )
+    po = po0.join(ok, "o")
+    deg = po.groupBy("p").agg(F.count("*").alias("n"))
+    a = po.select("o", F.col("p").alias("part1"))
+    b = po.select("o", F.col("p").alias("part2"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= COOCCUR_MIN_ORDERS)
+    )
+    return (
+        co.join(deg.select(F.col("p").alias("part1"), F.col("n").alias("n1")), "part1")
+        .join(deg.select(F.col("p").alias("part2"), F.col("n").alias("n2")), "part2")
+        .select(
+            "part1",
+            "part2",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "part1", "part2")
+        .limit(COOCCUR_TOP_K)
+    )

@@ -75,6 +75,32 @@ def test_window_priority_names_exist():
     )
 
 
+def test_scale_stack_names_exist():
+    """Every tools/run_scale_bench.py stack/exclusion name must be a
+    registered query — the sweep resolves them with REGISTRY[n] at
+    startup, so a typo (or a renamed query) would crash the per-round
+    scale artifact run instead of failing loudly here."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "run_scale_bench.py"
+    )
+    spec = importlib.util.spec_from_file_location("_rsb_gate", path)
+    mod = importlib.util.module_from_spec(spec)
+    # the tool imports at module scope only stdlib + the repo package
+    sys.modules["_rsb_gate"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        for group in ("EXTRA_STACK", "EXCLUDED", "BIG_SF_EXCLUDED"):
+            names = getattr(mod, group)
+            unknown = [n for n in names if n not in workload.REGISTRY]
+            assert not unknown, f"{group} names not in registry: {unknown}"
+    finally:
+        sys.modules.pop("_rsb_gate", None)
+
+
 def test_workload_md_in_lockstep():
     """WORKLOAD.md is generated from the registry; a registry change
     without `python tools/gen_workload_md.py` is doc drift — regenerate
