@@ -151,6 +151,60 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_STAGE_TYPES = ("view", "click", "purchase")
+
+
+def funnel_stage_tracker(events: DataFrame) -> DataFrame:
+    """Per-user ordered-funnel progression as a custom stateful
+    streaming operator (``applyInPandasWithState``): state is the three
+    stage entry times, advanced by the strict-after state machine the
+    batch face (`event_analytics.funnel_conversion`) computes with
+    joins — stage k enters on the first stage-k event strictly after
+    the stage-(k-1) entry.
+
+    Each micro-batch's rows are processed in event-time order; like
+    the sessionization twin, cross-batch exactness assumes the stream
+    arrives in roughly event-time order (the watermarked deployment
+    regime; the equivalence test stages time-sliced files). State is
+    three longs per user — horizontal in keys, constant per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, stage int"
+    state_schema = "t1 bigint, t2 bigint, t3 bigint"  # ns since epoch; 0 = unset
+
+    def update(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            rows = pd.concat(frames)
+            rows = rows.assign(
+                __ts=pd.to_datetime(rows["ts"]).astype("int64")
+            ).sort_values("__ts")
+            for ts_ns, etype in zip(rows["__ts"], rows["event_type"]):
+                if t1 == 0:
+                    if etype == FUNNEL_STAGE_TYPES[0]:
+                        t1 = int(ts_ns)
+                elif t2 == 0:
+                    if etype == FUNNEL_STAGE_TYPES[1] and ts_ns > t1:
+                        t2 = int(ts_ns)
+                elif t3 == 0:
+                    if etype == FUNNEL_STAGE_TYPES[2] and ts_ns > t2:
+                        t3 = int(ts_ns)
+        state.update((t1, t2, t3))
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_upsert_nodes(
     stream: DataFrame,
     target_path: str,

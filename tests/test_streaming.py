@@ -505,3 +505,65 @@ def test_every_streaming_faced_query_has_a_stream_twin():
     # the r9/r10 streaming-faced surface — shrinking this list means a
     # face was dropped or stopped referencing its streaming op
     assert len(checked) >= 6, checked
+
+
+def test_funnel_stage_tracker_stream_matches_batch(spark, tmp_path):
+    """Stream twin of the ev_funnel_conversion batch face: the stateful
+    per-user stage machine (funnel_stage_tracker), fed time-sliced
+    micro-batches, must reach the same per-stage user counts the batch
+    face computes with joins. Files staged in event-time order (the
+    sessionization twin's regime: a realistic stream arrives roughly
+    ordered; each slice one micro-batch via maxFilesPerTrigger=1)."""
+    import time as _time
+
+    from project_graphdb_spark.operators.event_analytics import (
+        funnel_conversion,
+    )
+    from project_graphdb_spark.streaming.ops import funnel_stage_tracker
+
+    batch = load_table(spark, SF, "events")
+    path = str(tmp_path / "events_by_time")
+    bounds = batch.selectExpr(
+        "percentile(unix_micros(ts), 0.25) q1",
+        "percentile(unix_micros(ts), 0.5) q2",
+        "percentile(unix_micros(ts), 0.75) q3",
+    ).collect()[0]
+    slices = [
+        F.unix_micros(F.col("ts")) <= bounds.q1,
+        (F.unix_micros(F.col("ts")) > bounds.q1)
+        & (F.unix_micros(F.col("ts")) <= bounds.q2),
+        (F.unix_micros(F.col("ts")) > bounds.q2)
+        & (F.unix_micros(F.col("ts")) <= bounds.q3),
+        F.unix_micros(F.col("ts")) > bounds.q3,
+    ]
+    for cond in slices:  # sequential writes: mtime orders the batches
+        batch.filter(cond).coalesce(1).write.parquet(path, mode="append")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = _run_to_memory(
+        funnel_stage_tracker(stream), "t_funnel_state", "update"
+    )
+    # stage is monotone per user; the final update is the max
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+    )
+    got = {
+        r.stage: r.n
+        for r in final.groupBy("stage")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_cum = {
+        k: sum(v for s, v in got.items() if s >= k) for k in (1, 2, 3)
+    }
+    want = {
+        r.stage_ord: r.n_users
+        for r in funnel_conversion(batch).collect()
+    }
+    assert got_cum == want, (got_cum, want)
