@@ -743,3 +743,91 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid outliers: mislabeled-example detection
+# ---------------------------------------------------------------------------
+
+CENTROID_OUTLIER_K = 3
+# exact-decimal centroid accumulation: embedding components are O(1)
+# floats, 12 fractional digits of headroom; DECIMAL sums are
+# bit-identical in Spark and DuckDB regardless of accumulation order,
+# so the centroid VECTOR (not just the final score) matches across
+# engines and the 6-dp rounded cosine can never straddle an engine gap
+_CEN_DEC = "DECIMAL(28,12)"
+
+
+@register(
+    "emb_label_centroid_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      FROM e
+    ),
+    cen AS (
+      SELECT label, i,
+             CAST(SUM(CAST(x AS {_CEN_DEC})) AS DOUBLE) / COUNT(*) AS c
+      FROM ex GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM cen GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             round(list_cosine_similarity(e.v, cvec.cv), 6)
+               AS cos_centroid
+      FROM e JOIN cvec ON e.label = cvec.label
+    )
+    SELECT label, vec_id, cos_centroid,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY cos_centroid ASC, vec_id) AS rnk
+    FROM scored QUALIFY rnk <= {CENTROID_OUTLIER_K}
+    ORDER BY label, rnk
+    """,
+    description=f"mislabeled-example detection: per-label embedding "
+    f"centroid (exact-decimal element sums), then the "
+    f"{CENTROID_OUTLIER_K} members least cosine-similar to their own "
+    "label's centroid. Centroid frame is labels x dim (tiny, "
+    "broadcast); the corpus side is one explode + one (label, i) "
+    "shuffle + a label-partitioned window — linear at 100 TB",
+)
+def emb_label_centroid_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The embedding-space data-quality op a training pipeline runs
+    before contrastive/classification training: members far from their
+    label centroid are candidate label errors (Northcutt et al.'s
+    confident-learning intuition, geometric form)."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label", F.posexplode("v").alias("i", "x")
+    )
+    cen = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast(_CEN_DEC)).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cvec = cen.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    scored = emb.join(F.broadcast(cvec), "label").select(
+        "label",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_centroid"),
+    )
+    w = W.partitionBy("label").orderBy(F.asc("cos_centroid"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CENTROID_OUTLIER_K)
+        .orderBy("label", "rnk")
+    )
