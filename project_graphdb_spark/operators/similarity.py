@@ -831,3 +831,69 @@ def emb_label_centroid_outliers(
         .filter(F.col("rnk") <= CENTROID_OUTLIER_K)
         .orderBy("label", "rnk")
     )
+
+
+@register(
+    "emb_label_confusion_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+      FROM e
+    ),
+    cen AS (
+      SELECT label, i,
+             CAST(SUM(CAST(x AS {_CEN_DEC})) AS DOUBLE) / COUNT(*) AS c
+      FROM ex GROUP BY label, i
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM cen GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_cosine_similarity(a.cv, b.cv), 6) AS centroid_cos
+    FROM cvec a JOIN cvec b ON a.label < b.label
+    ORDER BY centroid_cos DESC, label_a, label_b
+    """,
+    description="label-confusion audit: cosine similarity between every "
+    "pair of label centroids (exact-decimal element sums), most "
+    "confusable first — near-identical centroids flag label-merge "
+    "candidates / annotation drift. The pair join runs on the "
+    "labels x dim centroid frame only (tiny); the corpus contributes "
+    "one explode + one (label, dim) shuffle",
+)
+def emb_label_confusion_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Companion to :func:`emb_label_centroid_outliers`: the outliers
+    query asks "which MEMBERS don't belong"; this asks "which LABELS
+    overlap" — the all-pairs form is safe here precisely because it
+    runs on the centroid frame (|labels| rows), never the corpus."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
+    cen = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast(_CEN_DEC)).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cvec = cen.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    a = cvec.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
+    b = cvec.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+        .orderBy(F.desc("centroid_cos"), "label_a", "label_b")
+    )

@@ -126,6 +126,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "galg_personalized_pagerank",  # NEW r10: random walk w/ restart
     "part_cooccurrence_similarity",  # NEW r10: market-basket Jaccard
     "emb_label_centroid_outliers",  # NEW r10: label-error detection
+    "emb_label_confusion_pairs",  # NEW r10: label-merge audit
     "forecast_revenue_change",  # Q6 sargable ship-date range
     "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
     "cypher_revenue_per_year",  # compiled through the pushdown gate
@@ -170,14 +171,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "lineitem_orderkey_contention",
     "ev_user_counts_salted",
     "events_ts_components",
-    "lineitem_quantity_percentiles",
     # tail entries dropped to stay at 50 (after
     # orders_grouping_sets_status_year): top3_customers_per_nation,
     # revenue_rollup_nation_year, local_supplier_volume,
     # building_segment_brand_revenue, pricing_summary,
-    # ev_daily_active_users — displaced by the three event-analytics
+    # ev_daily_active_users, lineitem_quantity_percentiles — displaced
+    # by the three event-analytics
     # queries, personalized PageRank, part co-occurrence similarity,
-    # and the label-centroid outlier detector. 50 slots = the
+    # and the two embedding label-audit queries. 50 slots = the
     # driver's sample size; dropped names rotate back next round
 )
 
