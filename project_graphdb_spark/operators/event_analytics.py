@@ -75,7 +75,9 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     # ONE explode into the 3 stage rows — a union of per-stage selects
     # would re-evaluate the whole stage chain per branch (3x the fact
     # scan at scale), the explode touches the 1-row frame once
-    n = stage_counts[0].crossJoin(stage_counts[1]).crossJoin(stage_counts[2])
+    from functools import reduce
+
+    n = reduce(DataFrame.crossJoin, stage_counts)
     stage_structs = []
     for ord_, label, _ in FUNNEL_STAGES:
         conv = (

@@ -758,6 +758,27 @@ CENTROID_OUTLIER_K = 3
 _CEN_DEC = "DECIMAL(28,12)"
 
 
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, cv) — per-label centroid vectors via exact-DECIMAL
+    element sums: the centroid VECTOR is engine-identical (not just a
+    rounded score), which is what keeps both label-audit queries' 6-dp
+    cosines from ever straddling an engine gap. Shared by
+    emb_label_centroid_outliers and emb_label_confusion_pairs — the
+    parity-critical kernel must have exactly one copy."""
+    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
+    cen = ex.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("x").cast(_CEN_DEC)).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    return cen.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+
+
 @register(
     "emb_label_centroid_outliers",
     oracle=f"""
@@ -806,20 +827,7 @@ def emb_label_centroid_outliers(
     from pyspark.sql import Window as W
 
     emb = _emb(spark, sf_dir)
-    ex = emb.select(
-        "label", F.posexplode("v").alias("i", "x")
-    )
-    cen = ex.groupBy("label", "i").agg(
-        (
-            F.sum(F.col("x").cast(_CEN_DEC)).cast("double") / F.count("*")
-        ).alias("c")
-    )
-    cvec = cen.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))),
-            lambda s: s["c"],
-        ).alias("cv")
-    )
+    cvec = _label_centroids(emb)
     scored = emb.join(F.broadcast(cvec), "label").select(
         "label",
         "vec_id",
@@ -871,19 +879,7 @@ def emb_label_confusion_pairs(
     query asks "which MEMBERS don't belong"; this asks "which LABELS
     overlap" — the all-pairs form is safe here precisely because it
     runs on the centroid frame (|labels| rows), never the corpus."""
-    emb = _emb(spark, sf_dir)
-    ex = emb.select("label", F.posexplode("v").alias("i", "x"))
-    cen = ex.groupBy("label", "i").agg(
-        (
-            F.sum(F.col("x").cast(_CEN_DEC)).cast("double") / F.count("*")
-        ).alias("c")
-    )
-    cvec = cen.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "c"))),
-            lambda s: s["c"],
-        ).alias("cv")
-    )
+    cvec = _label_centroids(_emb(spark, sf_dir))
     a = cvec.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
     b = cvec.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
     return (

@@ -88,12 +88,9 @@ def sliding_fold_hashes(th: Column, k: int) -> Column:
             )
         return acc
 
-    empty_h = ",".join(f"h{j}:bigint" for j in range(k))
-    return F.when(
-        n >= k, F.transform(zipped, fold)
-    ).otherwise(
+    return F.when(n >= k, F.transform(zipped, fold)).otherwise(
         F.array().cast("array<bigint>")
-    ).cast("array<bigint>")
+    )
 
 
 # composite quality score over (n_tokens, n_distinct, n_chars) — the
