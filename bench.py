@@ -115,6 +115,25 @@ def main() -> None:
                 # between runs than r6->r7 moved between rounds.
                 "noise_note": "same-code back-to-back totals differ ~15%;"
                 " cross-round per-query deltas under ~30% are not signal",
+                # r11 MEASURED noise model (VERDICT r10 ask #1): the
+                # BENCH_r10-vs-r09 +42% total was attributed by an
+                # interleaved A/B of the two pinned checkouts on one
+                # idle host (tools/run_bench_ab.py, 3 reps each,
+                # measurements/r11/bench_ab_r9_r10.json): r9 code
+                # medians 11.37/11.48/12.36 s vs r10 code
+                # 11.27/11.28/11.95 s — the r10 CODE is ~2% FASTER at
+                # matched conditions; the artifact shift was entirely
+                # host state at driver-run time. Bands that ARE
+                # evidence: same-session same-code rep spread ±9%
+                # (measured), cross-session host band up to ±40%
+                # (10.20 -> 14.44 on identical-speed code). A
+                # cross-round total delta is only signal past the host
+                # band, or when reproduced by an interleaved A/B.
+                "noise_model": {
+                    "same_session_rep_spread_pct": 9,
+                    "cross_session_host_band_pct": 40,
+                    "attribution": "measurements/r11/bench_ab_r9_r10.json",
+                },
                 # r8 MEASUREMENT FIX — numbers are NOT comparable to
                 # BENCH_r01..r07: materialization switched from
                 # df.count() to the noop sink. count() wraps the query

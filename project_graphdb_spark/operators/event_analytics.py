@@ -37,7 +37,17 @@ FUNNEL_STAGES = (
 )
 
 
-def funnel_conversion(events: DataFrame) -> DataFrame:
+#: conversion window (hours) for the time-bounded funnel variant: a
+#: stage-k event only counts if it lands within this many hours of the
+#: stage-(k-1) entry. 48 h binds on the generated corpus (view->click
+#: gap median 32 h, p90 120 h), so the windowed counts genuinely differ
+#: from the open-ended funnel's.
+FUNNEL_CONVERSION_WINDOW_HOURS = 48
+
+
+def funnel_conversion(
+    events: DataFrame, window_hours: int | None = None
+) -> DataFrame:
     """Strict ordered funnel view -> click -> purchase.
 
     A user reaches stage k when an event of stage k's type occurs
@@ -47,6 +57,14 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     monotonically shrinking user-keyed frame: filter the typed slice,
     join to the previous stage's entry times, keep later events, take
     the per-user minimum.
+
+    With ``window_hours`` set, each stage transition additionally
+    requires the qualifying event to land WITHIN that many hours of the
+    previous stage's entry (``prev_ts < ts <= prev_ts + window``) — the
+    real product-analytics contract ("clicked within 2 days of the
+    first view"), one extra sargable predicate per stage join; the
+    plan shape and shuffle keys are identical to the open-ended form
+    (r11, VERDICT r10 ask #5).
     """
     ev = events.select("user_id", "event_type", "ts")
     prev: DataFrame | None = None
@@ -58,12 +76,19 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
                 F.min("ts").alias("entry_ts")
             )
         else:
+            cond = F.col("ts") > F.col("prev_ts")
+            if window_hours is not None:
+                cond = cond & (
+                    F.col("ts")
+                    <= F.col("prev_ts")
+                    + F.expr(f"INTERVAL {int(window_hours)} HOURS")
+                )
             entered = (
                 sliced.join(
                     prev.select("user_id", F.col("entry_ts").alias("prev_ts")),
                     "user_id",
                 )
-                .filter(F.col("ts") > F.col("prev_ts"))
+                .filter(cond)
                 .groupBy("user_id")
                 .agg(F.min("ts").alias("entry_ts"))
             )
@@ -143,6 +168,59 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
 )
 def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_funnel_conversion_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_CONVERSION_WINDOW_HOURS} HOURS
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL {FUNNEL_CONVERSION_WINDOW_HOURS} HOURS
+      GROUP BY 1
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM v) AS n1,
+             (SELECT COUNT(*) FROM c) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_ord, 'view' AS stage,
+             CAST(n1 AS BIGINT) AS n_users,
+             CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+      UNION ALL
+      SELECT 2, 'click_after_view', CAST(n2 AS BIGINT),
+             CAST(CASE WHEN n1 > 0
+                       THEN ROUND(n2 * 1.0 / n1, 6) END AS DOUBLE) FROM n
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(n3 AS BIGINT),
+             CAST(CASE WHEN n2 > 0
+                       THEN ROUND(n3 * 1.0 / n2, 6) END AS DOUBLE) FROM n
+    ) ORDER BY stage_ord
+    """,
+    description="time-bounded ordered funnel (r11): stage k requires "
+    "the qualifying event WITHIN "
+    f"{FUNNEL_CONVERSION_WINDOW_HOURS} h of the stage-(k-1) entry "
+    "(prev_ts < ts <= prev_ts + window) — the real conversion-window "
+    "contract; same user-keyed shrinking joins and PushedFilters as "
+    "the open-ended face, one extra sargable predicate per stage",
+)
+def ev_funnel_conversion_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return funnel_conversion(
+        load_table(spark, sf_dir, "events"),
+        window_hours=FUNNEL_CONVERSION_WINDOW_HOURS,
+    )
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:

@@ -1,20 +1,26 @@
-"""Relational surface extensions — correlated-subquery shapes.
+"""Relational surface extensions beyond ``relational.py``'s core 24.
 
 Separate module (not ``relational.py``) ONLY for registry-window
 mechanics: the driver's correctness gate samples the first 50 registry
 entries in insertion order and round 7's window was composed to cover
 exactly the never-sampled families (see ``workload._ensure_loaded``);
-registering here keeps the window stable. These two queries add the one
-relational shape the existing 24 lack: the **correlated scalar
-subquery** (TPC-H Q17/Q14 flavors), which Spark answers by
-decorrelating into a grouped self-aggregate + equi-join — the plan we
-write out explicitly below so the shuffle structure is visible and
-testable rather than left to the rewriter.
+registering here keeps the window stable. The module has grown beyond
+its original two shapes; it now holds:
+
+* the **correlated scalar subquery** pair (TPC-H Q17/Q14 flavors),
+  which Spark answers by decorrelating into a grouped self-aggregate +
+  equi-join — the plan we write out explicitly below so the shuffle
+  structure is visible and testable rather than left to the rewriter;
+* **part co-occurrence similarity** (r10): market-basket Jaccard over
+  shared orders — a different shape (pair generation per blocking key,
+  the dedup tiers' rule) with its own scale story (the enforced
+  ``COOCCUR_MAX_BASKET`` cap, SCALE.md).
 
 Scale notes (100 TB): the per-part aggregate and the fact scan shuffle
 on the same key (l_partkey), so Catalyst/AQE can reuse one exchange;
 the part dimension is broadcast. No window functions, no global sorts —
-output cardinality is bounded by the brand/year dimension.
+output cardinality is bounded by the brand/year dimension (subquery
+shapes) or top-k + the basket cap (co-occurrence).
 """
 
 from __future__ import annotations

@@ -750,6 +750,11 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CENTROID_OUTLIER_K = 3
+
+#: enforced label-domain cap for the all-pairs centroid confusion audit
+#: (r11): the guard raises if exceeded; the limit it licenses is what
+#: makes the pair join STRUCTURALLY bounded in the executed plan.
+CONFUSION_MAX_LABELS = 10_000
 # exact-decimal centroid accumulation: embedding components are O(1)
 # floats, 12 fractional digits of headroom; DECIMAL sums are
 # bit-identical in Spark and DuckDB regardless of accumulation order,
@@ -868,9 +873,13 @@ def emb_label_centroid_outliers(
     description="label-confusion audit: cosine similarity between every "
     "pair of label centroids (exact-decimal element sums), most "
     "confusable first — near-identical centroids flag label-merge "
-    "candidates / annotation drift. The pair join runs on the "
-    "labels x dim centroid frame only (tiny); the corpus contributes "
-    "one explode + one (label, dim) shuffle",
+    "candidates / annotation drift. The label domain is capped by an "
+    f"enforced CONFUSION_MAX_LABELS={CONFUSION_MAX_LABELS} guard "
+    "(collect-as-guard), the pair domain is a literal frame (the "
+    "non-equi join runs LocalTableScan-vs-LocalTableScan — "
+    "structurally bounded to classify_bnlj), and centroids attach via "
+    "two broadcast equi-joins; the corpus contributes one explode + "
+    "one (label, dim) shuffle",
 )
 def emb_label_confusion_pairs(
     spark: SparkSession, sf_dir: str
@@ -878,12 +887,67 @@ def emb_label_confusion_pairs(
     """Companion to :func:`emb_label_centroid_outliers`: the outliers
     query asks "which MEMBERS don't belong"; this asks "which LABELS
     overlap" — the all-pairs form is safe here precisely because it
-    runs on the centroid frame (|labels| rows), never the corpus."""
-    cvec = _label_centroids(_emb(spark, sf_dir))
+    runs on the centroid frame (|labels| rows), never the corpus.
+
+    r11 (VERDICT r10 ask #2): "|labels| is small" is now ENFORCED, not
+    assumed — the co-occurrence basket-cap lesson applied to the label
+    domain. The distinct labels are collected to the driver (bounded
+    state by construction: the collect IS the guard, raising past
+    ``CONFUSION_MAX_LABELS`` — an all-pairs audit over more labels is
+    mis-posed anyway, its own output would be |labels|²-sized) and the
+    pair domain re-enters the plan as a literal frame. The non-equi
+    ``label_a < label_b`` join therefore runs LocalTableScan-vs-
+    LocalTableScan — the bounded-evidence class ``classify_bnlj``
+    recognizes structurally, and one AQE can never re-optimize away
+    (the first r11 cut used a guarded ``limit()`` on the broadcast
+    build side; AQE's re-optimization correctly eliminated the
+    GlobalLimit once runtime stats proved the frame small, taking the
+    bounded evidence with it) — and the centroid attachment becomes
+    two broadcast EQUI-joins of the cap-bounded centroid frame. The
+    sweep's zero-tolerance ``bnlj_unbounded`` signal no longer carries
+    a hand-adjudicated exception."""
+    emb = _emb(spark, sf_dir)
+    labels = sorted(
+        r["label"] for r in emb.select("label").distinct().collect()
+    )
+    if len(labels) > CONFUSION_MAX_LABELS:
+        raise ValueError(
+            f"emb_label_confusion_pairs: {len(labels)} distinct labels "
+            f"exceed the enforced all-pairs cap CONFUSION_MAX_LABELS="
+            f"{CONFUSION_MAX_LABELS}; an all-pairs centroid audit over "
+            "a domain this size is mis-posed — raise the cap knowingly "
+            "or pre-filter the label domain"
+        )
+    if not all(isinstance(l, int) for l in labels):
+        raise TypeError(
+            "emb_label_confusion_pairs expects an integral label "
+            f"domain, got {sorted({type(l).__name__ for l in labels})}"
+        )
+    # literal frames via VALUES => LocalRelation/LocalTableScan leaves
+    # (createDataFrame-from-list scans as ExistingRDD, which carries no
+    # structural bounded evidence for classify_bnlj)
+    ltype = emb.schema["label"].dataType.simpleString()
+    values = ",".join(f"({int(l)})" for l in labels)
+    la = spark.sql(
+        f"SELECT CAST(label_a AS {ltype}) AS label_a "
+        f"FROM VALUES {values} AS t(label_a)"
+    )
+    lb = spark.sql(
+        f"SELECT CAST(label_b AS {ltype}) AS label_b "
+        f"FROM VALUES {values} AS t(label_b)"
+    )
+    pairs = la.join(
+        F.broadcast(lb), F.col("label_a") < F.col("label_b")
+    )
+    cvec = _label_centroids(emb)
     a = cvec.select(F.col("label").alias("label_a"), F.col("cv").alias("va"))
     b = cvec.select(F.col("label").alias("label_b"), F.col("cv").alias("vb"))
+    # the centroid frame is |labels|-bounded by the guard above —
+    # broadcasting it is the degenerate-dimension case, not a forced
+    # broadcast of an SF-scaled table
     return (
-        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        pairs.join(F.broadcast(a), "label_a")
+        .join(F.broadcast(b), "label_b")
         .select(
             "label_a",
             "label_b",

@@ -209,7 +209,11 @@ def _emb_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_encode_udf(books: list[list[list[float]]], normalize: bool = False):
+def _pq_encode_udf(
+    books: list[list[list[float]]],
+    normalize: bool = False,
+    grid: bool = False,
+):
     """Arrow-batched kernel: v -> array of M subspace codes; with
     ``normalize`` the kernel L2-normalizes rows itself, so the full
     encode pass takes RAW vectors and never pays the interpreted
@@ -220,7 +224,17 @@ def _pq_encode_udf(books: list[list[list[float]]], normalize: bool = False):
     minimum = smallest-cid tie-break). A literal-argmax expression
     formulation of the same assignment costs M*ks interpreted
     higher-order ``dot`` lambdas per row (SCALE.md finding 9) —
-    measured 164 s for one sf1 train+encode vs ~2 s on this kernel."""
+    measured 164 s for one sf1 train+encode vs ~2 s on this kernel.
+
+    With ``grid`` the squared distances coarsen to the 1e-6 rank grid
+    (floor(d*1e6 + 0.5), ``_rank_sim``'s convention) before the argmin
+    — the cross-engine parity contract the hash-provable pinned face
+    ``emb_pq_adc_pinned`` needs (DuckDB's direct-form distance and
+    numpy's matmul-expanded form differ by float-summation noise; the
+    grid makes both engines pick the same codeword except within 1 ulp
+    of a grid boundary). The trained tiers leave it off: their
+    contract is recall, not hashes, and the ungridded argmin is the
+    landed, measured shape."""
     from pyspark.sql.functions import pandas_udf
 
     C = [np.asarray(b, dtype=np.float64) for b in books]
@@ -245,6 +259,8 @@ def _pq_encode_udf(books: list[list[list[float]]], normalize: bool = False):
                 - 2.0 * (S @ Cm.T)
                 + (Cm * Cm).sum(1)[None, :]
             )
+            if grid:
+                d = np.floor(d * 1e6 + 0.5)
             out[:, m] = d.argmin(1)
         return pd.Series(list(out))
 
@@ -391,11 +407,16 @@ def _unit_query_vec(emb: DataFrame) -> list[float] | None:
 
 
 def _adc_col(spark: SparkSession, sf_dir: str, q: list[float]) -> Column:
+    """Asymmetric-distance column over a PQ ``cs`` code array against
+    the TRAINED codebooks — see :func:`_adc_col_from`."""
+    return _adc_col_from(_pq_codebooks(spark, sf_dir), q)
+
+
+def _adc_col_from(books: list[list[list[float]]], q: list[float]) -> Column:
     """Asymmetric-distance column over a PQ ``cs`` code array: the
     driver computes table[m][j] = dot(q_m, codeword_mj) (O(M*ks)
     scalars per query), the scan is a fixed-order sum of literal table
     lookups — no vector arithmetic touches the corpus rows."""
-    books = _pq_codebooks(spark, sf_dir)
     sub = len(q) // PQ_M
     tables = [
         [
@@ -650,3 +671,137 @@ def ann_ivfpq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return _rerank_top10(emb, shortlist, q)
+
+
+# --------------------------------------------------------------------------
+# Hash-provable pinned PQ/ADC face (r11, VERDICT r10 ask #7)
+# --------------------------------------------------------------------------
+
+
+def _adc_fixed_col(books: list[list[list[float]]], q: list[float]) -> Column:
+    """ADC as EXACT fixed-point arithmetic: table[m][j] = floor(
+    dot(q_m, codeword_mj) * 1e9 + 0.5) as a long, the scan sums longs
+    (order-free, engine-exact), and only the final display value
+    divides back to a rounded double. The float-table ``_adc_col_from``
+    is the production path (ranking only needs consistency within one
+    engine); this variant exists so the pinned face's ADC value can be
+    DuckDB-hash-compared without float-summation-association noise."""
+    import math
+
+    sub = len(q) // PQ_M
+    tables = [
+        [
+            int(
+                math.floor(
+                    sum(
+                        a * b
+                        for a, b in zip(q[m * sub : (m + 1) * sub], cw)
+                    )
+                    * 1e9
+                    + 0.5
+                )
+            )
+            for cw in book
+        ]
+        for m, book in enumerate(books)
+    ]
+    acc = F.lit(0).cast("long")
+    for m, table in enumerate(tables):
+        acc = acc + F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in table]),
+            F.element_at("cs", m + 1) + 1,
+        )
+    return F.round(acc / F.lit(1e9), 6)
+
+
+@register(
+    "emb_pq_adc_pinned",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ms AS (SELECT UNNEST(range({PQ_M})) AS m),
+    q AS (SELECT v FROM e WHERE vec_id = 0),
+    cw AS (
+      SELECT ms.m, e.vec_id AS j,
+             list_slice(e.v, ms.m * 8 + 1, ms.m * 8 + 8) AS c
+      FROM e, ms WHERE e.vec_id < {PQ_KS}
+    ),
+    sv AS (
+      SELECT e.vec_id, ms.m,
+             list_slice(e.v, ms.m * 8 + 1, ms.m * 8 + 8) AS s
+      FROM e, ms
+    ),
+    dist AS (
+      SELECT sv.vec_id, sv.m, cw.j,
+             floor((list_inner_product(sv.s, sv.s)
+                    - 2 * list_inner_product(sv.s, cw.c)
+                    + list_inner_product(cw.c, cw.c)) * 1e6 + 0.5) AS g
+      FROM sv JOIN cw ON sv.m = cw.m
+    ),
+    code AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY g, j) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT cw.m, cw.j,
+             CAST(floor(list_inner_product(
+               list_slice(q.v, cw.m * 8 + 1, cw.m * 8 + 8), cw.c)
+               * 1e9 + 0.5) AS BIGINT) AS ip
+      FROM cw, q
+    )
+    SELECT c.vec_id,
+           string_agg(CAST(c.j AS VARCHAR), '-' ORDER BY c.m) AS codes,
+           round(SUM(t.ip) / 1e9, 6) AS adc
+    FROM code c JOIN qtab t ON c.m = t.m AND c.j = t.j
+    GROUP BY c.vec_id ORDER BY c.vec_id
+    """,
+    description="hash-provable PQ encode + ADC kernel face (r11): "
+    f"codebooks pinned to the {PQ_KS} lowest-vec_id RAW vectors sliced "
+    f"into {PQ_M} subspaces (zero Lloyd rounds, no normalization — "
+    "training and unit-scaling stay recall-asserted), codes from the "
+    "SAME Arrow matmul-argmin kernel the trained tiers run (1e-6 "
+    "distance grid for cross-engine ties), ADC as exact fixed-point "
+    "table sums — the IVFADC arithmetic path (codes + lookup-table "
+    "accumulation) is DuckDB-hash-checked end to end",
+)
+def emb_pq_adc_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ analog of ``emb_ivf_assign``: pin every trained input
+    (codebooks = seed slices, query = vec 0, raw vectors) so the full
+    encode->ADC pipeline becomes deterministic and oracle-checkable,
+    while the production tiers (``ann_pq_top10``, ``ann_ivfpq_top10``)
+    keep their trained codebooks + recall contracts. Covers
+    ``_pq_encode_udf`` (the corpus-sized Arrow kernel) and the
+    lookup-table ADC accumulation with actual hash parity."""
+    emb = _emb(spark, sf_dir)
+    seeds = [
+        list(r["v"])
+        for r in emb.filter(F.col("vec_id") < PQ_KS)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    if len(seeds) < PQ_KS:
+        raise ValueError(
+            f"emb_pq_adc_pinned: need vec_id 0..{PQ_KS - 1} as pinned "
+            f"codewords, found {len(seeds)}"
+        )
+    dim = len(seeds[0])
+    sub = dim // PQ_M
+    books = [
+        [s[m * sub : (m + 1) * sub] for s in seeds] for m in range(PQ_M)
+    ]
+    q = seeds[0]  # vec 0 is the corpus' conventional query vector
+    cs = _pq_encode_udf(books, normalize=False, grid=True)(F.col("v"))
+    return (
+        emb.select("vec_id", cs.alias("cs"))
+        .select(
+            "vec_id",
+            F.array_join(
+                F.transform("cs", lambda x: x.cast("string")), "-"
+            ).alias("codes"),
+            _adc_fixed_col(books, q).alias("adc"),
+        )
+        .orderBy("vec_id")
+    )

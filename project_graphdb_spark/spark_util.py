@@ -203,6 +203,18 @@ def adaptive_broadcast(
     """
     from pyspark.sql import functions as F
 
+    n = memoized_count(df)
+    if n <= max_rows and n * _est_row_bytes(df.schema) <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
+def memoized_count(df) -> int:
+    """``df.count()`` memoized per (session, analyzed-plan semantic
+    hash) — the measurement primitive behind ``adaptive_broadcast``,
+    exposed for any builder that needs a guard count without paying
+    one job per rebuild: one narrow count job per distinct slice per
+    session."""
     # session key = JVM identity hash (a py4j proxy's Python id() is
     # NOT stable across attribute accesses)
     key = (
@@ -215,9 +227,7 @@ def adaptive_broadcast(
         if len(_BCAST_COUNT_MEMO) > 512:
             _BCAST_COUNT_MEMO.clear()
         _BCAST_COUNT_MEMO[key] = n
-    if n <= max_rows and n * _est_row_bytes(df.schema) <= max_bytes:
-        return F.broadcast(df)
-    return df
+    return n
 
 
 def classify_bnlj(df) -> dict:

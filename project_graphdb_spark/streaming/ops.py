@@ -154,25 +154,40 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 FUNNEL_STAGE_TYPES = ("view", "click", "purchase")
 
 
-def funnel_stage_tracker(events: DataFrame) -> DataFrame:
+def funnel_stage_tracker(
+    events: DataFrame, window_hours: int | None = None
+) -> DataFrame:
     """Per-user ordered-funnel progression as a custom stateful
     streaming operator (``applyInPandasWithState``): state is the three
     stage entry times, advanced by the strict-after state machine the
     batch face (`event_analytics.funnel_conversion`) computes with
     joins — stage k enters on the first stage-k event strictly after
-    the stage-(k-1) entry.
+    the stage-(k-1) entry, and (with ``window_hours``) within the
+    conversion window of it, mirroring the time-bounded batch face
+    ``ev_funnel_conversion_windowed`` (r11).
 
-    Each micro-batch's rows are processed in event-time order; like
-    the sessionization twin, cross-batch exactness assumes the stream
-    arrives in roughly event-time order (the watermarked deployment
-    regime; the equivalence test stages time-sliced files). State is
-    three longs per user — horizontal in keys, constant per key.
+    Each micro-batch's rows are processed in (event-time, event_id)
+    order — the same total order the batch face's (ts, event_id)
+    convention uses, so same-timestamp events are replayed
+    deterministically even if stage semantics are ever loosened from
+    strictly-after (ADVICE r10). Like the sessionization twin,
+    cross-batch exactness assumes the stream arrives in roughly
+    event-time order (the watermarked deployment regime; the
+    equivalence test stages time-sliced files). State is three longs
+    per user — horizontal in keys, constant per key.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = "user_id bigint, stage int"
     state_schema = "t1 bigint, t2 bigint, t3 bigint"  # ns since epoch; 0 = unset
+    # the batch face's conversion window (prev < ts <= prev + w) as ns
+    win_ns = (
+        None if window_hours is None else int(window_hours) * 3_600 * 10**9
+    )
+
+    def _within(ts_ns: int, prev_ns: int) -> bool:
+        return win_ns is None or ts_ns <= prev_ns + win_ns
 
     def update(key, pdfs, state: GroupState):
         t1, t2, t3 = state.get if state.exists else (0, 0, 0)
@@ -181,16 +196,24 @@ def funnel_stage_tracker(events: DataFrame) -> DataFrame:
             rows = pd.concat(frames)
             rows = rows.assign(
                 __ts=pd.to_datetime(rows["ts"]).astype("int64")
-            ).sort_values("__ts")
+            ).sort_values(["__ts", "event_id"])
             for ts_ns, etype in zip(rows["__ts"], rows["event_type"]):
                 if t1 == 0:
                     if etype == FUNNEL_STAGE_TYPES[0]:
                         t1 = int(ts_ns)
                 elif t2 == 0:
-                    if etype == FUNNEL_STAGE_TYPES[1] and ts_ns > t1:
+                    if (
+                        etype == FUNNEL_STAGE_TYPES[1]
+                        and ts_ns > t1
+                        and _within(ts_ns, t1)
+                    ):
                         t2 = int(ts_ns)
                 elif t3 == 0:
-                    if etype == FUNNEL_STAGE_TYPES[2] and ts_ns > t2:
+                    if (
+                        etype == FUNNEL_STAGE_TYPES[2]
+                        and ts_ns > t2
+                        and _within(ts_ns, t2)
+                    ):
                         t3 = int(ts_ns)
         state.update((t1, t2, t3))
         stage = 3 if t3 else 2 if t2 else 1 if t1 else 0

@@ -112,74 +112,75 @@ _LOADED = False
 # g_*, corpus doc_*) to refresh the union. 50 slots = the driver's
 # sample size.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r10 window (VERDICT r9 ask #2): (a) Q13 leads — the only query
-    # whose latest driver row (r8) predates its implementation (the r9
-    # pre-agg rewrite landed after the driver ran) — then every query
-    # whose implementation changed or was added in r10.
-    "customer_order_count_distribution",  # r10: REVERTED to join-first (measured)
-    "top_supplier_quarter_revenue",  # NEW r10: TPC-H Q15
-    "dedup_winnow_fast",  # NEW r10: token-hash-fold scale tier
-    "ann_ivfpq_top10",  # NEW r10: IVFADC composed tier (rows-only)
-    "ev_funnel_conversion",  # NEW r10: ordered funnel
-    "ev_retention_cohorts",  # NEW r10: weekly cohort retention
-    "ev_top_event_paths",  # NEW r10: path analysis top-k
-    "galg_personalized_pagerank",  # NEW r10: random walk w/ restart
-    "part_cooccurrence_similarity",  # NEW r10: market-basket Jaccard
-    "emb_label_centroid_outliers",  # NEW r10: label-error detection
-    "emb_label_confusion_pairs",  # NEW r10: label-merge audit
-    "forecast_revenue_change",  # Q6 sargable ship-date range
-    "g_revenue_by_brand",  # pre-agg below the Part join (finding 23)
-    "cypher_revenue_per_year",  # compiled through the pushdown gate
-    "flagship_revenue_per_year",  # audited, kept join-first (finding 23)
-    "doc_dup_span_scrub",  # range-splice removal (finding 25)
-    "pipeline_clean_pack",  # arithmetic n_removed (finding 25)
-    "doc_dup_span_profile",  # shares _dup_span_frames
-    "dedup_winnow",  # lingering checkpoint
-    "doc_winnow_fingerprints",
-    "volume_shipping_nation_pair",  # memoized measured broadcast
-    "nation_market_share",
-    # (b) queries whose persist/checkpoint handling moved to the shared
-    # lingering window (results identical, implementation touched r10)
-    "galg_connected_components",
-    "galg_pagerank_top20",
-    "galg_label_propagation",
-    "galg_bfs_from_customer1",
-    "galg_shortest_paths",
-    "galg_kcore_3",
-    "cypher_shortestpath_nation_pairs",
-    "dedup_clusters",
-    "dedup_clusters_lsh",
-    "dedup_keep_best",
-    "dedup_keep_best_lsh",
-    "jsonl_roundtrip_lang_stats",
-    "graph_sink_roundtrip",
-    "corpus_bigram_lm",
-    "doc_bigram_logprob",
-    "doc_bpe_encode",
-    "corpus_bpe_merges",
-    # streaming faces that gained readStream twins in r10
-    "ev_sliding_counts",
-    "ev_distinct_user_events",
-    # (c) oldest-checked rows (r7-latest families) to keep the union
-    # fresh — 50 slots = the driver's sample size
-    "customer_order_gaps",
-    "order_value_rank_and_next",
-    "distinct_customers_per_segment",
-    "lineitem_null_profile",
-    "orders_status_counts_2000",
-    "shipping_priority_top10",
-    "lineitem_orderkey_contention",
-    "ev_user_counts_salted",
-    "events_ts_components",
-    # tail entries dropped to stay at 50 (after
-    # orders_grouping_sets_status_year): top3_customers_per_nation,
-    # revenue_rollup_nation_year, local_supplier_volume,
-    # building_segment_brand_revenue, pricing_summary,
-    # ev_daily_active_users, lineitem_quantity_percentiles — displaced
-    # by the three event-analytics
-    # queries, personalized PageRank, part co-occurrence similarity,
-    # and the two embedding label-audit queries. 50 slots = the
-    # driver's sample size; dropped names rotate back next round
+    # r11 window (VERDICT r10 ask #3 + ADVICE r10 rotation tracking):
+    # (a) queries whose implementation changed or was added in r11;
+    # (b) ALL 26 queries whose latest driver row is r6 (the stale
+    # tail); (c) the oldest r7 rows that fit. The staleness invariant
+    # is now ENFORCED by tests/test_window_rotation.py — every
+    # registered query must have a driver row within the last
+    # MAX_STALE_ROUNDS rounds or sit in this window, so "dropped names
+    # rotate back" is a checked property, not a comment's promise.
+    #
+    # (a) r11-changed/new implementations first
+    "emb_label_confusion_pairs",  # r11: enforced label cap, bounded BNLJ
+    "ev_funnel_conversion_windowed",  # NEW r11: conversion-window funnel
+    "emb_pq_adc_pinned",  # NEW r11: hash-provable PQ encode + ADC face
+    # (b) the 26 r6-stale rows — whole tail drains this round
+    "corpus_vocab_topk",
+    "cypher_edge_counts_by_type",
+    "cypher_match_after_with",
+    "cypher_node_counts_by_label",
+    "cypher_optional_match_order_counts",
+    "cypher_predicate_surface",
+    "cypher_region_customer_counts",
+    "cypher_status_counts",
+    "cypher_top_customers",
+    "cypher_total_node_count",
+    "cypher_value_probe",
+    "cypher_varlength_customers_per_region",
+    "cypher_with_having",
+    "doc_chunk_windows",
+    "doc_contamination_check",
+    "doc_lang_id",
+    "doc_lm_score",
+    "doc_mix_rebalance",
+    "doc_pii_scrub",
+    "doc_quality_filter",
+    "doc_quality_scores",
+    "doc_repetition_stats",
+    "doc_shuffle_shards",
+    "doc_stratified_sample",
+    "g_edge_counts_by_type",
+    "g_total_node_count",
+    # (c) oldest r7 rows filling to 50 — the seven names r10 dropped
+    # with a rotation promise come back first (ADVICE r10), then the
+    # rest of the r7 bucket in name order; the 8 r7 leftovers
+    # (custkeys_active_both_endpoints, custkeys_only_first_year,
+    # customers_with_orders_semi, customers_without_orders,
+    # emb_norm_stats, ev_json_props_extract, orders_predicate_filter,
+    # value_probe_mktsegment) are r12's first fill, enforced by the
+    # staleness gate
+    "pricing_summary",
+    "top3_customers_per_nation",
+    "revenue_rollup_nation_year",
+    "local_supplier_volume",
+    "building_segment_brand_revenue",
+    "lineitem_quantity_percentiles",
+    "ann_cosine_top10",
+    "dedup_exact",
+    "dedup_incremental_winnow",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_strict",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_near_dup_pairs",
+    "ev_rolling_hour_value",
+    "ev_tumbling_hourly",
+    "knn_join_top3",
+    "orders_cube_status_priority",
+    "orders_grouping_sets_status_year",
+    "orders_status_pivot",
+    "total_sales_2000",
 )
 
 

@@ -47,6 +47,50 @@ def test_funnel_requires_strict_order(spark):
     }
 
 
+def test_funnel_window_bounds_conversion(spark):
+    """The r11 conversion-window variant: a click 3 days after the
+    first view converts the open-ended funnel but NOT the 48 h one;
+    a click exactly AT the window edge (<=) still converts."""
+    rows = [
+        # user 1: view day 1, click day 4 (72 h later) — outside 48 h
+        (1, 0, 1, "view"), (4, 0, 1, "click"),
+        # user 2: view day 1 00:00, click day 3 00:00 (exactly 48 h)
+        (1, 0, 2, "view"), (3, 0, 2, "click"),
+    ]
+    ev = _ev(spark, rows)
+    open_ = {
+        r["stage"]: r["n_users"] for r in funnel_conversion(ev).collect()
+    }
+    bounded = {
+        r["stage"]: r["n_users"]
+        for r in funnel_conversion(ev, window_hours=48).collect()
+    }
+    assert open_["click_after_view"] == 2
+    assert bounded["click_after_view"] == 1  # edge-inclusive, late drops
+    assert bounded["view"] == open_["view"] == 2
+
+
+def test_funnel_windowed_binds_on_testdata(spark, sf_dir):
+    """On the generated corpus the 48 h window must genuinely bind
+    (strictly fewer stage-2 users than the open-ended funnel) — a
+    window wider than every gap would make the windowed face a
+    duplicate registration of the open-ended one."""
+    from project_graphdb_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n2 = {
+        r["stage_ord"]: r["n_users"]
+        for r in funnel_conversion(ev).collect()
+    }
+    n2w = {
+        r["stage_ord"]: r["n_users"]
+        for r in funnel_conversion(ev, window_hours=48).collect()
+    }
+    assert n2w[1] == n2[1]  # stage 1 has no window
+    assert n2w[2] < n2[2]
+    assert n2w[3] <= n2[3]
+
+
 def test_funnel_counts_monotonic_on_testdata(spark, sf_dir):
     from project_graphdb_spark.io.tables import load_table
 

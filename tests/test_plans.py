@@ -474,11 +474,49 @@ def test_registered_workload_has_no_unbounded_cartesian(spark, sf_dir):
         "ann_cosine_top10",
         "knn_join_top3",
         "ev_asof_purchase_before_click",
+        "emb_label_confusion_pairs",
     ):
         df = workload.REGISTRY[name].fn(spark, sf_dir)
         df.collect()
         c = classify_bnlj(df)
         assert not c["cartesian"], (name, c)
+        assert c["bnlj_unbounded"] == 0, (name, c)
+
+
+def test_confusion_pairs_bnlj_structurally_bounded(spark, sf_dir):
+    """r11 (VERDICT r10 ask #2): the label-confusion pair join was the
+    sweep's only ``bnlj_unbounded`` reading — safe in fact (|labels|²
+    output) but invisible to the structural classifier. The enforced
+    CONFUSION_MAX_LABELS collect-as-guard + literal pair domain must
+    make the plan read bounded with zero hand adjudication (checked
+    under BOTH actions — AQE re-optimization after collect() was what
+    erased the first cut's GlobalLimit evidence), and the guard must
+    actually fire on an oversized label domain."""
+    import pytest
+
+    from project_graphdb_spark.operators import similarity
+    from project_graphdb_spark.spark_util import classify_bnlj, materialize
+
+    df = workload.REGISTRY["emb_label_confusion_pairs"].fn(spark, sf_dir)
+    materialize(df)
+    c = classify_bnlj(df)
+    assert c["bnlj_bounded"] >= 1, c
+    assert c["bnlj_unbounded"] == 0 and not c["cartesian"], c
+
+    df2 = workload.REGISTRY["emb_label_confusion_pairs"].fn(spark, sf_dir)
+    df2.collect()
+    c2 = classify_bnlj(df2)
+    assert c2["bnlj_unbounded"] == 0 and not c2["cartesian"], c2
+
+    orig = similarity.CONFUSION_MAX_LABELS
+    similarity.CONFUSION_MAX_LABELS = 1  # below any real label domain
+    try:
+        with pytest.raises(ValueError, match="exceed the enforced"):
+            workload.REGISTRY["emb_label_confusion_pairs"].fn(
+                spark, sf_dir
+            )
+    finally:
+        similarity.CONFUSION_MAX_LABELS = orig
 
 
 def test_winnow_fast_kernels_not_duplicated(spark, sf_dir):

@@ -54,6 +54,31 @@ def _rows(df, *order):
     return [tuple(r) for r in df.orderBy(*order).collect()]
 
 
+def _write_slices_mtime_ordered(batch, conds, path):
+    """Write each slice of ``batch`` to ``path`` as one parquet file
+    whose mtime is EXPLICITLY stamped increasing (os.utime) — the file
+    stream source replays files in mtime order (latestFirst=false),
+    and relying on sequential-write wall-clock + sleep(1.1) breaks on
+    coarse-mtime filesystems or a loaded host (ADVICE r10). Stamping
+    makes the micro-batch order a stated invariant, not a race."""
+    import glob
+    import os
+    import time
+
+    base = time.time()
+    seen: set[str] = set()
+    for i, cond in enumerate(conds):
+        batch.filter(cond).coalesce(1).write.parquet(path, mode="append")
+        new = [
+            f
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+            if f not in seen
+        ]
+        assert len(new) == 1, new  # coalesce(1) => exactly one data file
+        os.utime(new[0], (base + i, base + i))
+        seen.add(new[0])
+
+
 def test_tumbling_stream_matches_batch(spark, staged):
     path, batch = staged
     stream = spark.readStream.schema(batch.schema).parquet(path)
@@ -419,8 +444,6 @@ def test_sessionization_batch_face_matches_streamed_sessions(
     one-slice-at-a-time writes. session_window's end is last_ts + gap,
     the batch face's session_end is max(ts) — align by subtracting
     the 30-min gap."""
-    import time as _time
-
     _, batch = staged
     path = str(tmp_path / "events_by_time")
     ts_bounds = (
@@ -431,17 +454,15 @@ def test_sessionization_batch_face_matches_streamed_sessions(
         ).first()
     )
     cuts = [float("-inf"), *ts_bounds, float("inf")]
-    for i in range(4):
-        (
-            batch.filter(
-                (F.unix_micros("ts") >= cuts[i])
-                & (F.unix_micros("ts") < cuts[i + 1])
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(path)
-        )
-        _time.sleep(1.1)  # distinct mod times -> deterministic order
+    _write_slices_mtime_ordered(
+        batch,
+        [
+            (F.unix_micros("ts") >= cuts[i])
+            & (F.unix_micros("ts") < cuts[i + 1])
+            for i in range(4)
+        ],
+        path,
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
@@ -507,15 +528,19 @@ def test_every_streaming_faced_query_has_a_stream_twin():
     assert len(checked) >= 6, checked
 
 
-def test_funnel_stage_tracker_stream_matches_batch(spark, tmp_path):
-    """Stream twin of the ev_funnel_conversion batch face: the stateful
-    per-user stage machine (funnel_stage_tracker), fed time-sliced
-    micro-batches, must reach the same per-stage user counts the batch
-    face computes with joins. Files staged in event-time order (the
-    sessionization twin's regime: a realistic stream arrives roughly
-    ordered; each slice one micro-batch via maxFilesPerTrigger=1)."""
-    import time as _time
-
+@pytest.mark.parametrize("window_hours", [None, 48])
+def test_funnel_stage_tracker_stream_matches_batch(
+    spark, tmp_path, window_hours
+):
+    """Stream twin of the ev_funnel_conversion[_windowed] batch faces:
+    the stateful per-user stage machine (funnel_stage_tracker), fed
+    time-sliced micro-batches, must reach the same per-stage user
+    counts the batch face computes with joins — for both the
+    open-ended funnel and the r11 conversion-window variant (the state
+    machine applies prev < ts <= prev + window). Files staged in
+    event-time order (the sessionization twin's regime: a realistic
+    stream arrives roughly ordered; each slice one micro-batch via
+    maxFilesPerTrigger=1)."""
     from project_graphdb_spark.operators.event_analytics import (
         funnel_conversion,
     )
@@ -536,16 +561,16 @@ def test_funnel_stage_tracker_stream_matches_batch(spark, tmp_path):
         & (F.unix_micros(F.col("ts")) <= bounds.q3),
         F.unix_micros(F.col("ts")) > bounds.q3,
     ]
-    for cond in slices:  # sequential writes: mtime orders the batches
-        batch.filter(cond).coalesce(1).write.parquet(path, mode="append")
-        _time.sleep(1.1)
+    _write_slices_mtime_ordered(batch, slices, path)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
     name = _run_to_memory(
-        funnel_stage_tracker(stream), "t_funnel_state", "update"
+        funnel_stage_tracker(stream, window_hours=window_hours),
+        f"t_funnel_state_{window_hours}",
+        "update",
     )
     # stage is monotone per user; the final update is the max
     final = (
@@ -564,6 +589,8 @@ def test_funnel_stage_tracker_stream_matches_batch(spark, tmp_path):
     }
     want = {
         r.stage_ord: r.n_users
-        for r in funnel_conversion(batch).collect()
+        for r in funnel_conversion(
+            batch, window_hours=window_hours
+        ).collect()
     }
     assert got_cum == want, (got_cum, want)
