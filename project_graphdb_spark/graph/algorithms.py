@@ -107,6 +107,60 @@ def _unpersist(sc, ids: set[int]) -> None:
     unpersist_ids(sc, ids, blocking=False)
 
 
+#: edge-frame layout for the rank-iteration family (pagerank /
+#: personalized_pagerank): "bucketed" (default since r11, MEASURED —
+#: SCALE.md finding 30) writes the edge frame ONCE as a src-bucketed
+#: sorted table so the per-iteration join reads a pre-partitioned,
+#: pre-sorted scan (zero edge-side exchange / sort in all N iterations
+#: — the Jacobi-iteration layout a 100 TB deployment would use);
+#: "checkpoint" keeps the r10 shape — the edge frame localCheckpoints
+#: once and every iteration's SMJ re-EXCHANGES it against fresh state.
+#: sf10 interleaved A/B, 3 reps each: totals 709/681/685 s (checkpoint)
+#: vs 739/369/459 s (bucketed), settled iterations ~7-10 s vs ~12-45 s.
+#: The env knob keeps both shapes runnable by the same harness.
+_EDGE_LAYOUT_ENV = "SPARK_GRAFT_PREGEL_EDGE_LAYOUT"
+_EDGE_BUCKETS = 32
+
+
+def _iteration_edges(edges: DataFrame):
+    """(edges_frame, cleanup_fn) for an N-iteration join loop.
+
+    checkpoint mode: eager localCheckpoint (cached blocks, but each
+    iteration pays an Exchange + Sort of the edge side into the SMJ).
+    bucketed mode: one bucketed+sorted table write; every iteration's
+    scan then reports HashPartitioning(src)/sorted-by-src, so only the
+    (much smaller) vertex-state side shuffles per iteration. The
+    repartition before the write aligns task boundaries with bucket
+    boundaries (same murmur3 hash), producing one file per bucket —
+    required for the scan to also satisfy the SMJ's sort order."""
+    mode = os.environ.get(_EDGE_LAYOUT_ENV, "bucketed")
+    if mode != "bucketed":
+        e, ids = _ckpt(edges)
+
+        def cleanup(sc, _ids=ids):
+            _unpersist(sc, _ids)
+
+        return e, cleanup
+
+    import uuid
+
+    spark = edges.sparkSession
+    name = f"pregel_edges_{uuid.uuid4().hex[:12]}"
+    (
+        edges.repartition(_EDGE_BUCKETS, "src")
+        .write.bucketBy(_EDGE_BUCKETS, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+    def cleanup(sc, _name=name, _spark=spark):
+        _spark.sql(f"DROP TABLE IF EXISTS {_name}")
+
+    return spark.table(name), cleanup
+
+
 def unified_vertices(graph: PropertyGraph) -> DataFrame:
     """(id) — all nodes in the 'Label:key' id space."""
     frames = []
@@ -529,7 +583,7 @@ def pagerank(
     redistribution, fixed iteration count (deterministic plan shape)."""
     vertices = unified_vertices(graph)
     sc = vertices.sparkSession.sparkContext
-    edges, edge_ids = _ckpt(unified_edges(graph))
+    edges, edge_cleanup = _iteration_edges(unified_edges(graph))
     n = vertices.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_degree")
@@ -573,7 +627,7 @@ def pagerank(
         _unpersist(sc, state_ids)
         state, state_ids = new_state, new_ids
         iter_secs.append(time.perf_counter() - t0)
-    _unpersist(sc, edge_ids)
+    edge_cleanup(sc)
     _record_iter("pagerank", iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state.select("id", "rank")
@@ -596,7 +650,7 @@ def personalized_pagerank(
     deterministic. Vertices unreachable from the source keep rank 0 —
     exact, not an artifact."""
     sc = vertices.sparkSession.sparkContext
-    edges, edge_ids = _ckpt(edges)
+    edges, edge_cleanup = _iteration_edges(edges)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").alias("out_degree")
     )
@@ -640,7 +694,7 @@ def personalized_pagerank(
         _unpersist(sc, state_ids)
         state, state_ids = new_state, new_ids
         iter_secs.append(time.perf_counter() - t0)
-    _unpersist(sc, edge_ids)
+    edge_cleanup(sc)
     _record_iter("personalized_pagerank", iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state.select("id", "rank")

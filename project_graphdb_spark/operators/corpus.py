@@ -33,6 +33,8 @@ Scale story:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -244,6 +246,80 @@ def _span_grams(col, n: int):
     return sliding_grams(tokens(col), n)
 
 
+#: dup-span build shape: "strcache" (default, finding-26 measured
+#: optimum — full span STRING frame cached DISK_ONLY, pass 2 is a cache
+#: scan) vs "docfilter" (r11, VERDICT r10 ask #4 — narrow hash-only
+#: cache + string re-explode restricted to candidate DOCS). Env-gated
+#: so both shapes run under the same harness BEFORE any default flips
+#: (the finding-27a rule); the A/B verdict lives in SCALE.md.
+_DUPSPAN_SHAPE_ENV = "SPARK_GRAFT_DUPSPAN_SHAPE"
+
+
+def _dup_span_frames_docfilter(docs: DataFrame, n: int):
+    """The r11 candidate-doc-prefilter shape of :func:`_dup_span_frames`
+    (same returned frames, row-identical):
+
+    1. ONE narrow pass: explode positional grams, keep only
+       (doc_id, s, xxhash64(gram)) — the 8-byte-key frame cached
+       DISK_ONLY is ~5x slimmer than the string frame (gram strings
+       are built transiently for hashing and never stored);
+    2. candidate hashes (>=2 distinct docs) from the narrow cache;
+    3. candidate DOCS = docs holding at least one candidate position —
+       only these re-explode with gram STRINGS in pass 2, so string
+       construction is paid twice only for the duplicate-bearing slice
+       of the corpus, and the full-width span frame is never written.
+
+    Wins when the candidate-doc fraction is well under 1 (duplicate
+    spans concentrate in few docs); loses when duplication is corpus-
+    wide, where re-constructing most strings costs more than the
+    finding-26 disk round-trip. Decided by the sf10 A/B in SCALE.md.
+    """
+    from pyspark import StorageLevel
+
+    hs = docs.select(
+        "doc_id",
+        F.posexplode(_span_grams("text", n)).alias("s", "gram"),
+    ).select(
+        "doc_id", "s", F.xxhash64("gram").alias("gh")
+    ).persist(StorageLevel.DISK_ONLY)
+    cand_hashes = (
+        hs.select("gh", "doc_id")
+        .groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    ).persist()
+    n_cand = cand_hashes.count()
+    ch = (
+        F.broadcast(cand_hashes) if n_cand <= 2_000_000 else cand_hashes
+    )
+    cand_docs = (
+        hs.join(ch, "gh", "left_semi").select("doc_id").distinct()
+    )
+    respans = docs.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id",
+        F.posexplode(_span_grams("text", n)).alias("s", "gram"),
+    )
+    cand_spans = _linger(
+        respans.join(
+            ch, F.xxhash64("gram") == F.col("gh"), "left_semi"
+        ).persist()
+    )
+    dup = _linger(
+        cand_spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+        .persist()
+    )
+    n_dup = dup.count()  # materializes cand_spans' cache too
+    cand_hashes.unpersist()
+    hs.unpersist()
+    if n_dup <= 500_000:
+        dup = F.broadcast(dup)
+    return cand_spans, dup
+
+
 def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     """(cand_spans, dup) shared by the duplicate-span operators:
     cand_spans is (doc_id, s, gram) restricted to spans whose gram
@@ -289,6 +365,9 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     # right after the candidate frame materializes (below), never
     # lingering. Dropping `.persist()` restores the recompute trade.
     from pyspark import StorageLevel
+
+    if os.environ.get(_DUPSPAN_SHAPE_ENV, "strcache") == "docfilter":
+        return _dup_span_frames_docfilter(docs, n)
 
     spans = docs.select(
         "doc_id",

@@ -223,6 +223,106 @@ def ev_funnel_conversion_windowed(
     )
 
 
+def funnel_time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency stats per funnel transition (r11): among
+    users who converted (same strict-after entry times as
+    :func:`funnel_conversion`), how long did each stage transition
+    take — count, mean, min, max in whole seconds.
+
+    Exactness contract: latencies are integer seconds derived from
+    exact microsecond timestamps (``floor(us_diff / 1e6)``, identical
+    in Spark and DuckDB); the mean is one double division of two exact
+    integers, so the 6-dp rounding can never straddle an engine gap
+    (the sums stay far inside 2^53 — that is WHY seconds, not
+    microseconds, are the aggregation unit).
+    """
+    ev = events.select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        # t1 is functionally determined by user_id; min() picks the
+        # one value deterministically without a second join back
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def stats(frame: DataFrame, a: str, b: str, label: str) -> DataFrame:
+        # integral DIV, not `/`+cast: a double true-division can land
+        # an epsilon under the integer and truncate differently than
+        # DuckDB's integer floor-div (both diffs are positive, so
+        # DIV's truncation == // 's floor)
+        secs = F.expr(
+            f"(unix_micros({b}) - unix_micros({a})) DIV 1000000"
+        )
+        return frame.select(secs.alias("s")).agg(
+            F.lit(label).alias("transition"),
+            F.count("*").alias("n_converted"),
+            F.round(F.sum("s") / F.count("*"), 6)
+            .cast("double")
+            .alias("avg_seconds"),
+            F.min("s").alias("min_seconds"),
+            F.max("s").alias("max_seconds"),
+        )
+
+    return (
+        stats(c, "t1", "t2", "view_to_click")
+        .unionAll(stats(p, "t2", "t3", "click_to_purchase"))
+        .orderBy("transition")
+    )
+
+
+@register(
+    "ev_funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2, MIN(v.t1) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3, MIN(c.t2) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ), lat AS (
+      SELECT 'view_to_click' AS transition,
+             (epoch_us(t2) - epoch_us(t1)) // 1000000 AS s FROM c
+      UNION ALL
+      SELECT 'click_to_purchase',
+             (epoch_us(t3) - epoch_us(t2)) // 1000000 FROM p
+    )
+    SELECT transition, COUNT(*) AS n_converted,
+           CAST(ROUND(SUM(s) * 1.0 / COUNT(*), 6) AS DOUBLE)
+             AS avg_seconds,
+           MIN(s) AS min_seconds, MAX(s) AS max_seconds
+    FROM lat GROUP BY transition ORDER BY transition
+    """,
+    description="conversion-latency profile per funnel transition "
+    "(r11): count / mean / min / max whole seconds between strict-"
+    "after stage entries, integer-exact cross-engine (floor of the "
+    "microsecond diff; mean = one double division of exact integers). "
+    "Same user-keyed shrinking joins as the funnel faces",
+)
+def ev_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return funnel_time_to_convert(load_table(spark, sf_dir, "events"))
+
+
 def retention_cohorts(events: DataFrame) -> DataFrame:
     """Weekly cohort retention matrix.
 

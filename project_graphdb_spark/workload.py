@@ -124,6 +124,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) r11-changed/new implementations first
     "emb_label_confusion_pairs",  # r11: enforced label cap, bounded BNLJ
     "ev_funnel_conversion_windowed",  # NEW r11: conversion-window funnel
+    "ev_funnel_time_to_convert",  # NEW r11: conversion-latency profile
     "emb_pq_adc_pinned",  # NEW r11: hash-provable PQ encode + ADC face
     # (b) the 26 r6-stale rows — whole tail drains this round
     "corpus_vocab_topk",
@@ -180,7 +181,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_cube_status_priority",
     "orders_grouping_sets_status_year",
     "orders_status_pivot",
-    "total_sales_2000",
+    # total_sales_2000 (r7) displaced by ev_funnel_time_to_convert —
+    # at 4 rounds stale it is still inside the rotation gate's bound
+    # and leads r12's fill
 )
 
 

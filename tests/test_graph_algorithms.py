@@ -80,6 +80,35 @@ def test_pagerank_mass_conserved_on_tpch(spark, sf_dir):
     assert total == pytest.approx(1.0, abs=1e-6)
 
 
+def test_pagerank_bucketed_edge_layout_equivalent(
+    spark, sf_dir, monkeypatch
+):
+    """The two edge layouts (bucketed = r11 measured default,
+    checkpoint = the r10 shape kept as a knob) must be
+    result-identical, and the bucketed run must drop its table on
+    cleanup. The sf10 A/B that picked the default lives in SCALE.md
+    finding 30."""
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "checkpoint")
+    base = {
+        r.id: r.rank for r in pagerank(g, iterations=3).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    bkt = {r.id: r.rank for r in pagerank(g, iterations=3).collect()}
+    assert set(base) == set(bkt)
+    for k, v in base.items():
+        assert bkt[k] == pytest.approx(v, rel=1e-9), k
+    # the per-run bucketed table must not outlive the run
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("pregel_edges_")
+    ]
+    assert not leftover, leftover
+
+
 def test_personalized_pagerank_properties(spark, sf_dir):
     """Mass conservation (walk + restart redistribute, never lose),
     proximity ordering (the source out-ranks the node two hops away —

@@ -55,6 +55,7 @@ EXTRA_STACK = [
     "emb_quantize_int8",
     "ann_pq_top10",
     "ann_ivfpq_top10",  # r10: composed IVFADC tier
+    "emb_pq_adc_pinned",  # r11: hash-provable PQ encode + ADC face
     "ev_click_attribution",
     "ev_purchase_revenue_by_segment",
     "dedup_semantic_blocked",
@@ -72,6 +73,8 @@ EXTRA_STACK = [
     "top_supplier_quarter_revenue",  # Q15 (r10): view reuse join-back
     # event analytics (r10): funnel / retention / paths
     "ev_funnel_conversion",
+    "ev_funnel_conversion_windowed",  # r11: conversion-window variant
+    "ev_funnel_time_to_convert",  # r11: conversion-latency profile
     "ev_retention_cohorts",
     "ev_top_event_paths",
     "part_cooccurrence_similarity",  # r10: basket-capped market-basket Jaccard
