@@ -122,7 +122,7 @@ _EDGE_LAYOUT_ENV = "SPARK_GRAFT_PREGEL_EDGE_LAYOUT"
 _EDGE_BUCKETS = 32
 
 
-def _iteration_edges(edges: DataFrame):
+def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     """(edges_frame, cleanup_fn) for an N-iteration join loop.
 
     checkpoint mode: eager localCheckpoint (cached blocks, but each
@@ -132,8 +132,15 @@ def _iteration_edges(edges: DataFrame):
     (much smaller) vertex-state side shuffles per iteration. The
     repartition before the write aligns task boundaries with bucket
     boundaries (same murmur3 hash), producing one file per bucket —
-    required for the scan to also satisfy the SMJ's sort order."""
-    mode = os.environ.get(_EDGE_LAYOUT_ENV, "bucketed")
+    required for the scan to also satisfy the SMJ's sort order.
+
+    ``default`` is per-callsite (the env var, when set, overrides it
+    everywhere — that is what the A/B harness drives): the rank family
+    defaults bucketed (finding 30's measured win over 10 fixed
+    iterations); the generic convergence-driven ``pregel`` keeps its
+    own measured default (see its callsite) because early-converging
+    algorithms amortize the one-time table write over fewer joins."""
+    mode = os.environ.get(_EDGE_LAYOUT_ENV, default)
     if mode != "bucketed":
         e, ids = _ckpt(edges)
 
@@ -270,10 +277,14 @@ def pregel(
     convergence check is a fused ``__changed`` flag summed over the
     just-checkpointed frame (no extra join job).
     """
-    # the edge frame is re-read every superstep — checkpoint it once so
-    # the per-iteration cost is one join, not (scan+distinct)+join
+    # the edge frame is re-read every superstep — materialize it once
+    # so the per-iteration cost is one join, not (scan+distinct)+join.
+    # Layout default is per-family: checkpoint here pending this
+    # driver's own sf10 A/B (convergence-driven loops amortize a
+    # bucketed write over fewer supersteps than the fixed-10 rank
+    # family that measured the finding-30 win).
     sc = vertices.sparkSession.sparkContext
-    edges, edge_ids = _ckpt(edges)
+    edges, edge_cleanup = _iteration_edges(edges, default="checkpoint")
     state, state_ids = _ckpt(
         vertices.select(
             "id", *[col.alias(name) for name, col in initial.items()]
@@ -310,7 +321,7 @@ def pregel(
         iter_secs.append(time.perf_counter() - t0)
         if changed == 0:
             break
-    _unpersist(sc, edge_ids)
+    edge_cleanup(sc)
     _record_iter(telemetry_name, iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state

@@ -246,12 +246,14 @@ def _span_grams(col, n: int):
     return sliding_grams(tokens(col), n)
 
 
-#: dup-span build shape: "strcache" (default, finding-26 measured
-#: optimum — full span STRING frame cached DISK_ONLY, pass 2 is a cache
-#: scan) vs "docfilter" (r11, VERDICT r10 ask #4 — narrow hash-only
-#: cache + string re-explode restricted to candidate DOCS). Env-gated
-#: so both shapes run under the same harness BEFORE any default flips
-#: (the finding-27a rule); the A/B verdict lives in SCALE.md.
+#: dup-span build shape: "docfilter" (default since r11, MEASURED —
+#: SCALE.md finding 31: narrow hash-only DISK cache + string re-explode
+#: restricted to candidate DOCS; pipeline_clean_pack −10/−15% in both
+#: interleaved sf10 reps) vs "strcache" (the finding-26 r10 optimum —
+#: full span STRING frame cached DISK_ONLY, pass 2 a cache scan), kept
+#: runnable by the same harness. Env-gated per the finding-27a
+#: measure-before-landing rule; row-identity pinned by
+#: tests/test_corpus_ops.py::test_dup_span_docfilter_shape_equivalent.
 _DUPSPAN_SHAPE_ENV = "SPARK_GRAFT_DUPSPAN_SHAPE"
 
 
@@ -366,7 +368,7 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     # lingering. Dropping `.persist()` restores the recompute trade.
     from pyspark import StorageLevel
 
-    if os.environ.get(_DUPSPAN_SHAPE_ENV, "strcache") == "docfilter":
+    if os.environ.get(_DUPSPAN_SHAPE_ENV, "docfilter") == "docfilter":
         return _dup_span_frames_docfilter(docs, n)
 
     spans = docs.select(

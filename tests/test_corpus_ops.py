@@ -79,6 +79,7 @@ def test_dup_span_docfilter_shape_equivalent(spark, monkeypatch, sf_dir):
 
     docs = _docs_df(spark)
     gen = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    monkeypatch.setenv("SPARK_GRAFT_DUPSPAN_SHAPE", "strcache")
     base = {
         "scrub_hand": rows(dup_span_scrub(docs, n=3)),
         "profile_hand": rows(dup_span_profile(docs, n=3)),
