@@ -135,11 +135,11 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     required for the scan to also satisfy the SMJ's sort order.
 
     ``default`` is per-callsite (the env var, when set, overrides it
-    everywhere — that is what the A/B harness drives): the rank family
-    defaults bucketed (finding 30's measured win over 10 fixed
-    iterations); the generic convergence-driven ``pregel`` keeps its
-    own measured default (see its callsite) because early-converging
-    algorithms amortize the one-time table write over fewer joins."""
+    everywhere — that is what the A/B harness drives). Both callsites
+    default bucketed since r11, each on its OWN sf10 A/B (finding 30):
+    the fixed-10 rank family AND the convergence-driven ``pregel``
+    driver (whose shorter loops still amortize the one-time write —
+    CC 1338.5 -> 857.3 s)."""
     mode = os.environ.get(_EDGE_LAYOUT_ENV, default)
     if mode != "bucketed":
         e, ids = _ckpt(edges)
@@ -279,12 +279,11 @@ def pregel(
     """
     # the edge frame is re-read every superstep — materialize it once
     # so the per-iteration cost is one join, not (scan+distinct)+join.
-    # Layout default is per-family: checkpoint here pending this
-    # driver's own sf10 A/B (convergence-driven loops amortize a
-    # bucketed write over fewer supersteps than the fixed-10 rank
-    # family that measured the finding-30 win).
+    # Bucketed by default since r11: this driver got its OWN sf10 A/B
+    # (finding 30, CC row — convergence-driven loops still amortize
+    # the one-time table write: 1338.5 -> 857.3 s, −36%).
     sc = vertices.sparkSession.sparkContext
-    edges, edge_cleanup = _iteration_edges(edges, default="checkpoint")
+    edges, edge_cleanup = _iteration_edges(edges)
     state, state_ids = _ckpt(
         vertices.select(
             "id", *[col.alias(name) for name, col in initial.items()]
