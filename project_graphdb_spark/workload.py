@@ -112,78 +112,71 @@ _LOADED = False
 # g_*, corpus doc_*) to refresh the union. 50 slots = the driver's
 # sample size.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r11 window (VERDICT r10 ask #3 + ADVICE r10 rotation tracking):
-    # (a) queries whose implementation changed or was added in r11;
-    # (b) ALL 26 queries whose latest driver row is r6 (the stale
-    # tail); (c) the oldest r7 rows that fit. The staleness invariant
-    # is now ENFORCED by tests/test_window_rotation.py — every
-    # registered query must have a driver row within the last
-    # MAX_STALE_ROUNDS rounds or sit in this window, so "dropped names
-    # rotate back" is a checked property, not a comment's promise.
+    # r12 window (VERDICT r11 asks #1/#2): (a) the 9 r7-stale queries
+    # the red staleness gate named — forced, they lead; (b) the ENTIRE
+    # r8 cohort (37 rows) pulled forward one round early so r13's
+    # forced set drains to zero and the r14/r15 cohort bulges (49
+    # r10-sampled + 50 r11-sampled rows aging out together) stay
+    # absorbable — tests/test_window_rotation.py now SIMULATES the
+    # greedy oldest-first rotation forward and asserts every future
+    # round's forced set fits in 50 slots; (c) oldest r9 rows filling
+    # the remainder. r12-changed implementations are swapped into (c)
+    # as they land (each swap displaces a not-yet-forced fill row).
     #
-    # (a) r11-changed/new implementations first
-    "emb_label_confusion_pairs",  # r11: enforced label cap, bounded BNLJ
-    "ev_funnel_conversion_windowed",  # NEW r11: conversion-window funnel
-    "ev_funnel_time_to_convert",  # NEW r11: conversion-latency profile
-    "emb_pq_adc_pinned",  # NEW r11: hash-provable PQ encode + ADC face
-    # (b) the 26 r6-stale rows — whole tail drains this round
-    "corpus_vocab_topk",
-    "cypher_edge_counts_by_type",
-    "cypher_match_after_with",
-    "cypher_node_counts_by_label",
-    "cypher_optional_match_order_counts",
-    "cypher_predicate_surface",
-    "cypher_region_customer_counts",
-    "cypher_status_counts",
-    "cypher_top_customers",
-    "cypher_total_node_count",
-    "cypher_value_probe",
-    "cypher_varlength_customers_per_region",
-    "cypher_with_having",
-    "doc_chunk_windows",
-    "doc_contamination_check",
-    "doc_lang_id",
-    "doc_lm_score",
-    "doc_mix_rebalance",
-    "doc_pii_scrub",
-    "doc_quality_filter",
-    "doc_quality_scores",
-    "doc_repetition_stats",
-    "doc_shuffle_shards",
-    "doc_stratified_sample",
-    "g_edge_counts_by_type",
-    "g_total_node_count",
-    # (c) oldest r7 rows filling to 50 — the seven names r10 dropped
-    # with a rotation promise come back first (ADVICE r10), then the
-    # rest of the r7 bucket in name order; the 8 r7 leftovers
-    # (custkeys_active_both_endpoints, custkeys_only_first_year,
-    # customers_with_orders_semi, customers_without_orders,
-    # emb_norm_stats, ev_json_props_extract, orders_predicate_filter,
-    # value_probe_mktsegment) are r12's first fill, enforced by the
-    # staleness gate
-    "pricing_summary",
-    "top3_customers_per_nation",
-    "revenue_rollup_nation_year",
-    "local_supplier_volume",
-    "building_segment_brand_revenue",
-    "lineitem_quantity_percentiles",
-    "ann_cosine_top10",
-    "dedup_exact",
-    "dedup_incremental_winnow",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_strict",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_near_dup_pairs",
-    "ev_rolling_hour_value",
-    "ev_tumbling_hourly",
-    "knn_join_top3",
-    "orders_cube_status_priority",
-    "orders_grouping_sets_status_year",
-    "orders_status_pivot",
-    # total_sales_2000 (r7) displaced by ev_funnel_time_to_convert —
-    # at 4 rounds stale it is still inside the rotation gate's bound
-    # and leads r12's fill
+    # (a) the 9 forced r7-stale rows
+    "custkeys_active_both_endpoints",
+    "custkeys_only_first_year",
+    "customers_with_orders_semi",
+    "customers_without_orders",
+    "emb_norm_stats",
+    "ev_json_props_extract",
+    "orders_predicate_filter",
+    "total_sales_2000",
+    "value_probe_mktsegment",
+    # (b) the whole r8 cohort, name order — drains r13's forced set
+    "ann_pq_top10",
+    "cheapest_customer_per_nation",
+    "cypher_bare_pattern_machinery_nations",
+    "cypher_bare_pattern_not_idle_customers",
+    "cypher_call_subquery_order_counts",
+    "cypher_call_subquery_status_breakdown",
+    "cypher_call_subquery_topk_per_customer",
+    "cypher_call_subquery_uncorrelated",
+    "cypher_count_block_busy_customers",
+    "cypher_count_block_orders_per_segment",
+    "cypher_list_comprehension_stats",
+    "cypher_multilabel_active_buyers",
+    "cypher_write_conditional_set",
+    "dedup_semantic",
+    "discounted_revenue_triples",
+    "doc_bm25_topk",
+    "doc_tfidf_terms",
+    "doc_train_split_counts",
+    "emb_quantize_int8",
+    "ev_click_attribution",
+    "ev_click_attribution_outer",
+    "ev_daily_active_users",
+    "ev_daily_active_users_hll",
+    "ev_dedup_replayed",
+    "ev_purchase_revenue_by_segment",
+    "ev_sessionization",
+    "idle_rich_customers_by_nation",
+    "late_order_priority_counts",
+    "lineitem_quantity_percentiles_approx",
+    "multimodal_audio_features",
+    "multimodal_image_dims",
+    "multimodal_image_resize",
+    "orc_roundtrip_order_priority",
+    "promo_revenue_share",
+    "small_quantity_part_revenue",
+    "sole_late_supplier_orders",
+    "sqlite_ingest_customers_per_region",
+    # (c) oldest r9 rows filling to 50 (displaced by r12-changed
+    # implementations as they land)
+    "agent_correction_loop_top5",
+    "agent_customers_without_orders",
+    "agent_top5_customers",
+    "agent_total_sales_2000",
 )
 
 
