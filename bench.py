@@ -149,6 +149,9 @@ def main() -> None:
             }
         )
     )
+    from project_graphdb_spark.graph.algorithms import release_edge_layouts
+
+    release_edge_layouts(spark)
     spark.stop()
 
 

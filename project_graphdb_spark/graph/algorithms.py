@@ -26,6 +26,7 @@ unions into one id space (same construction as the oracle SQL).
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import Column, DataFrame
@@ -121,6 +122,23 @@ def _unpersist(sc, ids: set[int]) -> None:
 _EDGE_LAYOUT_ENV = "SPARK_GRAFT_PREGEL_EDGE_LAYOUT"
 _EDGE_BUCKETS = 32
 
+# Session-scoped bucketed-layout cache (r12, VERDICT r11 ask #4): the 8
+# galg_* queries each rebuilt (nearly) the same symmetrized edge table —
+# at 100 TB a sweep of the family paid N corpus-scale adjacency writes
+# where a graph-keyed shared layout does 1. The key is the edge frame's
+# ANALYZED-plan identity (Catalyst ``semanticHash`` bucket, confirmed by
+# ``sameResult`` — exprId-insensitive, so two independent constructions
+# of the same frame over the same files collide correctly), which
+# subsumes "(graph identity, symmetrized flag)": the directed and the
+# symmetrized views hash apart, two queries reading the same sf_dir hash
+# together. Contract: inputs are immutable for the session (true of the
+# parquet corpora everywhere in this repo); `release_edge_layouts` is
+# the explicit invalidation/cleanup hook — the persist/warehouse gates
+# and the long-running harnesses (bench, driver_sim, scale bench) call
+# it at end of run.
+_EDGE_TABLE_LOCK = threading.Lock()
+_EDGE_TABLES: dict[str, dict[int, list]] = {}
+
 
 def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     """(edges_frame, cleanup_fn) for an N-iteration join loop.
@@ -133,6 +151,12 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     repartition before the write aligns task boundaries with bucket
     boundaries (same murmur3 hash), producing one file per bucket —
     required for the scan to also satisfy the SMJ's sort order.
+
+    Bucketed tables are cached per (application, plan identity) and
+    reused across algorithm invocations in the same session — the
+    returned cleanup is then a no-op and ownership passes to
+    :func:`release_edge_layouts`. checkpoint-mode cleanup still frees
+    the blocks per run.
 
     ``default`` is per-callsite (the env var, when set, overrides it
     everywhere — that is what the A/B harness drives). Both callsites
@@ -152,6 +176,14 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     import uuid
 
     spark = edges.sparkSession
+    app = spark.sparkContext.applicationId
+    jplan = edges._jdf.queryExecution().analyzed()
+    h = jplan.semanticHash()
+    with _EDGE_TABLE_LOCK:
+        for cached_plan, name in _EDGE_TABLES.get(app, {}).get(h, []):
+            if cached_plan.sameResult(jplan):
+                return spark.table(name), _noop_cleanup
+
     name = f"pregel_edges_{uuid.uuid4().hex[:12]}"
     (
         edges.repartition(_EDGE_BUCKETS, "src")
@@ -161,11 +193,27 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
         .format("parquet")
         .saveAsTable(name)
     )
+    with _EDGE_TABLE_LOCK:
+        _EDGE_TABLES.setdefault(app, {}).setdefault(h, []).append(
+            (jplan, name)
+        )
+    return spark.table(name), _noop_cleanup
 
-    def cleanup(sc, _name=name, _spark=spark):
-        _spark.sql(f"DROP TABLE IF EXISTS {_name}")
 
-    return spark.table(name), cleanup
+def _noop_cleanup(sc) -> None:
+    """Cleanup stand-in for cache-owned bucketed layouts."""
+
+
+def release_edge_layouts(spark) -> None:
+    """Drop every cached bucketed edge table for this application and
+    clear the cache — the explicit release hook for the persist /
+    warehouse gates and end-of-run harness teardown."""
+    app = spark.sparkContext.applicationId
+    with _EDGE_TABLE_LOCK:
+        entries = _EDGE_TABLES.pop(app, {})
+    for bucket in entries.values():
+        for _plan, name in bucket:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def unified_vertices(graph: PropertyGraph) -> DataFrame:
@@ -290,37 +338,48 @@ def pregel(
         )
     )
     iter_secs: list[float] = []
-    for _ in range(max_iter):
-        t0 = time.perf_counter()
-        msgs = aggregate_messages(state, edges, message, agg)
-        # the convergence flag is FUSED into the update projection —
-        # old and new values are both in scope here, so the per-round
-        # "did anything change" question costs one narrow column plus
-        # one agg over the frame we checkpoint anyway, instead of a
-        # separate new-state ⋈ old-state join job per superstep
-        proj = ["id"] + [col.alias(name) for name, col in update.items()]
-        if converge_on is not None:
-            proj.append(
-                (~update[converge_on].eqNullSafe(F.col(converge_on)))
-                .cast("int")
-                .alias("__changed")
-            )
-        updated = state.join(msgs, "id", "left").select(*proj)
-        updated, new_ids = _ckpt(updated)
-        changed = None
-        if converge_on is not None:
-            changed = updated.agg(
-                F.coalesce(F.sum("__changed"), F.lit(0))
-            ).collect()[0][0]
-            updated = updated.drop("__changed")
-        # the old state is superseded the moment its successor is
-        # materialized (the fused flag already captured the diff)
+    try:
+        for _ in range(max_iter):
+            t0 = time.perf_counter()
+            msgs = aggregate_messages(state, edges, message, agg)
+            # the convergence flag is FUSED into the update projection
+            # — old and new values are both in scope here, so the
+            # per-round "did anything change" question costs one narrow
+            # column plus one agg over the frame we checkpoint anyway,
+            # instead of a separate new ⋈ old join job per superstep
+            proj = ["id"] + [
+                col.alias(name) for name, col in update.items()
+            ]
+            if converge_on is not None:
+                proj.append(
+                    (~update[converge_on].eqNullSafe(F.col(converge_on)))
+                    .cast("int")
+                    .alias("__changed")
+                )
+            updated = state.join(msgs, "id", "left").select(*proj)
+            updated, new_ids = _ckpt(updated)
+            changed = None
+            if converge_on is not None:
+                changed = updated.agg(
+                    F.coalesce(F.sum("__changed"), F.lit(0))
+                ).collect()[0][0]
+                updated = updated.drop("__changed")
+            # the old state is superseded the moment its successor is
+            # materialized (the fused flag already captured the diff)
+            _unpersist(sc, state_ids)
+            state, state_ids = updated, new_ids
+            iter_secs.append(time.perf_counter() - t0)
+            if changed == 0:
+                break
+    except BaseException:
+        # a failed superstep (task failure past retries, OOM, ...)
+        # must not strand the last checkpointed state's blocks
         _unpersist(sc, state_ids)
-        state, state_ids = updated, new_ids
-        iter_secs.append(time.perf_counter() - t0)
-        if changed == 0:
-            break
-    edge_cleanup(sc)
+        raise
+    finally:
+        # checkpoint-mode edge blocks are freed success OR failure;
+        # bucketed-mode layouts are cache-owned (release_edge_layouts)
+        edge_cleanup(sc)
     _record_iter(telemetry_name, iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state
@@ -602,42 +661,53 @@ def pagerank(
     state, state_ids = _ckpt(state.withColumn("rank", F.lit(1.0 / n)))
 
     iter_secs: list[float] = []
-    for i in range(iterations):
-        t0 = time.perf_counter()
-        contribs = (
-            edges.join(state, edges.src == state.id)
-            .select("dst", (F.col("rank") / F.col("out_degree")).alias("c"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("received"))
-        )
-        # Dangling vertices donate their rank uniformly. Kept as a
-        # one-row DataFrame broadcast-cross-joined into the update (not
-        # .collect()ed) so the whole iteration stays one lazy plan that
-        # fuses with the checkpoint cadence — no extra driver job per
-        # iteration.
-        dangling = state.filter(F.col("out_degree") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
-        )
-        new_state = (
-            state.drop("rank")
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .withColumn(
-                "rank",
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.col("__dangling_m") / F.lit(float(n))
-                + F.lit(damping) * F.coalesce(F.col("received"), F.lit(0.0)),
+    try:
+        for i in range(iterations):
+            t0 = time.perf_counter()
+            contribs = (
+                edges.join(state, edges.src == state.id)
+                .select(
+                    "dst", (F.col("rank") / F.col("out_degree")).alias("c")
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("received"))
             )
-            .drop("received", "__dangling_m")
-        )
-        # Unlike the Pregel loop, each iteration references `state` twice
-        # (dangling-mass subtree + the main update), so un-checkpointed
-        # lineage doubles per iteration — checkpoint every step.
-        new_state, new_ids = _ckpt(new_state)
+            # Dangling vertices donate their rank uniformly. Kept as a
+            # one-row DataFrame broadcast-cross-joined into the update
+            # (not .collect()ed) so the whole iteration stays one lazy
+            # plan that fuses with the checkpoint cadence — no extra
+            # driver job per iteration.
+            dangling = state.filter(F.col("out_degree") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
+            )
+            new_state = (
+                state.drop("rank")
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .withColumn(
+                    "rank",
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * F.col("__dangling_m")
+                    / F.lit(float(n))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("received"), F.lit(0.0)),
+                )
+                .drop("received", "__dangling_m")
+            )
+            # Unlike the Pregel loop, each iteration references `state`
+            # twice (dangling-mass subtree + the main update), so
+            # un-checkpointed lineage doubles per iteration —
+            # checkpoint every step.
+            new_state, new_ids = _ckpt(new_state)
+            _unpersist(sc, state_ids)
+            state, state_ids = new_state, new_ids
+            iter_secs.append(time.perf_counter() - t0)
+    except BaseException:
         _unpersist(sc, state_ids)
-        state, state_ids = new_state, new_ids
-        iter_secs.append(time.perf_counter() - t0)
-    edge_cleanup(sc)
+        raise
+    finally:
+        edge_cleanup(sc)
     _record_iter("pagerank", iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state.select("id", "rank")
@@ -673,38 +743,45 @@ def personalized_pagerank(
     )
 
     iter_secs: list[float] = []
-    for _ in range(iterations):
-        t0 = time.perf_counter()
-        contribs = (
-            edges.join(state, edges.src == state.id)
-            .select("dst", (F.col("rank") / F.col("out_degree")).alias("c"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("c").alias("received"))
-        )
-        dangling = state.filter(F.col("out_degree") == 0).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
-        )
-        new_state = (
-            state.drop("rank")
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .withColumn(
-                "rank",
-                F.when(
-                    is_src,
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.col("__dangling_m"),
-                ).otherwise(F.lit(0.0))
-                + F.lit(damping)
-                * F.coalesce(F.col("received"), F.lit(0.0)),
+    try:
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            contribs = (
+                edges.join(state, edges.src == state.id)
+                .select(
+                    "dst", (F.col("rank") / F.col("out_degree")).alias("c")
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("c").alias("received"))
             )
-            .drop("received", "__dangling_m")
-        )
-        new_state, new_ids = _ckpt(new_state)
+            dangling = state.filter(F.col("out_degree") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
+            )
+            new_state = (
+                state.drop("rank")
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .withColumn(
+                    "rank",
+                    F.when(
+                        is_src,
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.col("__dangling_m"),
+                    ).otherwise(F.lit(0.0))
+                    + F.lit(damping)
+                    * F.coalesce(F.col("received"), F.lit(0.0)),
+                )
+                .drop("received", "__dangling_m")
+            )
+            new_state, new_ids = _ckpt(new_state)
+            _unpersist(sc, state_ids)
+            state, state_ids = new_state, new_ids
+            iter_secs.append(time.perf_counter() - t0)
+    except BaseException:
         _unpersist(sc, state_ids)
-        state, state_ids = new_state, new_ids
-        iter_secs.append(time.perf_counter() - t0)
-    edge_cleanup(sc)
+        raise
+    finally:
+        edge_cleanup(sc)
     _record_iter("personalized_pagerank", iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state.select("id", "rank")

@@ -280,6 +280,10 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
     return (
         stats(c, "t1", "t2", "view_to_click")
         .unionAll(stats(p, "t2", "t3", "click_to_purchase"))
+        # a global agg over an empty converter set yields one
+        # n_converted=0 row; the oracle's GROUP BY yields none — emit
+        # rows only for transitions somebody actually completed
+        .filter(F.col("n_converted") > 0)
         .orderBy("transition")
     )
 

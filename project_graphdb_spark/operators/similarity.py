@@ -923,10 +923,16 @@ def emb_label_confusion_pairs(
             "emb_label_confusion_pairs expects an integral label "
             f"domain, got {sorted({type(l).__name__ for l in labels})}"
         )
+    ltype = emb.schema["label"].dataType.simpleString()
+    if not labels:
+        # `FROM VALUES  AS t(...)` is a parse error; an empty label
+        # domain has no pairs to audit
+        return spark.createDataFrame(
+            [], f"label_a {ltype}, label_b {ltype}, centroid_cos double"
+        )
     # literal frames via VALUES => LocalRelation/LocalTableScan leaves
     # (createDataFrame-from-list scans as ExistingRDD, which carries no
     # structural bounded evidence for classify_bnlj)
-    ltype = emb.schema["label"].dataType.simpleString()
     values = ",".join(f"({int(l)})" for l in labels)
     la = spark.sql(
         f"SELECT CAST(label_a AS {ltype}) AS label_a "

@@ -153,3 +153,25 @@ def test_top_paths_uses_one_user_window(spark, sf_dir):
     # user_id-partitioned window plus the bounded top-k collector
     assert "rangepartitioning" not in plan, plan
     assert plan.count("TakeOrderedAndProject") == 1
+
+
+def test_time_to_convert_drops_zero_converter_transitions(spark):
+    """r12 ADVICE fix: a corpus where nobody completes a transition must
+    yield NO row for it (the oracle's GROUP BY emits none), not a
+    Spark-only n_converted=0 row from the global aggregate."""
+    from project_graphdb_spark.operators.event_analytics import (
+        funnel_time_to_convert,
+    )
+
+    # views and clicks, but zero purchases -> click_to_purchase vanishes
+    ev = _ev(
+        spark,
+        [(1, 1, 1, "view"), (1, 2, 1, "click"), (2, 1, 2, "view")],
+    )
+    rows = funnel_time_to_convert(ev).collect()
+    assert [r.transition for r in rows] == ["view_to_click"]
+    assert rows[0].n_converted == 1
+    # nobody converts at all -> empty frame, same as the oracle
+    assert funnel_time_to_convert(
+        _ev(spark, [(1, 1, 1, "view")])
+    ).count() == 0

@@ -100,13 +100,67 @@ def test_pagerank_bucketed_edge_layout_equivalent(
     assert set(base) == set(bkt)
     for k, v in base.items():
         assert bkt[k] == pytest.approx(v, rel=1e-9), k
-    # the per-run bucketed table must not outlive the run
+    # bucketed layouts are session-cache-owned (r12): the release hook
+    # must drop every table; nothing survives it
+    from project_graphdb_spark.graph.algorithms import release_edge_layouts
+
+    release_edge_layouts(spark)
     leftover = [
         t.name
         for t in spark.catalog.listTables()
         if t.name.startswith("pregel_edges_")
     ]
     assert not leftover, leftover
+
+
+def test_bucketed_edge_layout_shared_across_invocations(
+    spark, sf_dir, monkeypatch
+):
+    """r12 (VERDICT r11 ask #4): repeated algorithm runs over the same
+    edge frame must REUSE one bucketed table (plan-identity cache), and
+    two semantically different frames (directed vs symmetrized) must
+    NOT share — then the release hook drops everything."""
+    from project_graphdb_spark.graph.algorithms import (
+        release_edge_layouts,
+        unified_edges,
+        unified_vertices,
+    )
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    release_edge_layouts(spark)
+
+    def tables():
+        return sorted(
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("pregel_edges_")
+        )
+
+    g = tpch_graph(spark, sf_dir)
+    r1 = {r.id: r.rank for r in pagerank(g, iterations=2).collect()}
+    after_first = tables()
+    assert len(after_first) == 1, after_first
+    # second run, independently constructed graph — same files, same
+    # construction => plan-identical => cache hit, zero new writes
+    g2 = tpch_graph(spark, sf_dir)
+    r2 = {r.id: r.rank for r in pagerank(g2, iterations=2).collect()}
+    assert tables() == after_first
+    assert r1 == r2
+    # the symmetrized view is a different graph identity — its own table
+    from project_graphdb_spark.graph.algorithms import (
+        personalized_pagerank,
+    )
+
+    personalized_pagerank(
+        unified_vertices(g),
+        unified_edges(g, undirected=True),
+        "Customer:1",
+        iterations=2,
+    ).collect()
+    assert len(tables()) == 2, tables()
+    release_edge_layouts(spark)
+    assert tables() == []
 
 
 def test_personalized_pagerank_properties(spark, sf_dir):

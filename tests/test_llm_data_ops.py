@@ -753,3 +753,19 @@ def test_dedup_winnow_fast_agreement(spark, oracle_sf_dir):
     union = fast | md5f
     agreement = len(fast & md5f) / len(union) if union else 1.0
     assert agreement >= 0.9, f"winnow fast-tier agreement {agreement:.3f}"
+
+
+def test_label_confusion_empty_domain_short_circuits(spark):
+    """r12 ADVICE fix: an empty label domain must return an empty typed
+    frame, not die parsing `FROM VALUES  AS t(...)`."""
+    from unittest import mock
+
+    from project_graphdb_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, label int, v array<float>"
+    )
+    with mock.patch.object(sim, "_emb", return_value=empty):
+        out = sim.emb_label_confusion_pairs(spark, "unused")
+    assert out.columns == ["label_a", "label_b", "centroid_cos"]
+    assert out.count() == 0

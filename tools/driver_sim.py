@@ -73,6 +73,11 @@ def main() -> None:
         r = results[name]
         print(json.dumps({"query": name, **r}), flush=True)
 
+    from project_graphdb_spark.graph.algorithms import (
+        release_edge_layouts,
+    )
+
+    release_edge_layouts(spark)
     n_green = sum(1 for r in results.values() if r["status"] == "green")
     n_rows = sum(1 for r in results.values() if r["status"] == "rows-only")
     bad = {k: v for k, v in results.items() if v["status"] in ("FAIL", "ERR")}

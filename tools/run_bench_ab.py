@@ -44,12 +44,15 @@ def run_bench(workdir: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw = sys.argv[1:]
+    out_path = None
+    if "--json" in raw:
+        i = raw.index("--json")
+        out_path = raw[i + 1]
+        del raw[i : i + 2]
+    args = [a for a in raw if not a.startswith("--")]
     dir_a, dir_b = args[0], args[1]
     reps = int(args[2]) if len(args) > 2 else 3
-    out_path = None
-    if "--json" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--json") + 1]
     runs: list[dict] = []
     for i in range(reps):
         for tag, d in (("A", dir_a), ("B", dir_b)):

@@ -228,6 +228,9 @@ def main() -> None:
         with open(out_json, "w") as f:
             json.dump(payload, f, indent=1)
     print(json.dumps({k: v["sec"] for k, v in results.items()}))
+    from project_graphdb_spark.graph.algorithms import release_edge_layouts
+
+    release_edge_layouts(spark)
     spark.stop()
 
 
