@@ -40,6 +40,16 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
+    # r12 (VERDICT r11 ask #5): fixed calibration anchor — a pinned
+    # scan+agg on a frozen generated dataset. One rep is taken per
+    # timed pass (interleaved, not once-at-start: host state was
+    # measured drifting 3x WITHIN a session), so calib_sec samples the
+    # same wall-clock window the queries are timed in and per-query
+    # numbers can be read raw AND host-normalized (see calibration.py)
+    from project_graphdb_spark.calibration import CalibAnchor
+
+    anchor = CalibAnchor(spark)
+
     # name-sorted, NOT registry order (r10): the registry's insertion
     # order changes every round with the driver-window priority list,
     # and execution order perturbs per-query timings through GC/cache
@@ -74,10 +84,12 @@ def main() -> None:
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     samples: dict[str, list[float]] = {name: [] for name in heads}
     for _ in range(passes):
+        anchor.rep()  # one interleaved host-state sample per pass
         for name, fn in heads.items():
             t0 = time.perf_counter()
             _run_once(fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+    calib = anchor.summary()
 
     per_query: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -101,6 +113,16 @@ def main() -> None:
                 "queries": per_query,
                 "spread": spread,
                 "passes": passes,
+                # host anchor + normalized series (r12): a query's
+                # calib-normalized value is its median divided by this
+                # session's calib_sec — host slowdowns cancel to first
+                # order, so THESE are the cross-round comparable numbers
+                **calib,
+                "value_calib_norm": round(total / calib["calib_sec"], 3),
+                "queries_calib_norm": {
+                    n: round(v / calib["calib_sec"], 3)
+                    for n, v in per_query.items()
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # r8 drift attribution (verdict r7 ask #4): the uniform
                 # +4-23% r6->r7 per-query drift is HARNESS NOISE, not a

@@ -116,3 +116,32 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # correctness: pruned read returns exactly that day's rows
     exp = events.filter(F.col("event_date") == F.lit(first_day)).count()
     assert back.count() == exp
+
+
+def test_calibration_anchor_fields_and_determinism(spark):
+    """r12 (VERDICT r11 ask #5): the calibration anchor must (a) return
+    the artifact fields, (b) be backed by a dataset whose content is a
+    pure function of its version — a regenerated copy is row-identical,
+    so calib_sec series stay comparable across sessions and rounds."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from project_graphdb_spark import calibration as cal
+
+    def content_sig(path):
+        df = spark.read.parquet(path)
+        return df.agg(
+            F.expr("bit_xor(xxhash64(id, k, x))").alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+    out = cal.run_calibration(spark, reps=2)
+    assert set(out) >= {"calib_sec", "calib_reps", "calib_version"}
+    assert out["calib_sec"] > 0 and len(out["calib_reps"]) == 2
+    path = cal._calib_path()
+    sig1 = content_sig(path)
+    shutil.rmtree(path)
+    sig2 = content_sig(cal.ensure_calib_dataset(spark))
+    assert (sig1.h, sig1.n) == (sig2.h, sig2.n)
+    assert sig1.n == cal.CALIB_ROWS

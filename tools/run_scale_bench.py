@@ -133,6 +133,15 @@ def main() -> None:
     spark = get_spark(app_name="scale-bench")
     workload._ensure_loaded()
 
+    # r12: host-state anchor (see project_graphdb_spark/calibration.py)
+    # — reps are INTERLEAVED through the sweep (one every few queries),
+    # because host state was measured drifting 3x within a session;
+    # sweep rows are then read raw AND calib-normalized
+    from project_graphdb_spark.calibration import CalibAnchor
+
+    anchor = CalibAnchor(spark)
+    anchor.rep()
+
     # dedupe while preserving order: some EXTRA_STACK members are also
     # headline queries and would otherwise run (and be timed) twice
     names = list(
@@ -176,7 +185,7 @@ def main() -> None:
                 "measures its volume by sampling instead"
             )
     results: dict[str, dict] = {}
-    for name in names:
+    for qi, name in enumerate(names):
         fn = workload.REGISTRY[name].fn
         df = fn(spark, sf_dir)
         _materialize(df)  # warm-up (also trains/caches IVF centroids)
@@ -191,6 +200,13 @@ def main() -> None:
         # finished query's shuffle/broadcast state — the source of
         # in-sequence timing drift (see spark_util.free_all_persistent)
         free_all_persistent(spark)
+        if qi % 8 == 7:  # interleaved host-state sample
+            anchor.rep()
+    anchor.rep()
+    calib = anchor.summary()
+    print("calibration:", json.dumps(calib))
+    for rec in results.values():
+        rec["sec_norm"] = round(rec["sec"] / calib["calib_sec"], 3)
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
@@ -219,6 +235,7 @@ def main() -> None:
 
     payload = {
         "sf_dir": sf_dir,
+        **calib,
         "results": results,
         "blocked_candidate_stats": cand_stats,
         "excluded_quadratic_oracles": EXCLUDED,
