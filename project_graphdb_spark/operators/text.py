@@ -472,6 +472,90 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra-Gries counter budget per task. The guarantee is per-token
+#: undercount <= N / (MG_COUNTERS + 1); at 4096 counters every token
+#: holding more than ~0.025% of the corpus is certain to survive.
+MG_COUNTERS = 4096
+
+
+def mg_token_summaries(
+    tok: DataFrame, k: int = MG_COUNTERS
+) -> DataFrame:
+    """(token, n) Misra-Gries summaries, one per partition — the third
+    classic mergeable sketch beside HLL (distinct) and GK (quantiles):
+    frequent-item counts with O(k) state per task (Misra & Gries 1982;
+    merge rule and error bound from Agarwal et al., "Mergeable
+    Summaries", PODS 2012).
+
+    Each task folds its partition's Arrow batches into ONE running
+    counter table: exact value_counts per batch (vectorized — pandas,
+    not a per-row Python loop), added into the accumulator, then
+    MG-compressed back to ``k`` counters (subtract the (k+1)-th
+    largest count from all, drop non-positives) whenever it overflows.
+    Between batches the state is <= k counters, so a task's emitted
+    summary is <= k rows NO MATTER how many tokens it read — at 100 TB
+    the reduce side sees O(partitions * k) rows, not the vocabulary.
+    Every emitted count is a LOWER bound; total undercount per token
+    is <= N/(k+1) (each compression subtracts t from at most all
+    counters while discarding >= (k+1)*t mass, summed over a
+    partition's stream of N_p tokens this is <= N_p/(k+1), and the
+    per-token sum across partitions telescopes to <= N/(k+1)).
+    """
+
+    def gen(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                top = acc.nlargest(k + 1)
+                t = top.iloc[-1]
+                acc = top.iloc[:k] - t
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {
+                    "token": acc.index.astype(str),
+                    "n": acc.values.astype("int64"),
+                }
+            )
+
+    return tok.mapInPandas(gen, "token string, n long")
+
+
+@register(
+    "corpus_vocab_topk_approx",
+    oracle=None,  # approximate by construction (Misra-Gries lower
+    # bounds); undercount <= N/(k+1) and heavy-hitter completeness are
+    # pytest-asserted against the hash-checked exact twin
+    description="corpus vocabulary top-50 via per-partition "
+    f"Misra-Gries summaries ({MG_COUNTERS} counters/task, mergeable — "
+    "Agarwal 2012): each task emits <= k (token, lower-bound) rows "
+    "regardless of tokens read, the reduce side sums O(partitions*k) "
+    "rows — the 100 TB form of frequent-token counting, beside the "
+    "exact corpus_vocab_topk twin whose reduce sees the whole "
+    "vocabulary",
+)
+def corpus_vocab_topk_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    merged = (
+        mg_token_summaries(tok)
+        .groupBy("token")
+        .agg(F.sum("n").alias("n_approx"))
+    )
+    top = merged.orderBy(F.desc("n_approx"), "token").limit(VOCAB_TOP_K)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n_approx"), "token"))
+    )
+
+
 # (quality-gate thresholds / CTEs / predicate / stats live in text_fns)
 
 

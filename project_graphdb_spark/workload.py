@@ -171,12 +171,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "small_quantity_part_revenue",
     "sole_late_supplier_orders",
     "sqlite_ingest_customers_per_region",
-    # (c) oldest r9 rows filling to 50 (displaced by r12-changed
-    # implementations as they land)
-    "agent_correction_loop_top5",
-    "agent_customers_without_orders",
-    "agent_top5_customers",
-    "agent_total_sales_2000",
+    # (c) r12-new and r12-changed implementations (displaced the four
+    # oldest-r9 agent_* fills, which the simulation shows stay
+    # absorbable): the new MG heavy-hitters face (no driver row yet —
+    # the staleness gate forces it into the window), the funnel
+    # latency profile (zero-converter rows now filtered, ADVICE fix),
+    # and two representatives of the galg family whose edge-layout
+    # plan changed to the session-shared bucketed cache
+    "corpus_vocab_topk_approx",
+    "ev_funnel_time_to_convert",
+    "galg_pagerank_top20",
+    "galg_connected_components",
 )
 
 
