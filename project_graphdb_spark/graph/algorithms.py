@@ -138,6 +138,13 @@ _EDGE_BUCKETS = 32
 # it at end of run.
 _EDGE_TABLE_LOCK = threading.Lock()
 _EDGE_TABLES: dict[str, dict[int, list]] = {}
+#: (writes, hits) counters for the current process — the sweep's
+#: structural evidence that the family shares one adjacency write
+EDGE_LAYOUT_STATS = {"writes": 0, "hits": 0}
+#: set to "off" to disable cross-invocation reuse (the r11 shape: one
+#: table write per algorithm run, dropped by the per-run cleanup) —
+#: the A/B harness knob
+_EDGE_CACHE_ENV = "SPARK_GRAFT_PREGEL_EDGE_CACHE"
 
 
 def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
@@ -176,13 +183,16 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     import uuid
 
     spark = edges.sparkSession
-    app = spark.sparkContext.applicationId
-    jplan = edges._jdf.queryExecution().analyzed()
-    h = jplan.semanticHash()
-    with _EDGE_TABLE_LOCK:
-        for cached_plan, name in _EDGE_TABLES.get(app, {}).get(h, []):
-            if cached_plan.sameResult(jplan):
-                return spark.table(name), _noop_cleanup
+    caching = os.environ.get(_EDGE_CACHE_ENV, "on") != "off"
+    if caching:
+        app = spark.sparkContext.applicationId
+        jplan = edges._jdf.queryExecution().analyzed()
+        h = jplan.semanticHash()
+        with _EDGE_TABLE_LOCK:
+            for cached_plan, name in _EDGE_TABLES.get(app, {}).get(h, []):
+                if cached_plan.sameResult(jplan):
+                    EDGE_LAYOUT_STATS["hits"] += 1
+                    return spark.table(name), _noop_cleanup
 
     name = f"pregel_edges_{uuid.uuid4().hex[:12]}"
     (
@@ -193,6 +203,12 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
         .format("parquet")
         .saveAsTable(name)
     )
+    EDGE_LAYOUT_STATS["writes"] += 1
+    if not caching:
+        def cleanup(sc, _name=name, _spark=spark):
+            _spark.sql(f"DROP TABLE IF EXISTS {_name}")
+
+        return spark.table(name), cleanup
     with _EDGE_TABLE_LOCK:
         _EDGE_TABLES.setdefault(app, {}).setdefault(h, []).append(
             (jplan, name)

@@ -41,6 +41,7 @@ interpreted higher-order-function form; bit-identical values, see
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import pandas as pd
@@ -1344,11 +1345,29 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster_assignments trade, the opposite of the spans frame
     from project_graphdb_spark.spark_util import lingering_checkpoint
 
-    sels = lingering_checkpoint(_winnow_sels(docs).select("doc_id", "fp"))
-    a = sels.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = sels.select(F.col("doc_id").alias("doc_b"), "fp")
+    # r12 (VERDICT r11 ask #7): an integer pair-key variant —
+    # conv(hex, 16, 10) on the 8-hex-char fp, a bijection, so the
+    # join's equivalence classes and the oracle are untouched — was
+    # built and MEASURED REJECTED (SCALE.md finding 33): interleaved
+    # sf10 A/B, 3 reps/side, raw medians 62.7 s (int) vs 64.3 s (str),
+    # calib-normalized 47.8 vs 41.1 — no win, spreads overlap; the
+    # docfilter lesson does not transfer because this join's key is
+    # already 8 chars and the cost owner is the gram-hash CPU
+    # (finding 24), which the conv() only adds to. String key stays
+    # the default; the variant remains runnable for re-measurement.
+    key_mode = os.environ.get("SPARK_GRAFT_WINNOW_PAIR_KEY", "str")
+    raw = _winnow_sels(docs)
+    if key_mode == "str":
+        sel = raw.select("doc_id", F.col("fp").alias("fpk"))
+    else:
+        sel = raw.select(
+            "doc_id", F.conv("fp", 16, 10).cast("long").alias("fpk")
+        )
+    sels = lingering_checkpoint(sel)
+    a = sels.select(F.col("doc_id").alias("doc_a"), "fpk")
+    b = sels.select(F.col("doc_id").alias("doc_b"), "fpk")
     return (
-        a.join(b, "fp")
+        a.join(b, "fpk")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))

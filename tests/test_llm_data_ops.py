@@ -769,3 +769,24 @@ def test_label_confusion_empty_domain_short_circuits(spark):
         out = sim.emb_label_confusion_pairs(spark, "unused")
     assert out.columns == ["label_a", "label_b", "centroid_cos"]
     assert out.count() == 0
+
+
+def test_dedup_winnow_key_modes_identical(spark, oracle_sf_dir, monkeypatch):
+    """r12 (VERDICT r11 ask #7): the int pair-key (default) and the
+    string shape must produce identical pairs — conv(hex,16,10) is a
+    bijection on the 8-hex-char fingerprint, so only the shuffled key
+    WIDTH changes, never the join's equivalence classes."""
+    from project_graphdb_spark.operators.dedup import dedup_winnow
+
+    def pairs():
+        return sorted(
+            (r.doc_a, r.doc_b, r.n_shared)
+            for r in dedup_winnow(spark, oracle_sf_dir).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_WINNOW_PAIR_KEY", "int")
+    p_int = pairs()
+    monkeypatch.setenv("SPARK_GRAFT_WINNOW_PAIR_KEY", "str")
+    p_str = pairs()
+    assert p_int == p_str
+    assert p_int, "empty pair set proves nothing"

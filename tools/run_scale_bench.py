@@ -233,9 +233,14 @@ def main() -> None:
         cand_stats = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
         print("blocked_candidate_stats FAILED:", cand_stats["error"])
 
+    from project_graphdb_spark.graph.algorithms import EDGE_LAYOUT_STATS
+
     payload = {
         "sf_dir": sf_dir,
         **calib,
+        # writes vs cache-hits of the bucketed Pregel adjacency across
+        # the whole sweep (r12: the galg family shares layouts)
+        "edge_layout_stats": dict(EDGE_LAYOUT_STATS),
         "results": results,
         "blocked_candidate_stats": cand_stats,
         "excluded_quadratic_oracles": EXCLUDED,
