@@ -49,6 +49,21 @@ def test_no_query_leaks_persistent_rdds(spark, sf_dir):
 
             unpersist_ids(sc, leaked, blocking=True)
     assert not leaks, f"queries leaked persistent RDDs: {leaks}"
+    # r12: the registry-wide run also exercises every galg query's
+    # bucketed adjacency — after the explicit release hook the
+    # warehouse must hold no pregel_edges_* table (cache-owned tables
+    # are NOT leaks while cached; unreleased ones would be)
+    from project_graphdb_spark.graph.algorithms import (
+        release_edge_layouts,
+    )
+
+    release_edge_layouts(spark)
+    leftover = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("pregel_edges_")
+    ]
+    assert not leftover, f"unreleased bucketed edge tables: {leftover}"
 
 
 def test_injected_superstep_failure_leaves_clean_state(

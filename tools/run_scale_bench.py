@@ -80,6 +80,8 @@ EXTRA_STACK = [
     "part_cooccurrence_similarity",  # r10: basket-capped market-basket Jaccard
     "emb_label_centroid_outliers",  # r10: label-error detection
     "emb_label_confusion_pairs",  # r10: label-merge audit
+    "corpus_vocab_topk",  # r12: exact twin of the MG face below
+    "corpus_vocab_topk_approx",  # r12: Misra-Gries heavy hitters
     # doc_bm25_topk is NOT here: its registered face binds driver-corpus
     # terms that don't exist in the scale corpus's wordNNN vocabulary
     # (0 rows). Scale-measure it via the parameterized bm25_topk core
