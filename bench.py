@@ -40,16 +40,6 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="bench")
 
-    # r12 (VERDICT r11 ask #5): fixed calibration anchor — a pinned
-    # scan+agg on a frozen generated dataset. One rep is taken per
-    # timed pass (interleaved, not once-at-start: host state was
-    # measured drifting 3x WITHIN a session), so calib_sec samples the
-    # same wall-clock window the queries are timed in and per-query
-    # numbers can be read raw AND host-normalized (see calibration.py)
-    from project_graphdb_spark.calibration import CalibAnchor
-
-    anchor = CalibAnchor(spark)
-
     # name-sorted, NOT registry order (r10): the registry's insertion
     # order changes every round with the driver-window priority list,
     # and execution order perturbs per-query timings through GC/cache
@@ -74,6 +64,18 @@ def main() -> None:
         if n not in skip and (not only or n in only)
     }
 
+    # r12 (VERDICT r11 ask #5): fixed calibration anchor — a pinned
+    # scan+agg on a frozen generated dataset. One rep is taken per
+    # timed pass (interleaved, not once-at-start: host state was
+    # measured drifting 3x WITHIN a session), so calib_sec samples the
+    # same wall-clock window the queries are timed in and per-query
+    # numbers can be read raw AND host-normalized (see calibration.py).
+    # Constructed AFTER the SKIP/ONLY validation so an argument typo
+    # exits before any Spark work.
+    from project_graphdb_spark.calibration import CalibAnchor
+
+    anchor = CalibAnchor(spark)
+
     # warm-up: run every headline once untimed, so JVM/codegen/parquet
     # footers/graph-frame derivation land outside the timed pass and
     # every query is measured steady-state (the reference's analog is a
@@ -83,12 +85,21 @@ def main() -> None:
 
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
     samples: dict[str, list[float]] = {name: [] for name in heads}
-    for _ in range(passes):
-        anchor.rep()  # one interleaved host-state sample per pass
-        for name, fn in heads.items():
-            t0 = time.perf_counter()
-            _run_once(fn(spark, sf_dir))
-            samples[name].append(time.perf_counter() - t0)
+    try:
+        for _ in range(passes):
+            anchor.rep()  # one interleaved host-state sample per pass
+            for name, fn in heads.items():
+                t0 = time.perf_counter()
+                _run_once(fn(spark, sf_dir))
+                samples[name].append(time.perf_counter() - t0)
+    except BaseException:
+        # don't orphan cache-owned bucketed edge tables on a crash
+        from project_graphdb_spark.graph.algorithms import (
+            release_edge_layouts,
+        )
+
+        release_edge_layouts(spark)
+        raise
     calib = anchor.summary()
 
     per_query: dict[str, float] = {}

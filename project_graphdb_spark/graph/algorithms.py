@@ -354,6 +354,7 @@ def pregel(
         )
     )
     iter_secs: list[float] = []
+    new_ids: set[int] = set()
     try:
         for _ in range(max_iter):
             t0 = time.perf_counter()
@@ -389,8 +390,13 @@ def pregel(
                 break
     except BaseException:
         # a failed superstep (task failure past retries, OOM, ...)
-        # must not strand the last checkpointed state's blocks
+        # must not strand the last checkpointed state's blocks — nor
+        # the JUST-checkpointed successor's, when the failure lands
+        # between _ckpt(updated) and the state swap (e.g. the
+        # convergence-count job dies); unpersist is idempotent, so
+        # freeing both sets is safe whichever side of the swap we're on
         _unpersist(sc, state_ids)
+        _unpersist(sc, new_ids)
         raise
     finally:
         # checkpoint-mode edge blocks are freed success OR failure;

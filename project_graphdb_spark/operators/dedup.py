@@ -1356,6 +1356,12 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (finding 24), which the conv() only adds to. String key stays
     # the default; the variant remains runnable for re-measurement.
     key_mode = os.environ.get("SPARK_GRAFT_WINNOW_PAIR_KEY", "str")
+    if key_mode not in ("str", "int"):
+        # a typo'd knob would silently re-measure the wrong shape
+        raise ValueError(
+            f"SPARK_GRAFT_WINNOW_PAIR_KEY={key_mode!r}: expected "
+            "'str' (default, measured) or 'int' (rejected variant)"
+        )
     raw = _winnow_sels(docs)
     if key_mode == "str":
         sel = raw.select("doc_id", F.col("fp").alias("fpk"))

@@ -772,8 +772,9 @@ def test_label_confusion_empty_domain_short_circuits(spark):
 
 
 def test_dedup_winnow_key_modes_identical(spark, oracle_sf_dir, monkeypatch):
-    """r12 (VERDICT r11 ask #7): the int pair-key (default) and the
-    string shape must produce identical pairs — conv(hex,16,10) is a
+    """r12 (VERDICT r11 ask #7): the string pair-key (default — the
+    int variant was measured and rejected, SCALE.md finding 33) and
+    the int shape must produce identical pairs — conv(hex,16,10) is a
     bijection on the 8-hex-char fingerprint, so only the shuffled key
     WIDTH changes, never the join's equivalence classes."""
     from project_graphdb_spark.operators.dedup import dedup_winnow

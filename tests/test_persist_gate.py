@@ -118,3 +118,54 @@ def test_injected_superstep_failure_leaves_clean_state(
         if t.name.startswith("pregel_edges_")
     ]
     assert not leftover, leftover
+
+
+def test_convergence_job_failure_frees_fresh_checkpoint(
+    spark, monkeypatch
+):
+    """r12 code-review fix: when the CONVERGENCE-count job dies after
+    `_ckpt(updated)` succeeded but before the state swap, the freshly
+    checkpointed blocks (new_ids) must be freed too — the first cut's
+    except-path only freed the superseded state."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from project_graphdb_spark.graph import algorithms as alg
+
+    # pyspark 4: the classic DataFrame SUBCLASS defines collect, so
+    # the base class is not the dispatch target
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: single class
+        from pyspark.sql import DataFrame
+
+    alg.release_edge_layouts(spark)
+    sc = spark.sparkContext
+    verts = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    before = persistent_rdd_ids(sc)
+    real_collect = DataFrame.collect
+
+    def boom(self):
+        raise RuntimeError("injected convergence-job failure")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    try:
+        with pytest.raises(RuntimeError, match="injected convergence"):
+            alg.pregel(
+                verts,
+                edges,
+                initial={"x": F.col("id")},
+                message=F.col("v_x"),
+                agg=F.min("__msg"),
+                update={"x": F.coalesce(F.col("__agg"), F.col("x"))},
+                max_iter=5,
+                converge_on="x",
+                telemetry_name="injected_convergence_failure",
+            )
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert persistent_rdd_ids(sc) - before == set()
+    alg.release_edge_layouts(spark)

@@ -48,6 +48,8 @@ def main() -> None:
     out_path = None
     if "--json" in raw:
         i = raw.index("--json")
+        if i + 1 >= len(raw):
+            raise SystemExit("--json needs an output path")
         out_path = raw[i + 1]
         del raw[i : i + 2]
     args = [a for a in raw if not a.startswith("--")]

@@ -127,19 +127,25 @@ def main() -> None:
     workload._ensure_loaded()
 
     results: dict[str, dict] = {}
-    for name in names:
-        fn = workload.REGISTRY[name].fn
-        algorithms.LAST_ITER_SECONDS.clear()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = _materialize(df)
-        dt = round(time.perf_counter() - t0, 3)
-        iters = {k: v for k, v in algorithms.LAST_ITER_SECONDS.items()}
-        results[name] = {"sec": dt, "rows": n, "iter_secs": iters}
-        clear_persistent(spark)
-        print(f"{name:40s} {dt:9.3f}s {n:>10d} rows")
-        for algo, secs in iters.items():
-            print(f"    {algo}: {len(secs)} iters {secs}")
+    try:
+        for name in names:
+            fn = workload.REGISTRY[name].fn
+            algorithms.LAST_ITER_SECONDS.clear()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = _materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            iters = {k: v for k, v in algorithms.LAST_ITER_SECONDS.items()}
+            results[name] = {"sec": dt, "rows": n, "iter_secs": iters}
+            clear_persistent(spark)
+            print(f"{name:40s} {dt:9.3f}s {n:>10d} rows")
+            for algo, secs in iters.items():
+                print(f"    {algo}: {len(secs)} iters {secs}")
+    finally:
+        # cache-owned bucketed adjacency tables (r12) outlive the
+        # per-run cleanup by design; a crash mid-sweep must not
+        # orphan corpus-scale parquet in the warehouse
+        algorithms.release_edge_layouts(spark)
 
     payload = {"sf_dir": sf_dir, "results": results}
     if out_json:

@@ -187,23 +187,35 @@ def main() -> None:
                 "measures its volume by sampling instead"
             )
     results: dict[str, dict] = {}
-    for qi, name in enumerate(names):
-        fn = workload.REGISTRY[name].fn
-        df = fn(spark, sf_dir)
-        _materialize(df)  # warm-up (also trains/caches IVF centroids)
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = _materialize(df)
-        dt = round(time.perf_counter() - t0, 3)
-        results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
-        print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
-        # free blocks pinned by checkpointing queries (dedup_clusters*)
-        # and force a driver-JVM GC so ContextCleaner reclaims the
-        # finished query's shuffle/broadcast state — the source of
-        # in-sequence timing drift (see spark_util.free_all_persistent)
-        free_all_persistent(spark)
-        if qi % 8 == 7:  # interleaved host-state sample
-            anchor.rep()
+    try:
+        for qi, name in enumerate(names):
+            fn = workload.REGISTRY[name].fn
+            df = fn(spark, sf_dir)
+            _materialize(df)  # warm-up (also trains/caches IVF centroids)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = _materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            results[name] = {"sec": dt, "rows": n, **plan_facts(df)}
+            print(f"{name:35s} {dt:8.3f}s {n:>10d} rows {results[name]}")
+            # free blocks pinned by checkpointing queries
+            # (dedup_clusters*) and force a driver-JVM GC so
+            # ContextCleaner reclaims the finished query's shuffle/
+            # broadcast state — the source of in-sequence timing drift
+            # (see spark_util.free_all_persistent)
+            free_all_persistent(spark)
+            if qi % 8 == 7:  # interleaved host-state sample
+                anchor.rep()
+    except BaseException:
+        # a crashed query (OOM/disk-full is routine at sf10) must not
+        # orphan cache-owned bucketed adjacency tables on disk — the
+        # in-memory metastore dies with the process, the parquet doesn't
+        from project_graphdb_spark.graph.algorithms import (
+            release_edge_layouts,
+        )
+
+        release_edge_layouts(spark)
+        raise
     anchor.rep()
     calib = anchor.summary()
     print("calibration:", json.dumps(calib))
