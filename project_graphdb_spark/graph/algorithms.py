@@ -209,6 +209,8 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
             _spark.sql(f"DROP TABLE IF EXISTS {_name}")
 
         return spark.table(name), cleanup
+    _track_table_dir(spark, name)
+    _register_atexit()
     with _EDGE_TABLE_LOCK:
         _EDGE_TABLES.setdefault(app, {}).setdefault(h, []).append(
             (jplan, name)
@@ -218,6 +220,48 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
 
 def _noop_cleanup(sc) -> None:
     """Cleanup stand-in for cache-owned bucketed layouts."""
+
+
+#: managed-table directories of cache-owned layouts, for the atexit
+#: backstop — a caller that exits without release_edge_layouts (a bare
+#: driver session, an aborted harness) would otherwise orphan the
+#: parquet on disk once the in-memory metastore dies with the JVM
+_EDGE_TABLE_DIRS: set[str] = set()
+_ATEXIT_REGISTERED = False
+
+
+def _track_table_dir(spark, name: str) -> None:
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if wh:
+        with _EDGE_TABLE_LOCK:
+            _EDGE_TABLE_DIRS.add(os.path.join(wh, name.lower()))
+
+
+def _register_atexit() -> None:
+    global _ATEXIT_REGISTERED
+    if _ATEXIT_REGISTERED:
+        return
+    import atexit
+
+    atexit.register(_atexit_cleanup)
+    _ATEXIT_REGISTERED = True
+
+
+def _atexit_cleanup() -> None:
+    """Best-effort file-level backstop at interpreter exit: tables
+    released through release_edge_layouts were already dropped (their
+    dirs are gone — rmtree on them is a no-op); anything left is an
+    orphan-to-be, because the in-memory metastore cannot outlive the
+    process while the parquet would."""
+    import shutil
+
+    with _EDGE_TABLE_LOCK:
+        dirs = list(_EDGE_TABLE_DIRS)
+        _EDGE_TABLE_DIRS.clear()
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def release_edge_layouts(spark) -> None:

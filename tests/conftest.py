@@ -17,6 +17,14 @@ SF01 = "/root/testdata/sf0.01"
 def spark():
     spark = get_spark(app_name="tests")
     yield spark
+    # r12: bucketed Pregel adjacency tables are session-cache-owned;
+    # without this release a pytest session orphans its tables' parquet
+    # in spark-warehouse/ when the in-memory metastore dies with the JVM
+    from project_graphdb_spark.graph.algorithms import (
+        release_edge_layouts,
+    )
+
+    release_edge_layouts(spark)
     spark.stop()
 
 
