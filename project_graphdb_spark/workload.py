@@ -112,76 +112,70 @@ _LOADED = False
 # g_*, corpus doc_*) to refresh the union. 50 slots = the driver's
 # sample size.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # r12 window (VERDICT r11 asks #1/#2): (a) the 9 r7-stale queries
-    # the red staleness gate named — forced, they lead; (b) the ENTIRE
-    # r8 cohort (37 rows) pulled forward one round early so r13's
-    # forced set drains to zero and the r14/r15 cohort bulges (49
-    # r10-sampled + 50 r11-sampled rows aging out together) stay
-    # absorbable — tests/test_window_rotation.py now SIMULATES the
-    # greedy oldest-first rotation forward and asserts every future
-    # round's forced set fits in 50 slots; (c) oldest r9 rows filling
-    # the remainder. r12-changed implementations are swapped into (c)
-    # as they land (each swap displaces a not-yet-forced fill row).
+    # r13 window (VERDICT r12 ask #1): the forward simulation's greedy
+    # plan. Forced set for r13 is EMPTY (the r12 window pre-drained the
+    # r8 cohort), so the window is: (a) the entire r9 cohort (36 rows,
+    # the oldest latest-rows after r12 — they would all become forced
+    # at r14); (b) 14 fills from the r10 cohort, chosen to be the
+    # queries this round's planned work touches (iterative-graph family
+    # whose per-superstep exchange/layout policy is changing, the
+    # dedup-cluster family whose unshareable-layout cleanup is
+    # changing, and the dup-span/pipeline shapes under measurement) so
+    # r13-changed implementations land with fresh driver rows. All r10
+    # rows are the same age, so any 14 is greedy-consistent.
     #
-    # (a) the 9 forced r7-stale rows
-    "custkeys_active_both_endpoints",
-    "custkeys_only_first_year",
-    "customers_with_orders_semi",
-    "customers_without_orders",
-    "emb_norm_stats",
-    "ev_json_props_extract",
-    "orders_predicate_filter",
-    "total_sales_2000",
-    "value_probe_mktsegment",
-    # (b) the whole r8 cohort, name order — drains r13's forced set
-    "ann_pq_top10",
-    "cheapest_customer_per_nation",
-    "cypher_bare_pattern_machinery_nations",
-    "cypher_bare_pattern_not_idle_customers",
-    "cypher_call_subquery_order_counts",
-    "cypher_call_subquery_status_breakdown",
-    "cypher_call_subquery_topk_per_customer",
-    "cypher_call_subquery_uncorrelated",
-    "cypher_count_block_busy_customers",
-    "cypher_count_block_orders_per_segment",
-    "cypher_list_comprehension_stats",
-    "cypher_multilabel_active_buyers",
-    "cypher_write_conditional_set",
-    "dedup_semantic",
-    "discounted_revenue_triples",
-    "doc_bm25_topk",
-    "doc_tfidf_terms",
-    "doc_train_split_counts",
-    "emb_quantize_int8",
-    "ev_click_attribution",
-    "ev_click_attribution_outer",
-    "ev_daily_active_users",
-    "ev_daily_active_users_hll",
-    "ev_dedup_replayed",
-    "ev_purchase_revenue_by_segment",
-    "ev_sessionization",
-    "idle_rich_customers_by_nation",
-    "late_order_priority_counts",
-    "lineitem_quantity_percentiles_approx",
-    "multimodal_audio_features",
-    "multimodal_image_dims",
-    "multimodal_image_resize",
-    "orc_roundtrip_order_priority",
-    "promo_revenue_share",
-    "small_quantity_part_revenue",
-    "sole_late_supplier_orders",
-    "sqlite_ingest_customers_per_region",
-    # (c) r12-new and r12-changed implementations (displaced the four
-    # oldest-r9 agent_* fills, which the simulation shows stay
-    # absorbable): the new MG heavy-hitters face (no driver row yet —
-    # the staleness gate forces it into the window), the funnel
-    # latency profile (zero-converter rows now filtered, ADVICE fix),
-    # and two representatives of the galg family whose edge-layout
-    # plan changed to the session-shared bucketed cache
-    "corpus_vocab_topk_approx",
-    "ev_funnel_time_to_convert",
-    "galg_pagerank_top20",
-    "galg_connected_components",
+    # (a) the full r9 cohort, name order
+    "agent_correction_loop_top5",
+    "agent_customers_without_orders",
+    "agent_top5_customers",
+    "agent_total_sales_2000",
+    "ann_ivf_top10",
+    "cypher_customers_without_orders",
+    "cypher_exists_block_big_spenders",
+    "cypher_exists_building_nations",
+    "cypher_not_exists_unordered_parts",
+    "cypher_smoke",
+    "cypher_tostring_probe",
+    "cypher_union_place_names",
+    "cypher_write_node_upsert",
+    "cypher_write_rel_merge",
+    "dedup_semantic_blocked",
+    "doc_fingerprints",
+    "doc_pack_bins",
+    "doc_token_stats",
+    "emb_ivf_assign",
+    "embedding_near_dup_blocked",
+    "ev_asof_purchase_before_click",
+    "ev_interval_join_campaigns",
+    "g_customer_degree_stats",
+    "g_machinery_big_orders",
+    "g_node_counts_by_label",
+    "g_top_degree_customers",
+    "galg_degrees",
+    "galg_triangle_count",
+    "knn_join_top3_ivf",
+    "large_volume_customer_orders",
+    "late_lines_priority_by_returnflag",
+    "multimodal_frame_sample",
+    "multimodal_payload_features",
+    "rca_largest_drop_drilldown",
+    "returned_item_revenue_top20",
+    "sql_over_graph_order_priority_revenue",
+    # (b) 14 r10 fills: this round's touched implementations first
+    "galg_bfs_from_customer1",
+    "galg_kcore_3",
+    "galg_label_propagation",
+    "galg_personalized_pagerank",
+    "galg_shortest_paths",
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "dedup_keep_best",
+    "dedup_keep_best_lsh",
+    "pipeline_clean_pack",
+    "doc_dup_span_profile",
+    "doc_dup_span_scrub",
+    "dedup_winnow",
+    "doc_winnow_fingerprints",
 )
 
 
