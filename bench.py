@@ -93,12 +93,19 @@ def main() -> None:
                 _run_once(fn(spark, sf_dir))
                 samples[name].append(time.perf_counter() - t0)
     except BaseException:
-        # don't orphan cache-owned bucketed edge tables on a crash
-        from project_graphdb_spark.graph.algorithms import (
-            release_edge_layouts,
-        )
+        # don't orphan cache-owned bucketed edge tables on a crash.
+        # The release itself can throw when the session is already
+        # unusable (driver OOM, Py4J loss — exactly the scenarios
+        # handled here) and must not REPLACE the original exception;
+        # the atexit file backstop covers the release-failed case.
+        try:
+            from project_graphdb_spark.graph.algorithms import (
+                release_edge_layouts,
+            )
 
-        release_edge_layouts(spark)
+            release_edge_layouts(spark)
+        except Exception:
+            pass
         raise
     calib = anchor.summary()
 

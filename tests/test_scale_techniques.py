@@ -136,9 +136,28 @@ def test_calibration_anchor_fields_and_determinism(spark):
             F.count("*").alias("n"),
         ).collect()[0]
 
-    out = cal.run_calibration(spark, reps=2)
-    assert set(out) >= {"calib_sec", "calib_reps", "calib_version"}
-    assert out["calib_sec"] > 0 and len(out["calib_reps"]) == 2
+    # reps=1 under-delivers on purpose: summary() must pad to the
+    # v2 floor (warmup + CALIB_MIN_REPS kept) on its own
+    out = cal.run_calibration(spark, reps=1)
+    assert set(out) >= {
+        "calib_sec",
+        "calib_reps",
+        "calib_version",
+        "calib_warmup_rep",
+        "calib_kept_reps",
+        "calib_rep_spread",
+        "calib_unstable",
+    }
+    assert out["calib_sec"] > 0
+    assert out["calib_kept_reps"] >= cal.CALIB_MIN_REPS
+    assert len(out["calib_reps"]) == out["calib_kept_reps"] + 1
+    assert out["calib_warmup_rep"] == out["calib_reps"][0]
+    # the warmup rep is excluded from the median
+    import statistics
+
+    assert out["calib_sec"] == round(
+        statistics.median(out["calib_reps"][1:]), 4
+    )
     path = cal._calib_path()
     sig1 = content_sig(path)
     shutil.rmtree(path)

@@ -209,12 +209,18 @@ def main() -> None:
     except BaseException:
         # a crashed query (OOM/disk-full is routine at sf10) must not
         # orphan cache-owned bucketed adjacency tables on disk — the
-        # in-memory metastore dies with the process, the parquet doesn't
-        from project_graphdb_spark.graph.algorithms import (
-            release_edge_layouts,
-        )
+        # in-memory metastore dies with the process, the parquet
+        # doesn't. The release itself can throw on a dead session and
+        # must not replace the original exception (the atexit file
+        # backstop covers that case).
+        try:
+            from project_graphdb_spark.graph.algorithms import (
+                release_edge_layouts,
+            )
 
-        release_edge_layouts(spark)
+            release_edge_layouts(spark)
+        except Exception:
+            pass
         raise
     anchor.rep()
     calib = anchor.summary()
