@@ -138,9 +138,19 @@ _EDGE_BUCKETS = 32
 # it at end of run.
 _EDGE_TABLE_LOCK = threading.Lock()
 _EDGE_TABLES: dict[str, dict[int, list]] = {}
-#: (writes, hits) counters for the current process — the sweep's
-#: structural evidence that the family shares one adjacency write
-EDGE_LAYOUT_STATS = {"writes": 0, "hits": 0}
+#: (writes, hits, ...) counters for the current process — the sweep's
+#: structural evidence that the family shares one adjacency write.
+#: ``unshareable_writes``/``per_run_drops`` (r13, VERDICT r12 ask #4)
+#: count layouts whose plans can never ``sameResult``-hit (LogicalRDD /
+#: checkpoint-derived) — those take the per-run DROP path instead of
+#: cache ownership, so a long session doesn't accumulate bucketed
+#: tables it can never reuse; a healthy sweep shows the two equal.
+EDGE_LAYOUT_STATS = {
+    "writes": 0,
+    "hits": 0,
+    "unshareable_writes": 0,
+    "per_run_drops": 0,
+}
 #: set to "off" to disable cross-invocation reuse (the r11 shape: one
 #: table write per algorithm run, dropped by the per-run cleanup) —
 #: the A/B harness knob
@@ -184,9 +194,20 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
 
     spark = edges.sparkSession
     caching = os.environ.get(_EDGE_CACHE_ENV, "on") != "off"
+    jplan = None
+    if caching:
+        jplan = edges._jdf.queryExecution().analyzed()
+        if not _plan_shareable(jplan):
+            # r13 (VERDICT r12 ask #4 / ADVICE): a LogicalRDD-rooted
+            # plan (checkpoint-derived pair graphs — dedup_clusters*)
+            # can NEVER sameResult-hit a later invocation, so cache
+            # ownership only accumulates dead corpus-scale tables
+            # until release; give these the per-run DROP cleanup.
+            caching = False
+            with _EDGE_TABLE_LOCK:
+                EDGE_LAYOUT_STATS["unshareable_writes"] += 1
     if caching:
         app = spark.sparkContext.applicationId
-        jplan = edges._jdf.queryExecution().analyzed()
         h = jplan.semanticHash()
         with _EDGE_TABLE_LOCK:
             for cached_plan, name in _EDGE_TABLES.get(app, {}).get(h, []):
@@ -203,19 +224,54 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
         .format("parquet")
         .saveAsTable(name)
     )
-    EDGE_LAYOUT_STATS["writes"] += 1
     if not caching:
+        with _EDGE_TABLE_LOCK:
+            EDGE_LAYOUT_STATS["writes"] += 1
+
         def cleanup(sc, _name=name, _spark=spark):
             _spark.sql(f"DROP TABLE IF EXISTS {_name}")
+            with _EDGE_TABLE_LOCK:
+                EDGE_LAYOUT_STATS["per_run_drops"] += 1
 
         return spark.table(name), cleanup
+    # Double-check under the lock before taking cache ownership (r13,
+    # ADVICE): a concurrent call with the same plan may have won the
+    # race while we wrote — the table write happens outside the lock
+    # on purpose (a corpus-scale write must not serialize unrelated
+    # plans), so the loser drops its duplicate and adopts the winner's.
+    with _EDGE_TABLE_LOCK:
+        app = spark.sparkContext.applicationId
+        for cached_plan, winner in _EDGE_TABLES.get(app, {}).get(h, []):
+            if cached_plan.sameResult(jplan):
+                EDGE_LAYOUT_STATS["hits"] += 1
+                dup = name
+                name = None
+                break
+        else:
+            EDGE_LAYOUT_STATS["writes"] += 1
+            _EDGE_TABLES.setdefault(app, {}).setdefault(h, []).append(
+                (jplan, name)
+            )
+    if name is None:
+        spark.sql(f"DROP TABLE IF EXISTS {dup}")
+        return spark.table(winner), _noop_cleanup
     _track_table_dir(spark, name)
     _register_atexit()
-    with _EDGE_TABLE_LOCK:
-        _EDGE_TABLES.setdefault(app, {}).setdefault(h, []).append(
-            (jplan, name)
-        )
     return spark.table(name), _noop_cleanup
+
+
+def _plan_shareable(jplan) -> bool:
+    """Whether an analyzed plan can ever ``sameResult``-match a later
+    independent construction of the same frame. LogicalRDD leaves
+    (localCheckpoint / checkpoint / createDataFrame-from-RDD) compare
+    by RDD identity, so a plan rooted in one is unshareable by
+    construction — cache ownership would retain its bucketed table for
+    the whole session with zero chance of a hit."""
+    leaves = jplan.collectLeaves()
+    for i in range(leaves.length()):
+        if leaves.apply(i).getClass().getSimpleName() == "LogicalRDD":
+            return False
+    return True
 
 
 def _noop_cleanup(sc) -> None:
@@ -337,6 +393,43 @@ def degrees(graph: PropertyGraph) -> DataFrame:
     )
 
 
+_PIN_STATE_ENV = "SPARK_GRAFT_PIN_STATE"
+
+
+def _pin_state(state: DataFrame) -> DataFrame:
+    """Hash-pin the superstep's vertex-state frame to the bucket spec
+    (r13, VERDICT r12 ask #3 — kill the second per-superstep state
+    Exchange). Context: ``localCheckpoint`` does NOT carry
+    outputPartitioning through to the LogicalRDD under AQE in this
+    Spark (measured: a pre-checkpoint ``repartition(32, "id")`` still
+    re-exchanges, ``Scan ExistingRDD`` plans as UnknownPartitioning),
+    so every superstep must shuffle state at least once. But the state
+    frame feeds TWO joins per superstep — the message join against the
+    src-bucketed edge scan and the update join against the message
+    aggregate — and EnsureRequirements plans an Exchange under each.
+    Routing both consumers through ONE shared subtree — explicit
+    null-filter INSIDE it (an inner join pushes ``isnotnull`` into one
+    branch only, which de-canonicalizes the pair), then an explicit
+    ``repartition(_EDGE_BUCKETS, id)`` — makes the two exchanges
+    canonically identical, so ReuseExchange plans one physical shuffle
+    + a ReusedExchange: state moves once per superstep, the floor.
+    REPARTITION_BY_NUM is exempt from AQE coalescing, so the 32
+    partitions stay co-partitioned with the 32-bucket edge layout and
+    the message join's edge side keeps its zero-exchange scan.
+    The null-filter is a no-op semantically: vertex ids are
+    ``concat_ws``-built (never null) in every caller.
+
+    ``SPARK_GRAFT_PIN_STATE=off`` keeps the r12 shape (two
+    EnsureRequirements exchanges of state per superstep) runnable by
+    the same harness — the A/B knob, same convention as
+    ``_EDGE_LAYOUT_ENV``."""
+    if os.environ.get(_PIN_STATE_ENV, "on") == "off":
+        return state
+    return state.filter(F.col("id").isNotNull()).repartition(
+        _EDGE_BUCKETS, "id"
+    )
+
+
 def aggregate_messages(
     state: DataFrame, edges: DataFrame, message: Column, agg: Column
 ) -> DataFrame:
@@ -402,7 +495,10 @@ def pregel(
     try:
         for _ in range(max_iter):
             t0 = time.perf_counter()
-            msgs = aggregate_messages(state, edges, message, agg)
+            # one shared pinned subtree feeds BOTH state consumers so
+            # ReuseExchange collapses their exchanges — see _pin_state
+            pinned = _pin_state(state)
+            msgs = aggregate_messages(pinned, edges, message, agg)
             # the convergence flag is FUSED into the update projection
             # — old and new values are both in scope here, so the
             # per-round "did anything change" question costs one narrow
@@ -417,7 +513,7 @@ def pregel(
                     .cast("int")
                     .alias("__changed")
                 )
-            updated = state.join(msgs, "id", "left").select(*proj)
+            updated = pinned.join(msgs, "id", "left").select(*proj)
             updated, new_ids = _ckpt(updated)
             changed = None
             if converge_on is not None:
@@ -730,8 +826,12 @@ def pagerank(
     try:
         for i in range(iterations):
             t0 = time.perf_counter()
+            # shared pinned subtree: contribs join, dangling agg, and
+            # the update join all consume ONE physical state exchange
+            # (ReuseExchange) — see _pin_state
+            pinned = _pin_state(state)
             contribs = (
-                edges.join(state, edges.src == state.id)
+                edges.join(pinned, edges.src == pinned.id)
                 .select(
                     "dst", (F.col("rank") / F.col("out_degree")).alias("c")
                 )
@@ -743,11 +843,11 @@ def pagerank(
             # (not .collect()ed) so the whole iteration stays one lazy
             # plan that fuses with the checkpoint cadence — no extra
             # driver job per iteration.
-            dangling = state.filter(F.col("out_degree") == 0).agg(
+            dangling = pinned.filter(F.col("out_degree") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
             )
             new_state = (
-                state.drop("rank")
+                pinned.drop("rank")
                 .join(contribs, "id", "left")
                 .crossJoin(F.broadcast(dangling))
                 .withColumn(
@@ -812,19 +912,21 @@ def personalized_pagerank(
     try:
         for _ in range(iterations):
             t0 = time.perf_counter()
+            # shared pinned subtree — see _pin_state / pagerank
+            pinned = _pin_state(state)
             contribs = (
-                edges.join(state, edges.src == state.id)
+                edges.join(pinned, edges.src == pinned.id)
                 .select(
                     "dst", (F.col("rank") / F.col("out_degree")).alias("c")
                 )
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("c").alias("received"))
             )
-            dangling = state.filter(F.col("out_degree") == 0).agg(
+            dangling = pinned.filter(F.col("out_degree") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling_m")
             )
             new_state = (
-                state.drop("rank")
+                pinned.drop("rank")
                 .join(contribs, "id", "left")
                 .crossJoin(F.broadcast(dangling))
                 .withColumn(

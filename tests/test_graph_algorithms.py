@@ -393,3 +393,114 @@ def test_reliable_checkpoint_dir_env(spark, tmp_path, monkeypatch):
         for f in fn
     ]
     assert written, "no checkpoint files under GRAPHDB_SPARK_CHECKPOINT_DIR"
+
+
+def test_pregel_superstep_reuses_state_exchange(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 ask #3): the superstep's vertex-state frame
+    feeds two joins (message pass, update) — both must consume ONE
+    physical shuffle. localCheckpoint loses outputPartitioning under
+    AQE (measured — see _pin_state), so the floor is one state
+    exchange per superstep; the shared pinned subtree reaches it via
+    ReuseExchange. Asserted under the sf10 SMJ regime (broadcast off):
+    exactly two hash exchanges total — one REPARTITION_BY_NUM for
+    state, one ENSURE_REQUIREMENTS for the message aggregate — plus a
+    ReusedExchange, and the bucketed edge scan stays exchange-free."""
+    from project_graphdb_spark.graph import algorithms as alg
+
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges0 = orders.select(
+        F.col("o_custkey").cast("string").alias("src"),
+        F.col("o_orderkey").cast("string").alias("dst"),
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        edges, cleanup = alg._iteration_edges(edges0)
+        state = (
+            orders.select(F.col("o_custkey").cast("string").alias("id"))
+            .distinct()
+            .select("id", F.lit(1.0).alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        pinned = alg._pin_state(state)
+        msgs = alg.aggregate_messages(
+            pinned, edges, F.col("v_rank"), F.min("__msg")
+        )
+        upd = pinned.join(msgs, "id", "left").select(
+            "id", F.coalesce("__agg", F.col("rank")).alias("rank")
+        )
+        upd.collect()  # finalize AQE
+        plan = (
+            upd._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+        # the ReusedExchange line echoes the reused node's description,
+        # so count physical REPARTITION exchanges on non-reused lines
+        physical_repart = [
+            ln
+            for ln in plan.splitlines()
+            if "REPARTITION_BY_NUM" in ln and "ReusedExchange" not in ln
+        ]
+        assert len(physical_repart) == 1, plan
+        # total physical hash exchanges: pinned state + message agg
+        reused = plan.count("ReusedExchange")
+        assert (
+            plan.count("Exchange hashpartitioning") - reused == 2
+        ), plan
+        # the bucketed edge scan feeds its SMJ directly
+        assert "SelectedBucketsCount: 32 out of 32" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        cleanup(spark.sparkContext)
+        alg.release_edge_layouts(spark)
+
+
+def test_unshareable_edge_layout_dropped_per_run(spark, monkeypatch):
+    """r13 (VERDICT r12 ask #4 / ADVICE): an edge frame rooted in a
+    LogicalRDD (checkpoint-derived pair graphs — the dedup_clusters
+    family) can never sameResult-hit the layout cache, so it must NOT
+    take cache ownership: its bucketed table is dropped with the run,
+    and the stats record the unshareable write + the per-run drop."""
+    from project_graphdb_spark.graph import algorithms as alg
+
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    alg.release_edge_layouts(spark)
+
+    def tables():
+        return sorted(
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("pregel_edges_")
+        )
+
+    before = dict(alg.EDGE_LAYOUT_STATS)
+    verts = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d"]], "id string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string"
+    ).localCheckpoint(eager=True)  # LogicalRDD root — unshareable
+    comp = {
+        r.id: r.component
+        for r in connected_components(vertices=verts, edges=edges).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "c", "d": "c"}
+    assert tables() == [], "unshareable layout must die with its run"
+    after = alg.EDGE_LAYOUT_STATS
+    assert after["unshareable_writes"] == before["unshareable_writes"] + 1
+    assert after["per_run_drops"] == before["per_run_drops"] + 1
+    # and it never took a cache slot
+    app = spark.sparkContext.applicationId
+    assert not alg._EDGE_TABLES.get(app)
