@@ -396,7 +396,7 @@ def degrees(graph: PropertyGraph) -> DataFrame:
 _PIN_STATE_ENV = "SPARK_GRAFT_PIN_STATE"
 
 
-def _pin_state(state: DataFrame) -> DataFrame:
+def _pin_state(state: DataFrame, default: str = "on") -> DataFrame:
     """Hash-pin the superstep's vertex-state frame to the bucket spec
     (r13, VERDICT r12 ask #3 — kill the second per-superstep state
     Exchange). Context: ``localCheckpoint`` does NOT carry
@@ -419,11 +419,17 @@ def _pin_state(state: DataFrame) -> DataFrame:
     The null-filter is a no-op semantically: vertex ids are
     ``concat_ws``-built (never null) in every caller.
 
-    ``SPARK_GRAFT_PIN_STATE=off`` keeps the r12 shape (two
-    EnsureRequirements exchanges of state per superstep) runnable by
-    the same harness — the A/B knob, same convention as
-    ``_EDGE_LAYOUT_ENV``."""
-    if os.environ.get(_PIN_STATE_ENV, "on") == "off":
+    ``default`` is per-callsite, decided by the r13 sf10 interleaved
+    A/B (SCALE.md finding 35; PR + CC, 2 reps/variant, fresh sessions,
+    per-iteration times): the RANK family (pagerank / PPR — state
+    referenced 3x per iteration) keeps "on" — iteration sums 215/381 s
+    unpinned vs 193/239 s pinned, totals −27% in both reps; the
+    generic ``pregel`` driver (state referenced 2x) keeps "off" —
+    CC iteration sums 394/310 s unpinned vs 430/350 s pinned and a
+    higher settled floor (26.5–27.7 vs 28.0–29.4 s), consistent in
+    sign across both reps. ``SPARK_GRAFT_PIN_STATE`` overrides both
+    callsites — the A/B knob, same convention as ``_EDGE_LAYOUT_ENV``."""
+    if os.environ.get(_PIN_STATE_ENV, default) == "off":
         return state
     return state.filter(F.col("id").isNotNull()).repartition(
         _EDGE_BUCKETS, "id"
@@ -495,9 +501,11 @@ def pregel(
     try:
         for _ in range(max_iter):
             t0 = time.perf_counter()
-            # one shared pinned subtree feeds BOTH state consumers so
-            # ReuseExchange collapses their exchanges — see _pin_state
-            pinned = _pin_state(state)
+            # pin default OFF here: the r13 A/B (finding 35) measured
+            # the 2-reference pregel shape (CC) ~10% SLOWER pinned on
+            # iteration sums in both reps — only the 3-reference rank
+            # family wins; SPARK_GRAFT_PIN_STATE=on flips it for A/Bs
+            pinned = _pin_state(state, default="off")
             msgs = aggregate_messages(pinned, edges, message, agg)
             # the convergence flag is FUSED into the update projection
             # — old and new values are both in scope here, so the
@@ -706,37 +714,50 @@ def label_propagation(
         edges = unified_edges(graph, undirected=True)
     assert vertices is not None and edges is not None
     sc = vertices.sparkSession.sparkContext
-    edges, edge_ids = _ckpt(edges)
+    # r13: bucketed layout + shared layout cache, same as the pregel /
+    # pagerank drivers — LP was the last iteration loop still paying an
+    # edge-side Exchange + Sort per superstep (and, when a graph's
+    # symmetrized view is already cached by connected_components in the
+    # same session, the layout is free). sf10 A/B in SCALE.md.
+    edges, edge_cleanup = _iteration_edges(edges)
 
     state, state_ids = _ckpt(
         vertices.select("id", F.col("id").alias("community"))
     )
     iter_secs: list[float] = []
-    for _ in range(max_iter):
-        t0 = time.perf_counter()
-        counts = (
-            send_messages(state, edges, F.col("v_community"))
-            .groupBy("id", "__msg")
-            .agg(F.count("*").alias("__n"))
-        )
-        w = W.partitionBy("id").orderBy(F.desc("__n"), F.asc("__msg"))
-        best = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", F.col("__msg").alias("__agg"))
-        )
-        updated, new_ids = _ckpt(
-            state.join(best, "id", "left").select(
-                "id",
-                F.coalesce(F.col("__agg"), F.col("community")).alias(
-                    "community"
-                ),
+    try:
+        for _ in range(max_iter):
+            t0 = time.perf_counter()
+            # pin default OFF — LP shares the 2-reference pregel shape
+            # the finding-35 A/B measured slower pinned (see pregel)
+            pinned = _pin_state(state, default="off")
+            counts = (
+                send_messages(pinned, edges, F.col("v_community"))
+                .groupBy("id", "__msg")
+                .agg(F.count("*").alias("__n"))
             )
-        )
+            w = W.partitionBy("id").orderBy(F.desc("__n"), F.asc("__msg"))
+            best = (
+                counts.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("id", F.col("__msg").alias("__agg"))
+            )
+            updated, new_ids = _ckpt(
+                pinned.join(best, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("__agg"), F.col("community")).alias(
+                        "community"
+                    ),
+                )
+            )
+            _unpersist(sc, state_ids)
+            state, state_ids = updated, new_ids
+            iter_secs.append(time.perf_counter() - t0)
+    except BaseException:
         _unpersist(sc, state_ids)
-        state, state_ids = updated, new_ids
-        iter_secs.append(time.perf_counter() - t0)
-    _unpersist(sc, edge_ids)
+        raise
+    finally:
+        edge_cleanup(sc)
     _record_iter("label_propagation", iter_secs)
     linger_ids(sc, state_ids)  # final superstep blocks back the result
     return state

@@ -174,8 +174,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "pipeline_clean_pack",
     "doc_dup_span_profile",
     "doc_dup_span_scrub",
-    "dedup_winnow",
-    "doc_winnow_fingerprints",
+    # r13 in-round swap: the pin-state plan rewrite landed on the
+    # pagerank/connected-components drivers too (fresh r12 rows, but
+    # the plan changed THIS round — the r12 "re-oracle the round a
+    # plan changes" precedent applies), so they take the last two fill
+    # slots from the untouched winnow pair (r10-age, greedy says any
+    # same-age fill choice is feasibility-equivalent).
+    "galg_pagerank_top20",
+    "galg_connected_components",
 )
 
 
