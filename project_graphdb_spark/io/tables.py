@@ -32,6 +32,96 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ---------------------------------------------------------------------------
+# Unsplittable-input spread (r13, optimization guide §2.5)
+# ---------------------------------------------------------------------------
+# The driver's testdata materializes each table as ONE parquet file with
+# ONE row group. A row group is the parquet reader's atomic split unit,
+# so every scan of such a file runs as a single task no matter what
+# spark.sql.files.maxPartitionBytes says — and because partial
+# aggregation and broadcast-join probes fuse into the scan stage, the
+# whole scan→probe→partial-agg pipeline of a 600k-row fact table runs
+# on 1 of N cores. The guide's fix for unsplittable inputs (one huge
+# gzip file, one row group) is to repartition immediately after the
+# read; we do it by a high-cardinality key column (hash exchange), NOT
+# round-robin, because round-robin pays a per-partition binary sort of
+# the input for retry determinism (spark.sql.execution.sortBeforeRepartition)
+# that costs more than it saves at this row count.
+#
+# Measured (sf0.1, local[32], 7-rep medians, noop sink): pricing_summary
+# 1.13 s → 0.77 s (−32%); scan+filter alone 0.21 s, so the residual is
+# the spread exchange (+0.23 s) amortized by parallelizing the 0.8 s
+# single-threaded decimal aggregation. Round-robin spread measured
+# 1.03 s — rejected (sortBeforeRepartition pays a binary sort of the
+# whole input on the one scan task).
+#
+# The exchange only pays for itself when the single-task pipeline it
+# breaks up is long enough. Same-session interleaved A/Bs (5-rep
+# medians) put the break-even between 150k and 600k rows on this
+# corpus: events (100k rows) spread LOSES every consumer (e.g.
+# ev_asof 0.56 s off vs 0.95-1.37 s spread; ev_tumbling 0.49 vs
+# 0.99-1.08), orders (150k rows) is a wash on revenue queries and a
+# 38% regression on top3_customers_per_nation (1.20 s vs 0.75 s off),
+# lineitem (600k rows) wins 30-48% on every consumer. Hence the 200k
+# default floor: only tables whose serial scan-stage work dominates
+# the exchange cost spread.
+#
+# Scale honesty: the spread fires only when the INPUT's intrinsic
+# parallelism (row-group count) cannot feed the session's cores AND the
+# table is big enough for the exchange to pay for itself. Directory
+# inputs (every at-scale layout, including tools/gen_scale_data.py
+# output) and small dimensions are untouched, so at 100 TB this is a
+# structural no-op — it is input-layout adaptivity, not a local[32]
+# tuning constant. SPARK_GRAFT_SPREAD_SCAN=off disables it for A/Bs.
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+_SPREAD_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_ROWS", str(200_000))
+)
+_LAYOUT_MEMO: dict[str, tuple[int, int] | None] = {}
+
+
+def _single_file_layout(path: str) -> tuple[int, int] | None:
+    """(row_groups, rows) for a single parquet FILE; None for
+    directories (the at-scale layout) or unreadable footers. Footer
+    reads are memoized per path — they never touch row data."""
+    got = _LAYOUT_MEMO.get(path, False)
+    if got is not False:
+        return got
+    layout: tuple[int, int] | None = None
+    try:
+        if os.path.isfile(path):
+            import pyarrow.parquet as pq
+
+            meta = pq.ParquetFile(path).metadata
+            layout = (meta.num_row_groups, meta.num_rows)
+    except Exception:
+        layout = None
+    _LAYOUT_MEMO[path] = layout
+    return layout
+
+
+def _spread_if_unsplittable(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto") == "off":
+        return df
+    key = _SPREAD_KEYS.get(name)
+    if key is None:
+        return df
+    layout = _single_file_layout(path)
+    if layout is None:
+        return df
+    row_groups, rows = layout
+    n = spark.sparkContext.defaultParallelism
+    if rows >= _SPREAD_MIN_ROWS and row_groups < n:
+        return df.repartition(n, key)
+    return df
+
 
 def ensure_engine_conf(spark: SparkSession) -> None:
     """Apply the runtime-settable engine configs this library relies on.
@@ -117,7 +207,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Required here (not just in get_spark()) because callers may supply
     # their own SparkSession without the configs this library needs.
     ensure_engine_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -128,7 +219,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":  # caller pre-set NTZ inference
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return _spread_if_unsplittable(df, spark, path, name)
 
 
 def load_tables(
