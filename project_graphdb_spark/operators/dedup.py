@@ -873,6 +873,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = blocked.alias("a")
     b = blocked.alias("b")
+    # Canonical-bucket dedup (r13): a pair at hamming h has 8-h intact
+    # chunks and therefore matches in C(8-h, 2) of the 28 buckets — an
+    # exact duplicate surfaces 28 times. The old shape emitted every
+    # occurrence and paid a `.distinct()` shuffle over the multiplied
+    # candidate set (measured sf0.1: ~29M candidate rows into the
+    # distinct for a 1.27M-pair result — 23x duplication). Both
+    # signatures ride the join row already, so the FIRST intact chunk
+    # pair is computable from their XOR: keep the candidate only in
+    # that one bucket and every pair is emitted exactly once — no
+    # distinct, no candidate-multiplied shuffle. Isolated sf0.1 twins
+    # (run_scale_bench --only, fresh session each): 7.38 s before vs
+    # 4.00 / 3.83 s after (calib 0.85 / 0.87 / 0.87 — comparable
+    # hosts), identical 1,265,637-row output.
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    intact = [
+        F.shiftright(xor, k * 8).bitwiseAND(F.lit(0xFF)) == 0
+        for k in range(8)
+    ]
+    first = F.when(intact[0], 0)
+    for k in range(1, 8):
+        first = first.when(intact[k], k)
+    # first intact index strictly greater than `first` (built inside
+    # one when-chain: the k-th branch fires only when k > first)
+    second = F.when((F.lit(1) > F.col("__first")) & intact[1], 1)
+    for k in range(2, 8):
+        second = second.when((F.lit(k) > F.col("__first")) & intact[k], k)
+    # combinations(range(8), 2) index of (i, j) in emission order:
+    # idx = i*(15-i)/2 + (j-i-1); i*(15-i) is even for all i in 0..7
+    canon = (
+        (F.lit(15) - F.col("__first")) * F.col("__first") / F.lit(2)
+    ).cast("int") + (F.col("__second") - F.col("__first") - F.lit(1))
     pairs = (
         a.join(
             b,
@@ -880,14 +911,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.chunk2") == F.col("b.chunk2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .withColumn("__first", first)
+        .withColumn("__second", second)
+        .filter(F.col("a.pair_id") == canon)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(xor).alias("hamming"),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING).orderBy(
         "doc_a", "doc_b"

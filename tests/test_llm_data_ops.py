@@ -56,6 +56,35 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
         assert len(got & exact) >= len(exact) // 2
 
 
+def test_simhash_canonical_bucket_emits_each_pair_once(spark, sf_dir):
+    """r13: candidate dedup moved from a `.distinct()` over the
+    bucket-multiplied candidate set (a pair at hamming h matches in
+    C(8-h,2) of the 28 chunk-pair buckets — 28x duplication for exact
+    dups) to a filter keeping only the FIRST intact chunk pair,
+    computed from the XOR of the two signatures riding the join row.
+    Each pair must surface exactly once WITHOUT any aggregate above
+    the bucket join."""
+    import re
+    pairs = dedup_simhash(spark, sf_dir)
+    dup = (
+        pairs.groupBy("doc_a", "doc_b")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    # the only aggregates are the two signature 64-bit-sum pairs
+    # (partial+final per join side); the candidate set itself is never
+    # re-aggregated. Count detail headers only — the formatted plan
+    # prints every node twice (tree + detail section).
+    n_agg = len(re.findall(r"\(\d+\) HashAggregate", final))
+    assert n_agg <= 4, final
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     brute = [r.vec_id for r in ann_cosine_top10(spark, sf_dir).collect()]
     ivf = [r.vec_id for r in ann_ivf_top10(spark, sf_dir).collect()]
