@@ -171,9 +171,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_clusters_lsh",
     "dedup_keep_best",
     "dedup_keep_best_lsh",
-    "pipeline_clean_pack",
-    "doc_dup_span_profile",
-    "doc_dup_span_scrub",
+    # r13 optimization-round swap: the round's ACTUAL plan-changing
+    # rewrites (simhash canonical-bucket dedup; prenormed cosine pair
+    # verifies) take the three fill slots originally reserved for the
+    # dup-span measurement shapes, whose implementations ended the
+    # round unchanged (the fold-kernel variant was measured and
+    # rejected — OPTIMIZATION_r13.md). Same r10-age-fill greedy
+    # equivalence as the original choice; the staleness + forward
+    # simulation gates pass with the swap.
+    "dedup_simhash",
+    "embedding_near_dup_pairs",
+    "knn_join_top3",
     # r13 in-round swap: the pin-state plan rewrite landed on the
     # pagerank/connected-components drivers too (fresh r12 rows, but
     # the plan changed THIS round — the r12 "re-oracle the round a
