@@ -12,6 +12,12 @@ at sub-second magnitudes are noise — a +30% delta on one pass means
 nothing), with min/max spread reported alongside. Five passes (r6, was
 3) tighten the median so spread-level movement between rounds stops
 reading as regression.
+
+The stdout line is COMPACT (r14): driver fields plus scalar anchor
+health and ``parallelism``; bulky diagnostics (per-query spread, anchor
+rep series, per-query normalized dict, standing noise notes) go to the
+sidecar file named by ``SPARK_GRAFT_BENCH_DETAIL`` (default
+``.bench/bench_detail.json``), whose path is echoed as ``detail_file``.
 """
 
 from __future__ import annotations
@@ -33,6 +39,49 @@ from project_graphdb_spark.spark_util import materialize
 # finding). tests/test_plans.py guards that this alias stays shared so
 # a future edit can't silently revert bench to a pruning sink.
 _run_once = materialize
+
+
+# r14 (VERDICT r13 ask #2a): the r12 round-over-round comparison was
+# LOST because the one stdout JSON line had grown (spread + per-query
+# normalized dicts) past the driver's bounded tail capture, which cut
+# its head and made it unparseable. The contract stays ONE JSON line,
+# but the line now carries only the driver fields (metric / value /
+# unit / queries / sf) plus compact scalars (anchor health, normalized
+# total, parallelism); the bulky diagnostics below move to a sidecar
+# detail file whose path is echoed on the line. No timing semantics
+# change; no query entries removed or renamed.
+_BULKY_FIELDS = (
+    "spread",
+    "calib_reps",
+    "calib_protocol",
+    "queries_calib_norm",
+    "noise_note",
+    "noise_model",
+)
+
+
+def emit_results(payload: dict) -> dict:
+    """Write the full ``payload`` to the detail sidecar file
+    (``SPARK_GRAFT_BENCH_DETAIL``, default ``.bench/bench_detail.json``
+    next to this script) and return the compact line dict: every
+    payload field except the bulky diagnostics, plus ``detail_file``."""
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".bench",
+            "bench_detail.json",
+        ),
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        detail_path = None  # read-only tree: the compact line stands alone
+    compact = {k: v for k, v in payload.items() if k not in _BULKY_FIELDS}
+    compact["detail_file"] = detail_path
+    return compact
 
 
 def main() -> None:
@@ -122,26 +171,31 @@ def main() -> None:
         }
         total += med
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": per_query,
-                "spread": spread,
-                "passes": passes,
-                # host anchor + normalized series (r12): a query's
-                # calib-normalized value is its median divided by this
-                # session's calib_sec — host slowdowns cancel to first
-                # order, so THESE are the cross-round comparable numbers
-                **calib,
-                "value_calib_norm": round(total / calib["calib_sec"], 3),
-                "queries_calib_norm": {
-                    n: round(v / calib["calib_sec"], 3)
-                    for n, v in per_query.items()
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "spread": spread,
+        "passes": passes,
+        # host anchor + normalized series (r12): a query's
+        # calib-normalized value is its median divided by this
+        # session's calib_sec — host slowdowns cancel to first
+        # order, so THESE are the cross-round comparable numbers
+        **calib,
+        "value_calib_norm": round(total / calib["calib_sec"], 3),
+        "queries_calib_norm": {
+            n: round(v / calib["calib_sec"], 3)
+            for n, v in per_query.items()
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r14 (VERDICT r13 ask #2b): echo the session's REAL
+        # parallelism so SPARK_GRAFT_CPUS honoring is directly
+        # observable in the artifact — the r13 driver false-flagged
+        # `suspect_cpus_ignored` because nothing in the JSON proved
+        # the env var reached the JVM (it does: session.py builds
+        # master=local[$SPARK_GRAFT_CPUS]); additive field only.
+        "parallelism": spark.sparkContext.defaultParallelism,
                 # r8 drift attribution (verdict r7 ask #4): the uniform
                 # +4-23% r6->r7 per-query drift is HARNESS NOISE, not a
                 # plan or registry regression. Evidence (r8, same code,
@@ -174,21 +228,20 @@ def main() -> None:
                     "cross_session_host_band_pct": 40,
                     "attribution": "measurements/r11/bench_ab_r9_r10.json",
                 },
-                # r8 MEASUREMENT FIX — numbers are NOT comparable to
-                # BENCH_r01..r07: materialization switched from
-                # df.count() to the noop sink. count() wraps the query
-                # in a row-count aggregate and Catalyst PRUNES every
-                # aggregate expression the count doesn't need, so all
-                # prior rounds under-measured aggregate-heavy queries
-                # (pricing_summary computed zero of its 8 aggregates;
-                # ev_daily_active_users shuffled 280 records instead of
-                # the real 981k). The noop sink computes every output
-                # column executor-side. Same-code totals: 5.9-6.8 s
-                # under count(), ~11 s under noop at sf0.1.
-                "materializer": "noop-sink (r8+; prior rounds count())",
-            }
-        )
-    )
+        # r8 MEASUREMENT FIX — numbers are NOT comparable to
+        # BENCH_r01..r07: materialization switched from
+        # df.count() to the noop sink. count() wraps the query
+        # in a row-count aggregate and Catalyst PRUNES every
+        # aggregate expression the count doesn't need, so all
+        # prior rounds under-measured aggregate-heavy queries
+        # (pricing_summary computed zero of its 8 aggregates;
+        # ev_daily_active_users shuffled 280 records instead of
+        # the real 981k). The noop sink computes every output
+        # column executor-side. Same-code totals: 5.9-6.8 s
+        # under count(), ~11 s under noop at sf0.1.
+        "materializer": "noop-sink (r8+; prior rounds count())",
+    }
+    print(json.dumps(emit_results(payload)))
     from project_graphdb_spark.graph.algorithms import release_edge_layouts
 
     release_edge_layouts(spark)
