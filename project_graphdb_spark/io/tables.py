@@ -81,17 +81,24 @@ _SPREAD_KEYS = {
     "part": "p_partkey",
     "supplier": "s_suppkey",
 }
-_SPREAD_MIN_ROWS = int(
-    os.environ.get("SPARK_GRAFT_SPREAD_MIN_ROWS", str(200_000))
-)
-_LAYOUT_MEMO: dict[str, tuple[int, int] | None] = {}
+_SPREAD_MIN_ROWS_DEFAULT = 200_000
+# memo key is (path, mtime_ns, size) so an in-process rewrite of a table
+# file (data regen tooling) invalidates the cached footer metadata
+# (ADVICE r13); values never touch row data
+_LAYOUT_MEMO: dict[tuple[str, int, int], tuple[int, int] | None] = {}
 
 
 def _single_file_layout(path: str) -> tuple[int, int] | None:
     """(row_groups, rows) for a single parquet FILE; None for
     directories (the at-scale layout) or unreadable footers. Footer
-    reads are memoized per path — they never touch row data."""
-    got = _LAYOUT_MEMO.get(path, False)
+    reads are memoized per (path, mtime, size) — they never touch row
+    data, and a rewritten file never reuses a stale entry."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    memo_key = (path, st.st_mtime_ns, st.st_size)
+    got = _LAYOUT_MEMO.get(memo_key, False)
     if got is not False:
         return got
     layout: tuple[int, int] | None = None
@@ -103,22 +110,35 @@ def _single_file_layout(path: str) -> tuple[int, int] | None:
             layout = (meta.num_row_groups, meta.num_rows)
     except Exception:
         layout = None
-    _LAYOUT_MEMO[path] = layout
+    _LAYOUT_MEMO[memo_key] = layout
     return layout
 
 
-def _spread_if_unsplittable(df: DataFrame, spark: SparkSession, path: str, name: str) -> DataFrame:
+def _spread_if_unsplittable(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    name: str,
+    spread_key: str | None = None,
+) -> DataFrame:
+    # both knobs are read PER CALL (ADVICE r13 — the min-rows floor used
+    # to bind at import time while the on/off switch was per-call)
     if os.environ.get("SPARK_GRAFT_SPREAD_SCAN", "auto") == "off":
         return df
-    key = _SPREAD_KEYS.get(name)
+    key = spread_key or _SPREAD_KEYS.get(name)
     if key is None:
         return df
     layout = _single_file_layout(path)
     if layout is None:
         return df
     row_groups, rows = layout
+    min_rows = int(
+        os.environ.get(
+            "SPARK_GRAFT_SPREAD_MIN_ROWS", str(_SPREAD_MIN_ROWS_DEFAULT)
+        )
+    )
     n = spark.sparkContext.defaultParallelism
-    if rows >= _SPREAD_MIN_ROWS and row_groups < n:
+    if rows >= min_rows and row_groups < n:
         return df.repartition(n, key)
     return df
 
@@ -193,8 +213,20 @@ def ensure_engine_conf(spark: SparkSession) -> None:
         )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_key: str | None = None,
+) -> DataFrame:
     """Load one table. ``name`` must be in ``TABLE_NAMES``.
+
+    ``spread_key`` (r14, VERDICT r13 ask #4) lets a caller that will
+    immediately re-key the table (pre-aggregation, join) name ITS key
+    as the unsplittable-input spread key, so the one spread exchange
+    doubles as the consumer's exchange instead of stacking a second
+    one on top. Only affects the single-row-group spread path; at-scale
+    directory inputs ignore it.
 
     ``events.ts`` is TIMESTAMP(NANOS) in the parquet file, which Spark's
     vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
@@ -219,14 +251,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":  # caller pre-set NTZ inference
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return _spread_if_unsplittable(df, spark, path, name)
+    return _spread_if_unsplittable(df, spark, path, name, spread_key)
 
 
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TABLE_NAMES,
+    spread_keys: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
-    """Load several tables as a dict of DataFrames (lazy — no I/O yet)."""
-    return {name: load_table(spark, sf_dir, name) for name in names}
+    """Load several tables as a dict of DataFrames (lazy — no I/O yet).
+
+    ``spread_keys`` optionally overrides the unsplittable-input spread
+    key per table (see :func:`load_table`)."""
+    spread_keys = spread_keys or {}
+    return {
+        name: load_table(spark, sf_dir, name, spread_keys.get(name))
+        for name in names
+    }
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

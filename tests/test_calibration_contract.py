@@ -69,6 +69,39 @@ def test_committed_artifacts_meet_anchor_contract():
     assert checked >= 0
 
 
+#: First round the sec_norm suppression gate applies to (r14, VERDICT
+#: r13 ask #7): an artifact whose anchor self-flagged unstable must not
+#: carry normalized columns at all — run_scale_bench suppresses them.
+NORM_GATE_FROM_ROUND = 14
+
+
+def _has_sec_norm(payload) -> bool:
+    if isinstance(payload, dict):
+        if "sec_norm" in payload:
+            return True
+        return any(_has_sec_norm(v) for v in payload.values())
+    if isinstance(payload, list):
+        return any(_has_sec_norm(v) for v in payload)
+    return False
+
+
+def test_no_normalized_columns_from_flagged_anchor():
+    """No committed r14+ artifact may carry a ``sec_norm`` column (or
+    a ``value_calib_norm`` total) normalized against an anchor that
+    self-flagged ``calib_unstable``."""
+    for path, d in _calibrated_payloads():
+        m = re.search(r"measurements/r(\d+)/", path.replace(os.sep, "/"))
+        if int(m.group(1)) < NORM_GATE_FROM_ROUND:
+            continue
+        if not d.get("calib_unstable"):
+            continue
+        assert not _has_sec_norm(d) and "value_calib_norm" not in d, (
+            f"{path}: anchor self-flagged calib_unstable but the "
+            "artifact still carries normalized columns — re-emit from "
+            "a stable-anchor session or strip the normalized fields"
+        )
+
+
 def test_r12_galg_artifact_would_fail_the_contract():
     """Regression pin: the exact artifact that motivated the contract
     (2 reps, 5.5x spread) must be rejected by the same predicate the

@@ -60,7 +60,7 @@ def test_directory_input_is_never_spread(spark, tmp_path, monkeypatch):
     out = tmp_path / "lineitem.parquet"
     src = load_table(spark, SF01, "lineitem")
     src.limit(1000).repartition(4).write.parquet(str(out))
-    monkeypatch.setattr(tables, "_SPREAD_MIN_ROWS", 1)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MIN_ROWS", "1")
     df = load_table(spark, str(tmp_path), "lineitem")
     assert "REPARTITION_BY_NUM" not in _plan(df)
 
@@ -72,9 +72,26 @@ def test_copied_single_file_spreads_above_floor(spark, tmp_path, monkeypatch):
         os.path.join(SF01, "orders.parquet"),
         tmp_path / "orders.parquet",
     )
-    monkeypatch.setattr(tables, "_SPREAD_MIN_ROWS", 1)
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MIN_ROWS", "1")
     df = load_table(spark, str(tmp_path), "orders")
     assert "REPARTITION_BY_NUM" in _plan(df)
+
+
+def test_min_rows_knob_is_read_per_call(spark, monkeypatch):
+    """ADVICE r13: both knobs bind at call time — raising the floor
+    after import must stop the lineitem spread."""
+    monkeypatch.setenv("SPARK_GRAFT_SPREAD_MIN_ROWS", "100000000")
+    df = load_table(spark, SF01, "lineitem")
+    assert "REPARTITION_BY_NUM" not in _plan(df)
+
+
+def test_caller_spread_key_overrides_default(spark):
+    """VERDICT r13 ask #4: a caller that pre-aggregates by its own key
+    can name it as the spread key so one exchange serves both."""
+    df = load_table(spark, SF01, "lineitem", spread_key="l_partkey")
+    plan = _plan(df)
+    assert "REPARTITION_BY_NUM" in plan
+    assert "hashpartitioning(l_partkey" in plan
 
 
 def test_filters_still_push_below_the_spread(spark):
@@ -88,7 +105,12 @@ def test_filters_still_push_below_the_spread(spark):
         .select("l_orderkey", "l_quantity")
     )
     plan = _plan(df)
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # assert the two predicates individually (not one ordered literal —
+    # predicate ORDER inside PushedFilters is a Spark implementation
+    # detail; ADVICE r13)
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "IsNotNull(l_shipdate)" in pushed
+    assert "LessThanOrEqual(l_shipdate" in pushed
     # ReadSchema carries only the needed columns + the spread key
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_extendedprice" not in scan

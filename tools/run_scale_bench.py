@@ -225,8 +225,16 @@ def main() -> None:
     anchor.rep()
     calib = anchor.summary()
     print("calibration:", json.dumps(calib))
-    for rec in results.values():
-        rec["sec_norm"] = round(rec["sec"] / calib["calib_sec"], 3)
+    # r14 (VERDICT r13 ask #7): a flagged anchor cannot support a
+    # normalized column — suppress sec_norm entirely rather than emit
+    # numbers a reader may cross-compare (the r13 galg_degrees row's
+    # sec_norm 42.4 came from a slow-window anchor and misleads even
+    # though the raw seconds stand). Raw `sec` is always recorded.
+    if not calib.get("calib_unstable"):
+        for rec in results.values():
+            rec["sec_norm"] = round(rec["sec"] / calib["calib_sec"], 3)
+    else:
+        print("anchor unstable: sec_norm columns suppressed")
 
     # candidate-volume telemetry for the blocked embedding dedup path:
     # measured vs predicted (P^2 * n^2 / k) pair counts, so SCALE.md can
