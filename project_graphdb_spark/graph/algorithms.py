@@ -150,11 +150,66 @@ EDGE_LAYOUT_STATS = {
     "hits": 0,
     "unshareable_writes": 0,
     "per_run_drops": 0,
+    "tier_checkpoint_fallbacks": 0,
 }
 #: set to "off" to disable cross-invocation reuse (the r11 shape: one
 #: table write per algorithm run, dropped by the per-run cleanup) —
 #: the A/B harness knob
 _EDGE_CACHE_ENV = "SPARK_GRAFT_PREGEL_EDGE_CACHE"
+
+#: Size-adaptive layout tier (r14, VERDICT r13 ask #8): below this
+#: optimizer-estimated edge-frame size the bucketed table write costs
+#: more than the per-iteration exchanges it removes, so the DEFAULT
+#: falls back to checkpoint mode. The decision input is
+#: ``optimizedPlan().stats().sizeInBytes`` — metadata-only (file sizes
+#: for parquet-rooted plans, row-count × row-width for checkpointed
+#: pair graphs), measured ~0.04 s even at sf10. Regime sizes on this
+#: corpus: sf0.01 ≈ 1.3 MB, sf0.1 ≈ 13 MB, sf1 ≈ 139 MB,
+#: sf10 ≈ 1.5 GB. Default decided by the r14 cold-invocation A/Bs
+#: (measurements/r14/ab_edge_tier_sf{001,01}.json): at sf0.01 (1.3 MB)
+#: checkpoint wins every query (LP 16.0 s vs 27.6 s bucketed, CC 19.1
+#: vs 21.2, dedup_clusters 12.4 vs 14.3 medians); at sf0.1 (12.7 MB)
+#: bucketed is already flat-to-faster (CC 57.0 vs 51.3, LP/PR flat,
+#: dedup_clusters a wash inside its ±20% band) — so 4 MB splits the
+#: two measured regimes, and everything ≥ sf0.1 keeps the finding-30
+#: sf10-proven bucketed default. An explicit
+#: SPARK_GRAFT_PREGEL_EDGE_LAYOUT always bypasses the tier.
+_EDGE_TIER_ENV = "SPARK_GRAFT_EDGE_LAYOUT_MIN_BYTES"
+_EDGE_TIER_MIN_BYTES_DEFAULT = 4 * 1024 * 1024
+
+
+def _edge_plan_size_bytes(edges: DataFrame) -> int:
+    """Size estimate of the edge frame — metadata-only, no jobs.
+
+    Parquet-rooted plans: the optimizer's ``stats().sizeInBytes`` (file
+    sizes, post column pruning). LogicalRDD-rooted plans (checkpointed
+    pair graphs — the dedup_clusters family): the LogicalRDD inherits
+    the PRE-checkpoint plan's estimate, which for a join output is off
+    by orders of magnitude (measured: 25 actual pairs estimated at
+    277 MB) — but the checkpoint's blocks are already materialized, so
+    sum their exact sizes from the driver's storage registry instead
+    (a leaf referenced twice — the symmetrize union — counts twice,
+    which is the right multiplicity). A LogicalRDD whose blocks are
+    not in the registry falls back to the optimizer estimate
+    (conservative: over-estimates keep the pre-tier bucketed path)."""
+    qe = edges._jdf.queryExecution()
+    leaves = qe.analyzed().collectLeaves()
+    rdd_leaf_ids = []
+    for i in range(leaves.length()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            rdd_leaf_ids.append(leaf.rdd().id())
+    if rdd_leaf_ids:
+        infos = {
+            info.id(): info.memSize() + info.diskSize()
+            for info in (
+                edges.sparkSession.sparkContext._jsc.sc()
+                .getRDDStorageInfo()
+            )
+        }
+        if all(rid in infos for rid in rdd_leaf_ids):
+            return int(sum(infos[rid] for rid in rdd_leaf_ids))
+    return int(qe.optimizedPlan().stats().sizeInBytes())
 
 
 def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
@@ -180,8 +235,31 @@ def _iteration_edges(edges: DataFrame, default: str = "bucketed"):
     default bucketed since r11, each on its OWN sf10 A/B (finding 30):
     the fixed-10 rank family AND the convergence-driven ``pregel``
     driver (whose shorter loops still amortize the one-time write —
-    CC 1338.5 -> 857.3 s)."""
-    mode = os.environ.get(_EDGE_LAYOUT_ENV, default)
+    CC 1338.5 -> 857.3 s).
+
+    r14 size tier (VERDICT r13 ask #8): when the mode comes from the
+    DEFAULT (no explicit env override) and the optimizer's edge-frame
+    size estimate is below ``SPARK_GRAFT_EDGE_LAYOUT_MIN_BYTES``, fall
+    back to checkpoint mode — at tiny scale the one-time bucketed
+    write costs more than every iteration it serves (dedup_clusters'
+    checkpoint-derived pair graphs were the motivating case). An
+    estimate FAILURE keeps bucketed (the pre-tier behavior)."""
+    mode = os.environ.get(_EDGE_LAYOUT_ENV)
+    if mode is None:
+        mode = default
+        if mode == "bucketed":
+            try:
+                min_bytes = int(
+                    os.environ.get(
+                        _EDGE_TIER_ENV, str(_EDGE_TIER_MIN_BYTES_DEFAULT)
+                    )
+                )
+                if _edge_plan_size_bytes(edges) < min_bytes:
+                    mode = "checkpoint"
+                    with _EDGE_TABLE_LOCK:
+                        EDGE_LAYOUT_STATS["tier_checkpoint_fallbacks"] += 1
+            except Exception:
+                pass
     if mode != "bucketed":
         e, ids = _ckpt(edges)
 
@@ -1076,10 +1154,22 @@ def bfs_distances(
 
     Frontier expansion: one join + subtract per level; visited set and
     frontier are checkpointed so lineage stays flat.
+
+    r14 (VERDICT r13 ask #1): the per-level frontier semi-join goes
+    through :func:`_iteration_edges` — above the size tier the edge
+    frame is the family's shared src-bucketed sorted table, so NO level
+    re-exchanges or re-sorts the edge side (the old shape shuffled the
+    full symmetrized frame once per level — the repo's largest measured
+    cost, 458.5 s at sf10); below the tier it keeps the measured-
+    optimal checkpoint shape. The frontier side is small per level and
+    exchanges into the 32-bucket spec via EnsureRequirements; an
+    explicit pin (``SPARK_GRAFT_PIN_STATE=on``) is the A/B knob only —
+    the frontier has ONE consumer per level, so there is no second
+    exchange for ReuseExchange to kill (finding 35's shape rule).
     """
     raw_edges = unified_edges(graph, undirected=undirected)
     sc = raw_edges.sparkSession.sparkContext
-    edges, edge_ids = _ckpt(raw_edges)
+    edges, edge_cleanup = _iteration_edges(raw_edges)
     visited, kept_ids = _ckpt(
         unified_vertices(graph)
         .filter(F.col("id") == start_id)
@@ -1088,23 +1178,26 @@ def bfs_distances(
     # lazy union over per-level checkpoints — see multi_source_hops
     frontier = visited
     iter_secs: list[float] = []
-    for depth in range(1, max_depth + 1):
-        t0 = time.perf_counter()
-        neighbors, n_ids = _ckpt(
-            edges.join(frontier, edges.src == frontier.id)
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .select("id", F.lit(depth).alias("dist"))
-        )
-        iter_secs.append(time.perf_counter() - t0)
-        if neighbors.isEmpty():
-            _unpersist(sc, n_ids)
-            break
-        kept_ids |= n_ids
-        visited = visited.unionByName(neighbors)
-        frontier = neighbors
-    _unpersist(sc, edge_ids)
+    try:
+        for depth in range(1, max_depth + 1):
+            t0 = time.perf_counter()
+            pinned = _pin_state(frontier, default="off")
+            neighbors, n_ids = _ckpt(
+                edges.join(pinned, edges.src == pinned.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .select("id", F.lit(depth).alias("dist"))
+            )
+            iter_secs.append(time.perf_counter() - t0)
+            if neighbors.isEmpty():
+                _unpersist(sc, n_ids)
+                break
+            kept_ids |= n_ids
+            visited = visited.unionByName(neighbors)
+            frontier = neighbors
+    finally:
+        edge_cleanup(sc)
     _record_iter("bfs_distances", iter_secs)
     linger_ids(sc, kept_ids)  # level blocks back the returned union
     return visited

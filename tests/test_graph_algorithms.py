@@ -504,3 +504,169 @@ def test_unshareable_edge_layout_dropped_per_run(spark, monkeypatch):
     # and it never took a cache slot
     app = spark.sparkContext.applicationId
     assert not alg._EDGE_TABLES.get(app)
+
+
+def test_size_tier_falls_back_to_checkpoint_below_threshold(
+    spark, sf_dir, monkeypatch
+):
+    """r14 (VERDICT r13 ask #8): with NO explicit layout override, an
+    edge frame whose optimizer size estimate is below
+    SPARK_GRAFT_EDGE_LAYOUT_MIN_BYTES must take the checkpoint shape
+    (no bucketed table write) and record the tier decision."""
+    from project_graphdb_spark.graph import algorithms as alg
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    monkeypatch.delenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", raising=False)
+    g = tpch_graph(spark, sf_dir)
+    edges = alg.unified_edges(g, undirected=True)
+    before = dict(alg.EDGE_LAYOUT_STATS)
+    e, cleanup = alg._iteration_edges(edges)
+    try:
+        after = dict(alg.EDGE_LAYOUT_STATS)
+        assert (
+            after["tier_checkpoint_fallbacks"]
+            == before["tier_checkpoint_fallbacks"] + 1
+        )
+        assert after["writes"] == before["writes"]
+        assert after["unshareable_writes"] == before["unshareable_writes"]
+        assert not [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith("pregel_edges_")
+        ]
+    finally:
+        cleanup(spark.sparkContext)
+
+
+def test_size_tier_keeps_bucketed_above_threshold(
+    spark, sf_dir, monkeypatch
+):
+    """Dropping the threshold to 0 must restore the bucketed default —
+    the tier only reroutes BELOW the floor."""
+    from project_graphdb_spark.graph import algorithms as alg
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    monkeypatch.delenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_EDGE_LAYOUT_MIN_BYTES", "0")
+    g = tpch_graph(spark, sf_dir)
+    edges = alg.unified_edges(g, undirected=True)
+    before = dict(alg.EDGE_LAYOUT_STATS)
+    e, cleanup = alg._iteration_edges(edges)
+    try:
+        after = dict(alg.EDGE_LAYOUT_STATS)
+        assert after["writes"] == before["writes"] + 1
+        assert (
+            after["tier_checkpoint_fallbacks"]
+            == before["tier_checkpoint_fallbacks"]
+        )
+    finally:
+        cleanup(spark.sparkContext)
+        alg.release_edge_layouts(spark)
+
+
+def test_explicit_layout_env_bypasses_size_tier(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_PREGEL_EDGE_LAYOUT=bucketed is a hard override: the
+    A/B harness must be able to force the layout for frames the tier
+    would reroute."""
+    from project_graphdb_spark.graph import algorithms as alg
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    g = tpch_graph(spark, sf_dir)
+    edges = alg.unified_edges(g, undirected=True)
+    before = dict(alg.EDGE_LAYOUT_STATS)
+    e, cleanup = alg._iteration_edges(edges)
+    try:
+        after = dict(alg.EDGE_LAYOUT_STATS)
+        assert after["writes"] == before["writes"] + 1
+        assert (
+            after["tier_checkpoint_fallbacks"]
+            == before["tier_checkpoint_fallbacks"]
+        )
+    finally:
+        cleanup(spark.sparkContext)
+        alg.release_edge_layouts(spark)
+
+
+def test_bfs_layouts_result_identical(spark, sf_dir, monkeypatch):
+    """r14 (VERDICT r13 ask #1): BFS through the bucketed family layout
+    must return exactly the frontier-expansion result of the
+    checkpoint shape (integer distances — bit-exact equality)."""
+    from project_graphdb_spark.graph import algorithms as alg
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "checkpoint")
+    base = {
+        r.id: r.dist
+        for r in alg.bfs_distances(g, "Customer:1", max_depth=6).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    bkt = {
+        r.id: r.dist
+        for r in alg.bfs_distances(g, "Customer:1", max_depth=6).collect()
+    }
+    alg.release_edge_layouts(spark)
+    assert base == bkt
+    assert base  # non-empty sanity
+
+
+def test_bfs_bucketed_level_join_has_no_edge_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """The per-level frontier semi-join must read the bucketed edge
+    scan directly (SelectedBucketsCount) with no Exchange on the edge
+    side — the structural property the sf10 win rests on. Asserted
+    under the SMJ regime (broadcast off) like the pregel reuse test."""
+    from project_graphdb_spark.graph import algorithms as alg
+    from project_graphdb_spark.graph.builder import tpch_graph
+
+    monkeypatch.setenv("SPARK_GRAFT_PREGEL_EDGE_LAYOUT", "bucketed")
+    g = tpch_graph(spark, sf_dir)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        edges, cleanup = alg._iteration_edges(
+            alg.unified_edges(g, undirected=True)
+        )
+        frontier = (
+            alg.unified_vertices(g)
+            .filter(F.col("id") == "Customer:1")
+            .select("id", F.lit(0).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        level = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        level.collect()  # finalize AQE
+        plan = (
+            level._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # the edge side reads the bucketed table directly — and when
+        # the frontier carries a single-value constraint (level 1's
+        # start filter survives localCheckpoint via originConstraints)
+        # the scan even bucket-PRUNES (SelectedBucketsCount: 1 out of
+        # 32); either way no Exchange touches the edge side.
+        assert "SelectedBucketsCount:" in plan, plan
+        # exactly two physical hash exchanges: the frontier side into
+        # the join + the distinct's own; the edge side scans
+        # pre-partitioned with NO exchange between scan and join.
+        reused = plan.count("ReusedExchange")
+        assert plan.count("Exchange hashpartitioning") - reused == 2, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        cleanup(spark.sparkContext)
+        alg.release_edge_layouts(spark)
