@@ -257,6 +257,92 @@ def _span_grams(col, n: int):
 _DUPSPAN_SHAPE_ENV = "SPARK_GRAFT_DUPSPAN_SHAPE"
 
 
+def _dup_span_frames_posjoin(docs: DataFrame, n: int):
+    """r14 candidate-POSITION shape of :func:`_dup_span_frames` (same
+    returned frames, row-identical — VERDICT r13 ask #5):
+
+    The docfilter shape re-runs the full gram pipeline (tokenize →
+    sliding_structs → concat transform → explode → xxhash64) over every
+    position of every candidate DOC in pass 2, then throws away the
+    non-candidate positions via the hash semi-join. But pass 1's narrow
+    DISK_ONLY cache already knows the candidate POSITIONS exactly —
+    ``(doc_id, s, gh)`` semi-joined on the candidate hashes — so pass 2
+    here rebuilds gram strings ONLY at those positions: one tokenize
+    per candidate doc, then ``concat_ws(' ', slice(toks, s+1, n))`` per
+    candidate position. String construction is paid once per FINAL
+    candidate row instead of once per candidate-doc position, and the
+    second explode + re-hash disappear.
+
+    Equivalence: position s's gram is concat_ws(' ', toks[s+1..s+n])
+    by the sliding_structs contract (same separator, same slice), and
+    the kept set {(doc_id, s): gh ∈ candidate hashes} is exactly the
+    docfilter semi-join's set because gh was computed as
+    xxhash64(gram) from the identical string in pass 1 — pinned by
+    tests/test_corpus_ops.py::test_dup_span_posjoin_shape_equivalent.
+
+    The join carries each candidate doc's token array to its candidate
+    positions; SMJ buffers one doc row per key and the projection
+    fuses, so the array is never shuffled per position row.
+
+    MEASURED AND REJECTED as the default (r14 A/B,
+    measurements/r14/ab_dupspan_posjoin_sf1.json — same-session
+    interleaved, anchored, sf1): profile 12.1 s docfilter vs 21.0 s
+    posjoin, scrub 14.6 vs 24.3 (+70% both consumers). The synthetic
+    corpora are duplication-dense enough that candidate positions are
+    a large share of candidate-doc positions, so per-position
+    slice+concat (plus shipping the token array through the join) costs
+    more than one vectorized sliding_grams pass over candidate docs —
+    the same density regime that decided finding 40. Kept runnable for
+    duplicate-sparse corpora where the trade reverses."""
+    from pyspark import StorageLevel
+
+    hs = docs.select(
+        "doc_id",
+        F.posexplode(_span_grams("text", n)).alias("s", "gram"),
+    ).select(
+        "doc_id", "s", F.xxhash64("gram").alias("gh")
+    ).persist(StorageLevel.DISK_ONLY)
+    cand_hashes = (
+        hs.select("gh", "doc_id")
+        .groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    ).persist()
+    n_cand = cand_hashes.count()
+    ch = (
+        F.broadcast(cand_hashes) if n_cand <= 2_000_000 else cand_hashes
+    )
+    cand_pos = hs.join(ch, "gh", "left_semi").select("doc_id", "s")
+    cand_toks = docs.join(
+        cand_pos.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).select("doc_id", tokens("text").alias("__toks"))
+    cand_spans = _linger(
+        cand_pos.join(cand_toks, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("s") + 1, n)
+            ).alias("gram"),
+        )
+        .persist()
+    )
+    dup = _linger(
+        cand_spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+        .persist()
+    )
+    n_dup = dup.count()  # materializes cand_spans' cache too
+    cand_hashes.unpersist()
+    hs.unpersist()
+    if n_dup <= 500_000:
+        dup = F.broadcast(dup)
+    return cand_spans, dup
+
+
 def _dup_span_frames_docfilter(docs: DataFrame, n: int):
     """The r11 candidate-doc-prefilter shape of :func:`_dup_span_frames`
     (same returned frames, row-identical):
@@ -368,7 +454,10 @@ def _dup_span_frames(docs: DataFrame, n: int = DUP_SPAN_N):
     # lingering. Dropping `.persist()` restores the recompute trade.
     from pyspark import StorageLevel
 
-    if os.environ.get(_DUPSPAN_SHAPE_ENV, "docfilter") == "docfilter":
+    shape = os.environ.get(_DUPSPAN_SHAPE_ENV, "docfilter")
+    if shape == "posjoin":
+        return _dup_span_frames_posjoin(docs, n)
+    if shape == "docfilter":
         return _dup_span_frames_docfilter(docs, n)
 
     spans = docs.select(
