@@ -180,7 +180,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # equivalence as the original choice; the staleness + forward
     # simulation gates pass with the swap.
     "dedup_simhash",
-    "embedding_near_dup_pairs",
+    # r14 swap (the r12/r13 "re-oracle the round a plan changes"
+    # precedent): g_revenue_by_brand is the one query whose PLAN
+    # changed this round outside the window (spread key l_orderkey →
+    # l_partkey, 6 → 5 exchanges); it takes the slot of
+    # embedding_near_dup_pairs, which was re-oracled with a fresh r13
+    # row and ended r14 unchanged. Every other r14-touched path (galg
+    # family incl. BFS, dedup_clusters family, dedup_simhash) was
+    # already in this window.
+    "g_revenue_by_brand",
     "knn_join_top3",
     # r13 in-round swap: the pin-state plan rewrite landed on the
     # pagerank/connected-components drivers too (fresh r12 rows, but
